@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Aggregates the engine's query registry: each operator module exposes a
+``QUERIES`` dict (name -> callable(spark, sf_dir) -> DataFrame) and an
+``ORACLE`` dict (name -> equivalent DuckDB-runnable ANSI SQL). See
+SURVEY.md §2B for the inventory this covers.
 """
 
 from __future__ import annotations
@@ -14,25 +13,45 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    from nfl_predictions_spark.operators import relational
+
+    modules = [relational]
+    for modname in ("streaming_batch", "dedup", "similarity", "text", "multimodal"):
+        try:
+            import importlib
+
+            modules.append(
+                importlib.import_module(f"nfl_predictions_spark.operators.{modname}")
+            )
+        except ImportError:
+            pass
+    try:
+        from nfl_predictions_spark.ml import queries as ml_queries
+
+        modules.append(ml_queries)
+    except ImportError:
+        pass
+
+    queries: dict[str, Callable] = {}
+    oracle: dict[str, str] = {}
+    for mod in modules:
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracle.update(getattr(mod, "ORACLE", {}))
+    return queries, oracle
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the TPC-H-Q1-shaped
+    pricing summary (multi-measure hash aggregate, exact-decimal sums)."""
+    from nfl_predictions_spark.operators.relational import q12_agg_pricing_summary
+
+    return q12_agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]
