@@ -1,0 +1,182 @@
+"""ML pipeline tests (SURVEY.md §5 engine test strategy).
+
+Golden e2e: the feature build must reproduce the reference dataset's
+own derived columns exactly; the retrained two-model pipeline must
+score the reference's golden request fixture; the best-play tie rule
+and handleInvalid=error contracts are pinned explicitly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Feature build parity against the reference's own data (SURVEY §1.4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def reference_plays(spark):
+    """Reference plays with the file row order preserved as ``seq``
+    (the true play sequence — TimeSecs has 65 tied drive/clock groups)."""
+    import pandas as pd
+
+    from nfl_predictions_spark.ml.reference_data import (
+        REFERENCE_CSV,
+        reference_csv_available,
+    )
+    from nfl_predictions_spark.schemas import PLAYS_SCHEMA
+
+    if not reference_csv_available():
+        pytest.skip("reference dataset not present")
+    pdf = pd.read_csv(REFERENCE_CSV, header=None, names=[f.name for f in PLAYS_SCHEMA.fields])
+    pdf["Date"] = pd.to_datetime(pdf["Date"]).dt.tz_localize(None)
+    pdf["seq"] = range(len(pdf))
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_feature_build_reproduces_reference_lag(spark, reference_plays):
+    """Recomputed PlayType_lag must equal the shipped column on all
+    29,412 rows (verified invariant, SURVEY §1.4)."""
+    from nfl_predictions_spark.ml.features import build_features
+
+    recomputed = build_features(
+        reference_plays.withColumnRenamed("PlayType_lag", "lag_shipped").drop("month_day"),
+        order_by=["seq"],
+    )
+    mismatches = recomputed.filter(F.col("PlayType_lag") != F.col("lag_shipped")).count()
+    assert recomputed.count() == 29412
+    assert mismatches == 0
+
+
+def test_feature_build_reproduces_reference_month_day(spark, reference_plays):
+    from nfl_predictions_spark.functions.scalars import month_day
+
+    mismatches = reference_plays.filter(
+        month_day("Date") != F.col("month_day")
+    ).count()
+    assert mismatches == 0
+
+
+def test_firstplay_count_equals_drive_count(spark, reference_plays):
+    drives = reference_plays.select("GameID", "Drive").distinct().count()
+    firsts = reference_plays.filter(F.col("PlayType_lag") == "FirstPlay").count()
+    assert drives == firsts == 5698
+
+
+# ---------------------------------------------------------------------------
+# Synthetic generator invariants (property tests, FIXTURES.md §1)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def synthetic(spark):
+    from nfl_predictions_spark.ml.features import build_features
+    from nfl_predictions_spark.ml.synthetic import synthetic_plays
+
+    return build_features(synthetic_plays(spark, 8, 60)).cache()
+
+
+def test_synthetic_deterministic(spark, synthetic):
+    from nfl_predictions_spark.ml.features import build_features
+    from nfl_predictions_spark.ml.synthetic import synthetic_plays
+
+    again = build_features(synthetic_plays(spark, 8, 60))
+    assert synthetic.exceptAll(again).count() == 0
+    assert again.exceptAll(synthetic).count() == 0
+
+
+def test_synthetic_domains(synthetic):
+    from nfl_predictions_spark.schemas import TEAMS
+
+    bad = synthetic.filter(
+        ~F.col("posteam").isin(TEAMS)
+        | ~F.col("DefensiveTeam").isin(TEAMS)
+        | (F.col("posteam") == F.col("DefensiveTeam"))
+        | (F.col("Yards_Gained") < -5)
+        | (F.col("Yards_Gained") > 20)
+        | ~F.col("down").between(1, 4)
+        | ~F.col("yrdline100").between(1, 99)
+    ).count()
+    assert bad == 0
+
+
+def test_synthetic_lag_invariants(synthetic):
+    drives = synthetic.select("GameID", "Drive").distinct().count()
+    firsts = synthetic.filter(F.col("PlayType_lag") == "FirstPlay").count()
+    assert drives == firsts
+
+
+# ---------------------------------------------------------------------------
+# Pipeline contract
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def models(spark):
+    from nfl_predictions_spark.ml.queries import trained_models
+
+    return trained_models(spark)
+
+
+def test_stringindexer_labels_frequency_desc(spark, models):
+    pass_model, run_model = models
+    for model in (pass_model, run_model):
+        labels = list(model.stages[0].labels)
+        assert set(labels) == {"FirstPlay", "Run", "Pass"}
+        # FirstPlay is one row per drive; Run/Pass dominate.
+        assert labels[-1] == "FirstPlay"
+
+
+def test_golden_request_scores(spark, models):
+    from nfl_predictions_spark.ml.score import GOLDEN_REQUEST, score_record
+
+    out = score_record(spark, *models, GOLDEN_REQUEST)
+    assert set(out) == {"best_play", "passing_yards", "running_yards"}
+    assert out["best_play"] in ("Passing Play", "Running Play")
+    assert -5.0 <= out["passing_yards"] <= 20.0
+    assert -5.0 <= out["running_yards"] <= 20.0
+
+
+def test_best_play_tie_goes_to_running(spark):
+    from nfl_predictions_spark.functions.scalars import best_play
+
+    df = spark.createDataFrame([(3.0, 3.0), (4.0, 3.0), (3.0, 4.0)], ["p", "r"])
+    got = [r[0] for r in df.select(best_play("p", "r")).collect()]
+    assert got == ["Running Play", "Passing Play", "Running Play"]
+
+
+def test_unseen_label_errors(spark, models):
+    from nfl_predictions_spark.ml.score import GOLDEN_REQUEST, score_record
+
+    bad = dict(GOLDEN_REQUEST, PlayType_lag="Bogus")
+    with pytest.raises(Exception, match="(?i)unseen|invalid"):
+        score_record(spark, *models, bad)
+
+
+def test_batch_scoring_one_pass(spark, models):
+    """Batch scoring is a single plan over N rows — predictions align
+    with single-record scoring."""
+    from nfl_predictions_spark.ml.queries import q37_ml_best_play
+
+    rows = q37_ml_best_play(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 26  # golden + 25 synthetic
+    assert all(r.best_play in ("Passing Play", "Running Play") for r in rows)
+
+
+def test_model_rmse_reasonable(spark, models, synthetic):
+    """Semantic guard (SURVEY §7 risk 2): the trained model must beat a
+    constant-mean predictor on its own training distribution."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    pass_model, _ = models
+    test_df = synthetic.filter(F.col("PlayType") == "Pass")
+    pred = pass_model.transform(test_df)
+    rmse = RegressionEvaluator(
+        labelCol="Yards_Gained", predictionCol="prediction", metricName="rmse"
+    ).evaluate(pred)
+    stats = test_df.agg(F.stddev("Yards_Gained").alias("sd")).first()
+    assert rmse < stats.sd

@@ -1,0 +1,87 @@
+"""Every declared relational query must match its DuckDB oracle at
+sf0.001 (the driver's gate runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle_check import compare  # tools/oracle_check.py, on sys.path via conftest
+
+from tests.conftest import SF_SMOKE
+
+
+def _registry():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries(), entrymod.oracle_sql()
+
+
+QUERIES, ORACLES = _registry()
+ORACLED = sorted(k for k in QUERIES if k in ORACLES)
+ROWS_ONLY = sorted(k for k in QUERIES if k not in ORACLES)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_SMOKE)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert len(df.collect()) > 0
+
+
+def test_json_roundtrip(spark):
+    """to_json(from_json(payload)) round-trip (SURVEY §2B Q27's encode
+    half — string formatting is engine-specific, so checked here rather
+    than against DuckDB)."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.sources.tables import table
+
+    df = (
+        table(spark, SF_SMOKE, "events")
+        .select(
+            "props",
+            F.to_json(F.from_json("props", "k INT")).alias("rt"),
+        )
+        .limit(50)
+    )
+    for r in df.collect():
+        assert r.rt == r.props.replace(" ", "").replace('{"k":null}', "{}")
+
+
+def test_pushdown_and_pruning(spark):
+    """The Q6-shaped filter must reach the parquet scan and the scan
+    must read only the referenced columns (scale posture: a scan that
+    reads all columns for a 2-column projection is wrong)."""
+    from nfl_predictions_spark.operators.relational import q04_filter_conjunctive
+
+    plan = q04_filter_conjunctive(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read_schema and "l_partkey" not in read_schema[0]
+
+
+def test_broadcast_join_plan(spark):
+    from nfl_predictions_spark.operators.relational import q06_join_broadcast
+
+    plan = q06_join_broadcast(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plan_no_global_sort(spark):
+    from nfl_predictions_spark.operators.relational import q20_topk
+
+    plan = q20_topk(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
