@@ -1,0 +1,86 @@
+"""Engine benchmark — prints ONE JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query executes
+its full plan through the noop sink (measures compute, not driver-side
+row materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_scan_parquet",
+    "q03_project_alias",
+    "q04_filter_conjunctive",
+    "q06_join_broadcast",
+    "q07_join_shuffle_agg",
+    "q08_join_left_outer",
+    "q11_join_theta",
+    "q12_agg_pricing_summary",
+    "q13_agg_distinct",
+    "q16_window_lag_default",
+    "q17_window_rank",
+    "q18_window_running_sum",
+    "q20_topk",
+    "q26_array_collect",
+    "q27_json",
+    "q30_grouped_normalize",
+    # north-star ops (present once their modules land)
+    "q38_dedup_exact",
+    "q39_minhash_lsh_pairs",
+    "q39b_ngram_jaccard_pairs",
+    "q40_token_stats",
+    "q41_ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entrymod
+    from nfl_predictions_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # Warm the JVM/codegen path once with a trivial job.
+    spark.range(1000).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        el = round(time.time() - t0, 3)
+        per_query[name] = el
+        total += el
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
