@@ -1,0 +1,174 @@
+"""Driver-facing streaming queries (SURVEY §2B Q31-Q36).
+
+Each entry runs a real Structured Streaming query to completion with
+Trigger.AvailableNow over a deterministic multi-chunk file stream (see
+``streaming.sources``) and returns the materialized sink as a batch
+DataFrame. Results are deterministic, so Q31-Q35 carry full DuckDB
+oracles — the oracle encodes the *streaming* semantics (e.g. Q34's
+append-mode output is exactly the windows finalized below the final
+watermark). Q36 scores with the GBT models (not SQL-expressible →
+rows-only check; its invariants are pinned in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.streaming.sources import events_file_stream
+from nfl_predictions_spark.streaming.windows import (
+    run_to_batch,
+    session_counts,
+    sliding_counts,
+    stateful_dedup,
+    tumbling_counts,
+    watermarked_tumbling,
+)
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "q31_stream_tumbling",
+    "SELECT date_trunc('minute', ts) AS ws, count(*) AS cnt "
+    "FROM events GROUP BY ws ORDER BY ws",
+)
+def q31_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-minute tumbling counts, complete mode: the final emission holds
+    every window."""
+    stream = events_file_stream(spark, sf_dir, with_dups=False)
+    return run_to_batch(spark, tumbling_counts(stream), mode="complete").orderBy("ws")
+
+
+@_q(
+    "q32_stream_sliding",
+    "SELECT ws, count(*) AS cnt FROM ("
+    "  SELECT date_trunc('minute', ts) AS ws FROM events "
+    "  UNION ALL "
+    "  SELECT date_trunc('minute', ts) - INTERVAL 1 MINUTE FROM events"
+    ") GROUP BY ws ORDER BY ws",
+)
+def q32_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-minute windows sliding by 1 minute: each event lands in two
+    windows (the oracle materializes both membership rows)."""
+    stream = events_file_stream(spark, sf_dir, with_dups=False)
+    return run_to_batch(spark, sliding_counts(stream), mode="complete").orderBy("ws")
+
+
+@_q(
+    "q33_stream_session",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  < INTERVAL 30 SECOND THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ), agg AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 SECOND AS session_end, count(*) AS cnt
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, cnt FROM agg
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 1 MINUTE FROM events)
+    ORDER BY user_id, session_start
+    """,
+)
+def q33_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30 s-gap session windows (append mode): emitted sessions
+    are exactly those closed below the final watermark — the oracle is
+    the gaps-and-islands formulation with the same cutoff."""
+    stream = events_file_stream(spark, sf_dir, with_dups=False)
+    return run_to_batch(spark, session_counts(stream), mode="append").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@_q(
+    "q34_stream_watermark",
+    "SELECT * FROM ("
+    "  SELECT date_trunc('minute', ts) AS ws, "
+    "         date_trunc('minute', ts) + INTERVAL 1 MINUTE AS we, count(*) AS cnt "
+    "  FROM events GROUP BY 1, 2"
+    ") WHERE we <= (SELECT max(ts) - INTERVAL 1 MINUTE FROM events) ORDER BY ws",
+)
+def q34_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append mode under a 1-minute watermark: only windows the final
+    watermark has passed are emitted; the newest window stays in state
+    (bounded-state contract at scale)."""
+    stream = events_file_stream(spark, sf_dir, with_dups=False)
+    return run_to_batch(spark, watermarked_tumbling(stream), mode="append").orderBy("ws")
+
+
+@_q(
+    "q35_stream_dedup",
+    "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+)
+def q35_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup by event_id within the watermark: the source
+    stream re-sends a deterministic subset of events in the following
+    chunk (streaming.sources.DUP_MODULUS); dedup state + lateness
+    filtering reduce the stream back to exactly the distinct events."""
+    stream = events_file_stream(spark, sf_dir, with_dups=True)
+    return run_to_batch(spark, stateful_dedup(stream), mode="append").orderBy("event_id")
+
+
+def q36_stream_score_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-and-route (the reference's NiFi flow as one streaming
+    query): simulated requests -> foreachBatch {validate, two-model
+    score, success sink | dead-letter sink}. Returns per-route summary
+    counts (model predictions are not SQL-expressible)."""
+    from nfl_predictions_spark.ml.queries import trained_models
+    from nfl_predictions_spark.streaming.score import score_and_route
+    from nfl_predictions_spark.streaming.simulate import simulated_requests, with_invalid
+
+    n = 300
+    reqs = with_invalid(simulated_requests(spark.range(n), "id"))
+    in_dir = tempfile.mkdtemp(prefix="nflspark_q36_in_")
+    reqs.repartition(3).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(reqs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_root = tempfile.mkdtemp(prefix="nflspark_q36_out_")
+    try:
+        pass_model, run_model = trained_models(spark)
+        ok_dir, dlq_dir = score_and_route(spark, stream, pass_model, run_model, out_root)
+        scored = spark.read.parquet(ok_dir)
+        dlq = spark.read.parquet(dlq_dir)
+        summary = (
+            scored.groupBy("best_play")
+            .agg(F.count("*").alias("cnt"))
+            .withColumnRenamed("best_play", "route")
+            .unionByName(
+                dlq.select(F.lit("dead_letter").alias("route")).groupBy("route").agg(
+                    F.count("*").alias("cnt")
+                )
+            )
+        )
+        return summary.orderBy("route").select("route", "cnt").localCheckpoint()
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
+QUERIES["q36_stream_score_route"] = q36_stream_score_route

@@ -1,0 +1,141 @@
+"""Streaming semantics tests (SURVEY §2B Q31-Q36, §5 streaming strategy).
+
+The driver-facing entries are oracle-checked in test_relational; here we
+pin the semantics the oracles can't express: late-data drops beyond the
+watermark, dedup of duplicates arriving within the watermark, and the
+score-and-route invariants.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def _write_chunks(spark, chunks):
+    """Write each chunk (list of row tuples) as one parquet file with
+    increasing mtimes; returns the input dir for a file stream."""
+    root = tempfile.mkdtemp(prefix="nflspark_chunks_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(rows, SCHEMA)
+        tmpout = os.path.join(root, f"tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmpout)
+        src = glob.glob(os.path.join(tmpout, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"chunk{i:03d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return in_dir
+
+
+def _stream(spark, in_dir):
+    return (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(in_dir)
+    )
+
+
+def _row(eid, minute, second=0, user=1, etype="click"):
+    import datetime
+
+    return (
+        eid,
+        datetime.datetime(2024, 1, 1, 0, minute, second),
+        user,
+        etype,
+        1.0,
+        "{}",
+    )
+
+
+def test_late_event_beyond_watermark_dropped(spark):
+    """An event arriving in a later micro-batch with ts older than the
+    watermark must not be counted (Q34 late-data policy)."""
+    from nfl_predictions_spark.streaming.windows import run_to_batch, watermarked_tumbling
+
+    # Note: Spark filters batch N's late rows with the watermark computed
+    # after batch N-1, so the drop shows up two batches after the window
+    # passed (verified empirically via numRowsDroppedByWatermark).
+    chunks = [
+        [_row(1, 2), _row(2, 10)],  # batch 0: wm -> 09:00 (after batch)
+        [_row(3, 20)],  # batch 1: window 02:00 evicted+emitted, wm -> 19:00
+        [_row(4, 2), _row(5, 30)],  # batch 2: late event at 02:00 -> dropped
+    ]
+    in_dir = _write_chunks(spark, chunks)
+    out = run_to_batch(spark, watermarked_tumbling(_stream(spark, in_dir)), "append")
+    rows = out.collect()
+    counts = {r.ws.minute: r.cnt for r in rows}
+    assert counts.get(2) == 1  # late minute-2 event did not land
+    assert len(rows) == len(counts)  # no double emission of an evicted window
+
+
+def test_on_time_event_within_watermark_kept(spark):
+    """A late-ish event still inside the watermark horizon is merged
+    into its (not yet finalized) window."""
+    from nfl_predictions_spark.streaming.windows import run_to_batch, watermarked_tumbling
+
+    chunks = [
+        [_row(1, 2), _row(2, 2, 30)],
+        [_row(3, 2, 45), _row(4, 10)],  # minute-2 is above wm (=01:xx) after batch 0
+    ]
+    in_dir = _write_chunks(spark, chunks)
+    out = run_to_batch(spark, watermarked_tumbling(_stream(spark, in_dir)), "append")
+    counts = {r.ws.minute: r.cnt for r in out.collect()}
+    assert counts.get(2) == 3
+
+
+def test_dedup_within_watermark(spark):
+    """A duplicate event_id arriving in a later batch, still within the
+    watermark horizon, is dropped by keyed state (Q35)."""
+    from nfl_predictions_spark.streaming.windows import run_to_batch, stateful_dedup
+
+    chunks = [
+        [_row(1, 2), _row(2, 3)],
+        [_row(1, 4), _row(3, 5)],  # id=1 again, within the 10 min horizon
+    ]
+    in_dir = _write_chunks(spark, chunks)
+    out = run_to_batch(spark, stateful_dedup(_stream(spark, in_dir)), "append")
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3]
+
+
+def test_session_window_merge_and_gap(spark):
+    """Events <30 s apart merge into one session; >=30 s starts a new
+    one (Q33)."""
+    from nfl_predictions_spark.streaming.windows import run_to_batch, session_counts
+
+    chunks = [
+        [_row(1, 0, 0), _row(2, 0, 20), _row(3, 0, 55)],  # merge 1+2; 3 separate
+        [_row(4, 30)],  # advances watermark so earlier sessions emit
+    ]
+    in_dir = _write_chunks(spark, chunks)
+    out = run_to_batch(spark, session_counts(_stream(spark, in_dir)), "append")
+    sizes = sorted(r.cnt for r in out.collect())
+    assert sizes == [1, 2]
+
+
+def test_score_route_invariants(spark):
+    """Q36: every request lands in exactly one route; invalid labels go
+    to the dead letter (300 requests, every 37th invalid -> 9)."""
+    from nfl_predictions_spark.operators.streaming_batch import q36_stream_score_route
+
+    rows = {r.route: r.cnt for r in q36_stream_score_route(spark, "").collect()}
+    assert rows.get("dead_letter") == 9
+    assert sum(rows.values()) == 300
+    assert set(rows) <= {"dead_letter", "Passing Play", "Running Play"}
+
+
+def test_simulated_requests_deterministic(spark):
+    from nfl_predictions_spark.streaming.simulate import simulated_requests
+
+    a = simulated_requests(spark.range(100), "id").collect()
+    b = simulated_requests(spark.range(100), "id").collect()
+    assert a == b
