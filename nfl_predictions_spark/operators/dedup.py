@@ -1,0 +1,311 @@
+"""Deduplication suite (north-star; SURVEY §2B Q38-Q39).
+
+Exact dedup, MinHash+LSH near-dup, n-gram Jaccard, and SimHash over the
+``documents`` table — the operators a large-scale training-data
+pipeline runs first. Everything is built from JVM-side expressions
+(split/transform/xxhash64/array_intersect + one shuffle per stage); no
+Python in the hot path.
+
+Scale design (the part that matters at 100 TB):
+- exact dedup is a hash-aggregate on a digest — one shuffle on a
+  uniformly distributed key, no skew.
+- MinHash-LSH is the linear-time near-dup path: shingle -> 64 seeded
+  min-hashes (one explode + one groupBy per doc) -> 16 bands x 4 rows
+  -> bucket self-join (only same-bucket pairs are compared) -> exact
+  Jaccard verification of the candidates. The all-pairs exact join
+  (q39b) exists as the small-scale oracle/baseline; LSH is what
+  survives a 1000x scale-up because candidate generation never
+  enumerates the cross product.
+- SimHash packs a document into one 64-bit signature; candidate pairs
+  share at least one of 8 signature bytes — by pigeonhole, any pair at
+  hamming <= 7 shares a byte, so recall is exact at the default
+  threshold; candidates are then verified by exact popcount.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by minhash / exact jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as an array.
+    Word-level 3-grams: the TESTDATA documents draw from a ~31-word
+    vocabulary, so single-token sets saturate (Jaccard 1.0 everywhere)
+    while 3-gram sets separate planted near-dups (>=0.9) from background
+    (<=0.1)."""
+    toks = F.split(text, " ")
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), size - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(size >= n, grams).otherwise(F.array().cast("array<string>")))
+
+
+_SHINGLE_SQL = (
+    "list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] "
+    "for i in range(1, len(ts) - 1)])"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q38 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q38_dedup_exact",
+    "SELECT (SELECT count(*) FROM documents) AS cnt_total, "
+    "(SELECT count(*) FROM (SELECT DISTINCT * FROM documents)) AS cnt_distinct_rows, "
+    "(SELECT count(DISTINCT md5(text)) FROM documents) AS cnt_distinct_text",
+)
+def q38_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup two ways: whole-row distinct and content-digest
+    distinct (the form that scales — the digest is computed map-side and
+    the shuffle carries 16 bytes per row, not the document)."""
+    docs = table(spark, sf_dir, "documents")
+    return spark.range(1).select(
+        F.lit(docs.count()).alias("cnt_total"),
+        F.lit(docs.distinct().count()).alias("cnt_distinct_rows"),
+        F.lit(
+            docs.select(F.md5("text").alias("d")).agg(F.countDistinct("d")).first()[0]
+        ).alias("cnt_distinct_text"),
+    )
+
+
+@_q(
+    "q38b_dedup_rows",
+    "SELECT doc_id FROM (SELECT doc_id, row_number() OVER "
+    "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) "
+    "WHERE rn = 1 ORDER BY doc_id",
+)
+def q38b_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content dedup keeping the lowest doc_id per digest — the
+    deterministic keep-rule form (dropDuplicates keeps an arbitrary
+    row; a pipeline needs a defined survivor)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q39 — near-dup: exact n-gram Jaccard (baseline) and MinHash-LSH (scale path)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM tok WHERE len(ts) >= 3),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jac
+FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
+ORDER BY d1, d2
+"""
+
+
+@_q("q39b_ngram_jaccard_pairs", _JACCARD_ORACLE)
+def q39b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard >= 0.8 via an inverted-index
+    self-join (pairs sharing no shingle are never materialized). Correct
+    at any scale but quadratic in the worst case — the LSH variant below
+    is the production path."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    sizes = docs.select("doc_id", F.size("sh").alias("sz"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("s1.sz") + F.col("s2.sz") - F.col("i"))
+    return (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= 0.8)
+        .select("d1", "d2", F.round(jac, 6).alias("jac"))
+        .orderBy("d1", "d2")
+    )
+
+
+_N_HASHES = 64
+_BANDS = 16
+_ROWS_PER_BAND = 4
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc -> 64 min-hashes: explode shingles once, take per-seed mins in
+    a single grouped aggregation (one shuffle on the doc id)."""
+    ex = docs.select(id_col, F.explode("sh").alias("s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(seed))).alias(f"mh{seed}")
+        for seed in range(_N_HASHES)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature 16x4 and self-join on (band, band-hash):
+    only same-bucket pairs ever meet."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+                ).alias("bh"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    banded = sigs.select(id_col, F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .distinct()
+    )
+
+
+@_q("q39_minhash_lsh_pairs", _JACCARD_ORACLE)
+def q39_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands x 4) candidates, exact-Jaccard
+    verified at >= 0.8. Shares the exact-pairs oracle: at this band
+    config a true 0.8-pair is missed with p ~= 2e-4 and the planted
+    near-dups sit at >= 0.9 (miss p ~= 3e-8), so LSH+verify equals the
+    exact answer; the verification step guarantees no false positives."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    )
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs)
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        cands.join(docs.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        .join(docs.alias("b"), F.col("d2") == F.col("b.doc_id"))
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= 0.8)
+        .select("d1", "d2", F.round("jac_raw", 6).alias("jac"))
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (rows-only: the 64-bit signature math is not worth
+# reproducing in SQL; invariants pinned in tests/test_dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word 3-gram shingles: for each bit, sum +/-1
+    weighted by whether the shingle's hash has that bit set; the sign of
+    the sum is the signature bit. One explode + one grouped aggregation."""
+    ex = docs.select(id_col, F.explode(shingles(F.col(text_col))).alias("s")).withColumn(
+        "h", F.xxhash64("s")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(shiftrightunsigned(h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = ex.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Candidate pairs share >= 1 of 8 signature bytes (pigeonhole
+    guarantees exact recall for hamming <= 7), verified by popcount.
+    Short documents make SimHash noisy: near-identical ~100-shingle docs
+    land up to hamming ~7 apart, hence the default."""
+    sigs = simhash(docs)
+    bytes_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("pos"),
+                F.expr(f"shiftrightunsigned(simhash, {8 * i}) & 255").alias("byte"),
+            )
+            for i in range(8)
+        ]
+    )
+    banded = sigs.select("doc_id", "simhash", F.explode(bytes_arr).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.pos").alias("pos"), F.col("bb.byte").alias("byte")
+    )
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(s1 ^ s2)")
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+def q39c_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs)
+
+
+QUERIES["q39c_simhash_pairs"] = q39c_simhash_pairs

@@ -1,0 +1,259 @@
+"""Similarity search over embeddings (north-star; SURVEY §2B Q39/Q41).
+
+Three tiers, mirroring how a production vector pipeline scales:
+
+1. ``q41_ann_topk`` — exact brute-force cosine top-k, pure Catalyst
+   (zip_with + aggregate fold): the correctness baseline, oracle-checked
+   against DuckDB's double-precision dot products.
+2. ``q41b_ann_topk_pandas`` — the same computation as an Arrow-batched
+   pandas UDF doing one numpy matmul per batch: the single-node perf
+   path (tested equal to tier 1 in tests/test_similarity.py).
+3. ``q41c_ann_lsh`` — random-hyperplane LSH bucketing: candidates only
+   meet inside a bucket, so the join never enumerates the cross
+   product — the 100 TB path. Deterministic planes derive from seeded
+   xxhash64, recall is measured against tier 1 in tests.
+
+Plus ``q42_embedding_near_dup``: metadata-blocked exact cosine pairs —
+the embedding-space analogue of the text near-dup suite.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+_N_QUERIES = 5
+_TOP_K = 10
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision fold — same element order as the
+    oracle's list_dot_product, so results agree to the last bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+_ANN_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {_N_QUERIES}),
+p AS (
+  SELECT qid, vec_id AS cid,
+    list_dot_product(qe, emb)
+      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(emb, emb))) AS cos
+  FROM q, e
+), r AS (
+  SELECT qid, cid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+  FROM p
+)
+SELECT qid, cid, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {_TOP_K} ORDER BY qid, rn
+"""
+
+
+@_q("q41_ann_topk", _ANN_ORACLE)
+def q41_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the first 5 vectors against the full
+    table. The 5-row query side is broadcast; the big side streams —
+    no shuffle of the embedding table."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    scored = cands.crossJoin(F.broadcast(queries)).withColumn("cos_raw", cos)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+def q41b_ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k via an Arrow-batched pandas UDF: one numpy
+    matrix-multiply per batch against the broadcast query matrix —
+    vectorized float64 math, ~10-100x the throughput of per-row UDFs."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = [r.vec_id for r in q_rows]
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bQ = spark.sparkContext.broadcast((qids, Qn))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def cos_all(embs: pd.Series) -> pd.Series:
+        qids_, Qn_ = bQ.value
+        X = np.array(embs.tolist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ Qn_.T  # (batch, n_queries)
+        return pd.Series(list(S))
+
+    scored = emb.select(
+        F.col("vec_id").alias("cid"), cos_all("embedding").alias("cos_vec")
+    ).select(
+        "cid",
+        F.posexplode("cos_vec").alias("qpos", "cos_raw"),
+    )
+    qid_map = F.array(*[F.lit(q) for q in qids])
+    scored = scored.withColumn("qid", F.element_at(qid_map, F.col("qpos") + 1)).drop("qpos")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+QUERIES["q41b_ann_topk_pandas"] = q41b_ann_topk_pandas
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+_N_TABLES = 8
+_PLANES_PER_TABLE = 6
+_DIM = 64
+
+
+def _plane_value(table_i: int, plane_j: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    a fixed integer mix (splitmix-style) of (table, plane, dim) — no
+    RNG state, reproducible on any executor."""
+    x = (table_i * 1_000_003 + plane_j * 10_007 + dim * 101 + 12345) & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    x = x ^ (x >> 31)
+    return (x % 2_000_001) / 1_000_000.0 - 1.0
+
+
+def lsh_signatures(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Per-table bucket ids: sign bits of the embedding projected onto
+    fixed hyperplanes, packed into an int per table."""
+    sig_cols = []
+    for t in range(_N_TABLES):
+        bucket = F.lit(0)
+        for j in range(_PLANES_PER_TABLE):
+            plane = F.array(
+                *[F.lit(_plane_value(t, j, d)) for d in range(_DIM)]
+            )
+            proj = _dot(F.col("embedding"), plane)
+            bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig_cols.append(bucket.alias(f"bucket{t}"))
+    return emb.select(id_col, "embedding", *sig_cols)
+
+
+def q41c_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: candidates are vectors sharing the query's bucket
+    in any of the 8 hash tables; exact cosine rescoring inside the
+    candidate set only. Recall vs the exact baseline is measured in
+    tests (union of 8 tables keeps it high while each join stays tiny)."""
+    emb = table(spark, sf_dir, "embeddings")
+    sigs = lsh_signatures(emb)
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), F.col(f"bucket{t}").alias("b"))
+            for t in range(_N_TABLES)
+        ]
+    )
+    banded = sigs.select("vec_id", "embedding", F.explode(tables).alias("tb")).select(
+        "vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+    )
+    queries = banded.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "t", "b"
+    )
+    cands = (
+        banded.join(F.broadcast(queries), on=["t", "b"])
+        .select("qid", "qe", F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .distinct()
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
+    return (
+        cands.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+QUERIES["q41c_ann_lsh"] = q41c_ann_lsh
+
+
+@_q(
+    "q42_embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+        list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+          AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT d1, d2, round(cos, 6) AS cos FROM p WHERE cos >= 0.4 ORDER BY d1, d2
+    """,
+)
+def q42_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with metadata blocking: only same-label
+    pairs are compared (the blocking key bounds the join — at scale the
+    block is the shuffle partition), then exact cosine >= threshold."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        emb.alias("a")
+        .join(
+            emb.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("d1"),
+            F.col("b.vec_id").alias("d2"),
+            F.round("cos_raw", 6).alias("cos"),
+        )
+        .orderBy("d1", "d2")
+    )

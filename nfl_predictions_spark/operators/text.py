@@ -1,0 +1,241 @@
+"""Text analysis suite (north-star; SURVEY §2B Q40).
+
+Token counting (whitespace + a BPE-ish regex), quality scoring
+(length/punctuation/stopword ratios), rule-based language ID, and
+document fingerprinting over the ``documents`` table. All pure Catalyst
+expressions — whole-stage codegen, no UDFs — with the identical
+formulas in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+#: BPE-ish pre-tokenizer: word pieces, digit runs, or single punctuation
+#: marks — the usual pre-split a byte-pair tokenizer applies.
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+@_q(
+    "q40_token_stats",
+    f"""
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+      round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 6)
+        AS avg_token_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish-regex token counts per document."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))).alias(
+                "n_bpe_tokens"
+            ),
+            F.round(
+                F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n, 6
+            ).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SW_LIST_SQL = "['" + "','".join(_STOPWORDS) + "']"
+
+
+@_q(
+    "q40b_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ts,
+        len(string_split(text, ' ')) AS n,
+        len(list_filter(string_split(text, ' '), x -> list_contains({_SW_LIST_SQL}, x)))
+          AS n_stop,
+        length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+      round(n_stop * 1.0 / n, 6) AS stopword_ratio,
+      round(n_punct * 1.0 / length(text), 6) AS punct_ratio,
+      CASE WHEN n BETWEEN 20 AND 80
+             AND n_stop * 1.0 / n BETWEEN 0.05 AND 0.6
+             AND n_punct * 1.0 / length(text) < 0.1
+           THEN 1 ELSE 0 END AS is_quality
+    FROM t ORDER BY doc_id
+    """,
+)
+def q40b_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate: length band + stopword ratio band + low
+    punctuation density — the standard cheap pre-filter before expensive
+    model-based scoring."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, sw))  # NOTE: set semantics — see below
+    # array_intersect dedups; we need multiset counts, so filter instead:
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+    )
+    stop_ratio = n_stop / n
+    punct_ratio = n_punct / F.length("text")
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.round(punct_ratio, 6).alias("punct_ratio"),
+            F.when(
+                n.between(20, 80)
+                & stop_ratio.between(0.05, 0.6)
+                & (punct_ratio < 0.1),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Tiny per-language marker inventories (rule-based language ID: count
+#: marker-token hits per language, argmax with 'und' fallback).
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "y"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "de", "et"],
+}
+
+
+def _marker_count_sql(lang: str) -> str:
+    lst = "['" + "','".join(_LANG_MARKERS[lang]) + "']"
+    return f"len(list_filter(string_split(text, ' '), x -> list_contains({lst}, x)))"
+
+
+@_q(
+    "q40c_lang_id",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+        {_marker_count_sql('en')} AS c_en, {_marker_count_sql('es')} AS c_es,
+        {_marker_count_sql('de')} AS c_de, {_marker_count_sql('fr')} AS c_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+           WHEN c_en >= greatest(c_es, c_de, c_fr) THEN 'en'
+           WHEN c_es >= greatest(c_de, c_fr) THEN 'es'
+           WHEN c_de >= c_fr THEN 'de'
+           ELSE 'fr' END AS predicted_lang
+    FROM m ORDER BY doc_id
+    """,
+)
+def q40c_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (n-gram-heuristic family): deterministic
+    argmax over per-language marker hit counts, 'und' when nothing hits.
+    Ties resolve in fixed precedence order (en > es > de > fr)."""
+    toks = F.split(F.col("text"), " ")
+
+    def count_markers(lang: str):
+        arr = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    c = {lang: count_markers(lang) for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(F.greatest(*c.values()) == 0, F.lit("und"))
+        .when(c["en"] >= F.greatest(c["es"], c["de"], c["fr"]), F.lit("en"))
+        .when(c["es"] >= F.greatest(c["de"], c["fr"]), F.lit("es"))
+        .when(c["de"] >= c["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", predicted.alias("predicted_lang"))
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "q40d_fingerprint",
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) "
+    "AS fingerprint FROM documents ORDER BY doc_id",
+)
+def q40d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (casefold, collapse non-alnum runs
+    to single spaces, trim, digest) — the key for the exact-dedup path
+    that survives whitespace/punctuation perturbations."""
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(normalized).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "q40e_top_terms",
+    f"""
+    WITH ex AS (
+      SELECT d.source, unnest(string_split(d.text, ' ')) AS term FROM documents d
+    ), counts AS (
+      SELECT source, term, count(*) AS cnt FROM ex
+      WHERE NOT list_contains({_SW_LIST_SQL}, term) GROUP BY source, term
+    ), ranked AS (
+      SELECT source, term, cnt,
+        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn
+      FROM counts
+    )
+    SELECT source, term, cnt, CAST(rn AS BIGINT) AS rn FROM ranked
+    WHERE rn <= 5 ORDER BY source, rn
+    """,
+)
+def q40e_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top non-stopword terms per source (tokenize -> stopword-remove ->
+    count -> rank): the Tokenizer/StopWordsRemover/CountVectorizer shape
+    of SURVEY Q40 as pure DataFrame ops."""
+    from pyspark.sql import Window
+
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    ex = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .filter(~F.array_contains(sw, F.col("term")))
+    )
+    counts = ex.groupBy("source", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .orderBy("source", "rn")
+    )

@@ -1,0 +1,99 @@
+"""North-star operator tests: dedup recall, ANN variant agreement and
+LSH recall, multimodal plumbing determinism (the oracle-checkable
+entries are covered by test_relational's parametrized comparison)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_minhash_equals_exact_pairs(spark):
+    """LSH+verify must reproduce the exact near-dup pair set here (the
+    planted dups sit at Jaccard >= 0.9 where band-miss p ~ 3e-8)."""
+    from nfl_predictions_spark.operators.dedup import (
+        q39_minhash_lsh_pairs,
+        q39b_ngram_jaccard_pairs,
+    )
+
+    lsh = {(r.d1, r.d2) for r in q39_minhash_lsh_pairs(spark, SF_SMOKE).collect()}
+    exact = {(r.d1, r.d2) for r in q39b_ngram_jaccard_pairs(spark, SF_SMOKE).collect()}
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    """Most near-identical documents (Jaccard >= 0.95) land within the
+    simhash near-dup threshold. Not all: simhash bit sums are high
+    variance for docs with few shingles, so a short planted pair can
+    land far apart — recall, not containment, is the honest claim."""
+    from nfl_predictions_spark.operators.dedup import (
+        q39b_ngram_jaccard_pairs,
+        q39c_simhash_pairs,
+    )
+
+    strong = {
+        (r.d1, r.d2)
+        for r in q39b_ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+        if r.jac >= 0.95
+    }
+    sim = {(r.d1, r.d2) for r in q39c_simhash_pairs(spark, SF_SMOKE).collect()}
+    recall = len(strong & sim) / len(strong)
+    assert strong and recall >= 0.8, f"simhash recall {recall:.2f}"
+
+
+def test_ann_pandas_matches_exact(spark):
+    from nfl_predictions_spark.operators.similarity import (
+        q41_ann_topk,
+        q41b_ann_topk_pandas,
+    )
+
+    exact = [(r.qid, r.cid, r.rn) for r in q41_ann_topk(spark, SF_SMOKE).collect()]
+    fast = [(r.qid, r.cid, r.rn) for r in q41b_ann_topk_pandas(spark, SF_SMOKE).collect()]
+    assert exact == fast
+
+
+def test_ann_lsh_recall(spark):
+    """Bucketed ANN must recover a solid fraction of the true top-10
+    (8 tables x 6 hyperplanes on random data: recall well above a
+    single-bucket baseline; rank-1 self-match always survives)."""
+    from nfl_predictions_spark.operators.similarity import q41_ann_topk, q41c_ann_lsh
+
+    exact = {(r.qid, r.cid) for r in q41_ann_topk(spark, SF_SMOKE).collect()}
+    approx = {(r.qid, r.cid) for r in q41c_ann_lsh(spark, SF_SMOKE).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall {recall:.2f}"
+    for qid in {q for q, _ in exact}:
+        assert (qid, qid) in approx  # identical vector shares every bucket
+
+
+def test_multimodal_features_deterministic(spark):
+    from nfl_predictions_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    a = sorted(map(tuple, extract_features(synthetic_media(spark, 100)).collect()))
+    b = sorted(map(tuple, extract_features(synthetic_media(spark, 100)).collect()))
+    assert a == b
+    assert all(r[2] > 0 for r in a)  # n_bytes positive
+    assert all(len(r[7]) == 16 for r in a)  # head16 batch shape
+
+
+def test_multimodal_frame_sampling(spark):
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, 100)
+    frames = sample_frames(media)
+    assert frames.filter(F.col("frame_len") > 16).count() == 0
+    n_videos = media.filter(F.col("media_type") == "video").count()
+    assert frames.select("asset_id").distinct().count() == n_videos
+
+
+def test_decode_stub_raises(spark):
+    from nfl_predictions_spark.operators.multimodal import decode_media_real
+
+    with pytest.raises(NotImplementedError):
+        decode_media_real(b"\x00\x01", "image")
