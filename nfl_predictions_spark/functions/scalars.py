@@ -54,11 +54,11 @@ def dsum(c: Column | str, scale: int = 2) -> Column:
     sum but still whole-stage-codegen'd JVM work.
     """
     col = F.col(c) if isinstance(c, str) else c
-    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
 
 
 def davg(c: Column | str, scale: int = 2) -> Column:
     """Exact-sum average: decimal sum cast to double, divided by count.
     Deterministic under any partitioning (see ``dsum``)."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double") / F.count(col)
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / F.count(col)

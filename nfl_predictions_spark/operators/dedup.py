@@ -53,7 +53,13 @@ def shingles(text: Column, n: int = 3) -> Column:
     Word-level 3-grams: the TESTDATA documents draw from a ~31-word
     vocabulary, so single-token sets saturate (Jaccard 1.0 everywhere)
     while 3-gram sets separate planted near-dups (>=0.9) from background
-    (<=0.1)."""
+    (<=0.1).
+
+    NOTE: higher-order-function lambdas run interpreted (outside
+    whole-stage codegen) — fine for ad-hoc use, but the hot near-dup
+    path uses ``shingle_rows`` (posexplode + lead window, fully
+    codegen'd) instead.
+    """
     toks = F.split(text, " ")
     size = F.size(toks)
     grams = F.transform(
@@ -61,6 +67,34 @@ def shingles(text: Column, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
     return F.array_distinct(F.when(size >= n, grams).otherwise(F.array().cast("array<string>")))
+
+
+def shingle_rows(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_id, shingle) rows — the exploded form both the
+    inverted-index join and the MinHash aggregation consume.
+
+    Implementation: n shifted ``slice``s zipped with ``arrays_zip`` and
+    exploded — native array ops only, no higher-order-function lambdas
+    (those run interpreted, ~17 us/shingle) and no window sort. The only
+    shuffle is the final distinct. A small-file scan is one task, so
+    docs are spread across the cluster before the CPU-heavy tokenize."""
+    d = (
+        docs.repartition(F.col(id_col))
+        .select(id_col, F.split(F.col("text"), " ").alias("tk"))
+        .withColumn("m", F.size("tk") - (n - 1))  # number of complete grams
+        .filter(F.col("m") >= 1)
+    )
+    zipped = F.arrays_zip(
+        *[F.slice("tk", j + 1, F.col("m")).alias(f"w{j}") for j in range(n)]
+    )
+    return (
+        d.select(id_col, F.explode(zipped).alias("g"))
+        .select(
+            id_col,
+            F.concat_ws(" ", *[F.col(f"g.w{j}") for j in range(n)]).alias("s"),
+        )
+        .distinct()
+    )
 
 
 _SHINGLE_SQL = (
@@ -140,11 +174,8 @@ def q39b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (pairs sharing no shingle are never materialized). Correct
     at any scale but quadratic in the worst case — the LSH variant below
     is the production path."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", shingles(F.col("text")).alias("sh")
-    )
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
-    sizes = docs.select("doc_id", F.size("sh").alias("sz"))
+    ex = shingle_rows(table(spark, sf_dir, "documents"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         ex.alias("a")
         .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -166,15 +197,19 @@ _BANDS = 16
 _ROWS_PER_BAND = 4
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """doc -> 64 min-hashes: explode shingles once, take per-seed mins in
-    a single grouped aggregation (one shuffle on the doc id)."""
-    ex = docs.select(id_col, F.explode("sh").alias("s"))
+def minhash_signatures(ex: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc, shingle) rows -> 64 min-hashes per doc in a single grouped
+    aggregation (one shuffle on the doc id; map-side partial mins).
+
+    The shingle string is hashed once; the 64 per-seed hashes re-hash
+    that 8-byte value instead of the full string — same independence,
+    ~64x less string hashing."""
+    hashed = ex.withColumn("hs", F.xxhash64("s"))
     aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(seed))).alias(f"mh{seed}")
+        F.min(F.xxhash64(F.col("hs"), F.lit(seed))).alias(f"mh{seed}")
         for seed in range(_N_HASHES)
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -216,18 +251,30 @@ def q39_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     config a true 0.8-pair is missed with p ~= 2e-4 and the planted
     near-dups sit at >= 0.9 (miss p ~= 3e-8), so LSH+verify equals the
     exact answer; the verification step guarantees no false positives."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", shingles(F.col("text")).alias("sh")
-    )
-    sigs = minhash_signatures(docs)
+    # No persist: the four ex references are an identical subtree, so
+    # Spark's ReusedExchange computes the shingle shuffle once — cheaper
+    # than an eager cache (which costs an extra job + memory write).
+    ex = shingle_rows(table(spark, sf_dir, "documents"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sigs = minhash_signatures(ex)
     cands = lsh_candidate_pairs(sigs)
-    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
+    # Exact verification from the same exploded shingle table: the
+    # candidate set is tiny, so the joins touch only its doc ids.
+    inter = (
+        cands.join(ex.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        .join(
+            ex.alias("b"),
+            (F.col("d2") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("s1.sz") + F.col("s2.sz") - F.col("i"))
     return (
-        cands.join(docs.alias("a"), F.col("d1") == F.col("a.doc_id"))
-        .join(docs.alias("b"), F.col("d2") == F.col("b.doc_id"))
-        .withColumn("jac_raw", jac)
-        .filter(F.col("jac_raw") >= 0.8)
-        .select("d1", "d2", F.round("jac_raw", 6).alias("jac"))
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= 0.8)
+        .select("d1", "d2", F.round(jac, 6).alias("jac"))
         .orderBy("d1", "d2")
     )
 
@@ -242,9 +289,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """64-bit SimHash over word 3-gram shingles: for each bit, sum +/-1
     weighted by whether the shingle's hash has that bit set; the sign of
     the sum is the signature bit. One explode + one grouped aggregation."""
-    ex = docs.select(id_col, F.explode(shingles(F.col(text_col))).alias("s")).withColumn(
-        "h", F.xxhash64("s")
-    )
+    ex = shingle_rows(docs, id_col=id_col).withColumn("h", F.xxhash64("s"))
     bit_sums = [
         F.sum(
             F.when(F.expr(f"(shiftrightunsigned(h, {b}) & 1) = 1"), 1).otherwise(-1)

@@ -147,7 +147,7 @@ def q06_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q07_join_shuffle_agg",
     "SELECT c_mktsegment, count(*) AS cnt, "
-    "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
     "FROM orders JOIN customer ON o_custkey = c_custkey "
     "GROUP BY c_mktsegment ORDER BY c_mktsegment",
 )
@@ -236,7 +236,7 @@ def q11_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Aggregation (Q12-Q15)
 # ---------------------------------------------------------------------------
 
-_DEC = "DECIMAL(30,6)"
+_DEC = "DECIMAL(18,6)"
 
 
 @_q(
@@ -399,7 +399,7 @@ def q17_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q18_window_running_sum",
-    "SELECT o_custkey, o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) "
+    "SELECT o_custkey, o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
     "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total "
     "FROM orders ORDER BY o_custkey, o_orderkey",
@@ -415,7 +415,7 @@ def q18_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .over(w)
             .cast("double")
             .alias("running_total"),
