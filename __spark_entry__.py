@@ -17,7 +17,14 @@ def _registry():
     from nfl_predictions_spark.operators import relational
 
     modules = [relational]
-    for modname in ("streaming_batch", "dedup", "similarity", "text", "multimodal"):
+    for modname in (
+        "streaming_batch",
+        "dedup",
+        "similarity",
+        "text",
+        "multimodal",
+        "extended",
+    ):
         try:
             import importlib
 

@@ -1,0 +1,213 @@
+"""Extended relational surface beyond SURVEY §2B's minimum: pivot /
+unpivot, exact percentiles, scalar subqueries, the raw-SQL entry point,
+and partitioned writes with partition pruning — the remaining API a
+user of a general-purpose engine reaches for daily.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.sources.tables import register_views, table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q(
+    "q44_pivot",
+    "SELECT user_id, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS {t}_cnt" for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id ORDER BY user_id",
+)
+def q44_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user with an explicit value list (the
+    unlisted-values form needs a driver-side distinct pass — always pin
+    the list when the domain is known)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_cnt") for t in _EVENT_TYPES],
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q44b_unpivot",
+    "SELECT r_regionkey, 'name_len' AS metric, CAST(length(r_name) AS DOUBLE) AS val "
+    "FROM region UNION ALL "
+    "SELECT r_regionkey, 'key_x10' AS metric, CAST(r_regionkey * 10 AS DOUBLE) FROM region "
+    "ORDER BY r_regionkey, metric",
+)
+def q44b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) via the native unpivot operator."""
+    wide = table(spark, sf_dir, "region").select(
+        "r_regionkey",
+        F.length("r_name").cast("double").alias("name_len"),
+        (F.col("r_regionkey") * 10).cast("double").alias("key_x10"),
+    )
+    return wide.unpivot(
+        "r_regionkey", ["name_len", "key_x10"], "metric", "val"
+    ).orderBy("r_regionkey", "metric")
+
+
+@_q(
+    "q45_percentiles",
+    "SELECT l_returnflag, "
+    "round(quantile_cont(l_extendedprice, 0.5), 6) AS p50, "
+    "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90, "
+    "round(quantile_cont(l_extendedprice, 0.99), 6) AS p99 "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q45_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_approx exists for the
+    sketch path — certified against exact in q14's style elsewhere)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q46_scalar_subquery",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders) "
+    "ORDER BY o_orderkey",
+)
+def q46_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a filter. Expressed through the
+    SQL API so Catalyst plans the subquery (a broadcast of one value),
+    not a driver-side collect."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders) "
+        "ORDER BY o_orderkey"
+    )
+
+
+@_q(
+    "q47_sql_api",
+    "SELECT n_name, count(*) AS cnt, "
+    "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY n_name",
+)
+def q47_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL entry point over registered views — the engine's second
+    query language (same Catalyst plans as the DataFrame API)."""
+    register_views(spark, sf_dir, ["customer", "nation"])
+    return spark.sql(
+        "SELECT n_name, count(*) AS cnt, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+
+
+@_q(
+    "q48_partition_pruned_scan",
+    "SELECT CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'",
+)
+def q48_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events partitioned by event date, then aggregate one day:
+    the filter prunes to a single partition directory (asserted on the
+    plan in tests) — the layout decision that matters most at 100 TB."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "nfl_predictions_spark",
+        f"events_by_day_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("event_date", F.col("ts").cast("date"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_date") == F.lit("2024-01-05").cast("date"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@_q(
+    "q49_json_source",
+    "SELECT event_id, event_type, CAST(value AS DOUBLE) AS value FROM events "
+    "ORDER BY event_id",
+)
+def q49_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON lines round-trip with an explicit schema (no inference scan):
+    write a projection of events as JSONL, read it back typed."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "nfl_predictions_spark",
+        f"events_json_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        ).write.mode("overwrite").json(out)
+    return (
+        spark.read.json(out, schema="event_id long, event_type string, value double")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@_q(
+    "q50_exists_agg_having",
+    "SELECT c_mktsegment, count(*) AS n_big_customers FROM customer "
+    "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "GROUP BY o_custkey HAVING count(*) >= 12) "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+)
+def q50_exists_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS over an aggregated subquery (decorrelated by
+    Catalyst into an aggregate + semi join)."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        "SELECT c_mktsegment, count(*) AS n_big_customers FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "GROUP BY o_custkey HAVING count(*) >= 12) "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )

@@ -1,0 +1,82 @@
+"""Serving-facade and extended-operator tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def service(spark):
+    from nfl_predictions_spark.api import ScoringService
+    from nfl_predictions_spark.ml.features import build_features
+    from nfl_predictions_spark.ml.synthetic import synthetic_plays
+
+    plays = build_features(synthetic_plays(spark, 2, 30))
+    return ScoringService.from_trained(spark, plays=plays)
+
+
+def test_score_json_contract(service):
+    from nfl_predictions_spark.ml.score import GOLDEN_REQUEST
+
+    out = json.loads(service.score_json(json.dumps(GOLDEN_REQUEST)))
+    assert set(out) == {"best_play", "passing_yards", "running_yards"}
+    assert out["best_play"] in ("Passing Play", "Running Play")
+
+
+def test_score_json_missing_field_errors(service):
+    from nfl_predictions_spark.ml.score import GOLDEN_REQUEST
+
+    bad = {k: v for k, v in GOLDEN_REQUEST.items() if k != "qtr"}
+    with pytest.raises(ValueError, match="qtr"):
+        service.score_json(json.dumps(bad))
+
+
+def test_next_play_cursor(service):
+    first = service.next_play(0)
+    second = service.next_play(1)
+    assert first is not None and second is not None and first != second
+    assert service.next_play(10**6) is None  # past the end
+
+
+def test_batch_matches_single(service, spark):
+    """Batch scoring and single-record scoring agree row for row."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.ml.score import GOLDEN_REQUEST
+    from nfl_predictions_spark.schemas import SCORE_REQUEST_SCHEMA
+
+    single = service.score(GOLDEN_REQUEST)
+    row = tuple(GOLDEN_REQUEST[f.name] for f in SCORE_REQUEST_SCHEMA.fields)
+    batch = (
+        service.score_batch(spark.createDataFrame([row] * 3, SCORE_REQUEST_SCHEMA))
+        .select(
+            "best_play",
+            F.round("passing_yards", 2).alias("passing_yards"),
+            F.round("running_yards", 2).alias("running_yards"),
+        )
+        .collect()
+    )
+    assert len(batch) == 3
+    for r in batch:
+        assert r.asDict() == single
+
+
+def test_connect_gated():
+    from nfl_predictions_spark.connect import get_remote_spark
+
+    with pytest.raises(RuntimeError, match="SPARK_REMOTE"):
+        get_remote_spark(None)
+
+
+def test_partition_pruning_plan(spark):
+    """q48's one-day filter must prune to a single partition directory."""
+    from nfl_predictions_spark.operators.extended import q48_partition_pruned_scan
+
+    df = q48_partition_pruned_scan(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "Scan parquet" in l or "PartitionFilters" in l]
+    assert any("PartitionFilters" in l and "event_date" in l for l in plan.splitlines()), scan_lines
