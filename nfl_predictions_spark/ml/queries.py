@@ -92,3 +92,49 @@ def q37_ml_best_play(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q37_ml_best_play"] = q37_ml_best_play
+
+
+def q37b_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of both models: RMSE/MAE/R2 on a disjoint
+    deterministic synthetic season, plus the constant-mean baseline RMSE
+    the model must beat (SURVEY §7 risk 2: semantic guards instead of
+    cross-version tree equality)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    pass_model, run_model = trained_models(spark)
+    # Different game count => disjoint id space from the training table.
+    holdout = build_features(synthetic_plays(spark, 6, 90)).persist()
+    rows = []
+    for label, model, ptype in (
+        ("pass", pass_model, "Pass"),
+        ("run", run_model, "Run"),
+    ):
+        subset = holdout.filter(F.col("PlayType") == ptype)
+        pred = model.transform(subset).persist()
+        evals = {
+            m: RegressionEvaluator(
+                labelCol="Yards_Gained", predictionCol="prediction", metricName=m
+            ).evaluate(pred)
+            for m in ("rmse", "mae", "r2")
+        }
+        base = subset.agg(
+            F.stddev_pop("Yards_Gained").alias("sd"), F.count("*").alias("n")
+        ).first()
+        rows.append(
+            (
+                label,
+                int(base.n),
+                round(evals["rmse"], 4),
+                round(evals["mae"], 4),
+                round(evals["r2"], 4),
+                round(float(base.sd), 4),
+            )
+        )
+        pred.unpersist()
+    holdout.unpersist()
+    return spark.createDataFrame(
+        rows, "model string, n_rows int, rmse double, mae double, r2 double, baseline_rmse double"
+    ).orderBy("model")
+
+
+QUERIES["q37b_ml_eval"] = q37b_ml_eval

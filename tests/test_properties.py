@@ -1,0 +1,76 @@
+"""Property-based tests (SURVEY §5): scalar-function invariants checked
+over hypothesis-generated inputs, evaluated through real Spark plans."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+_DATES = st.dates(min_value=datetime.date(1990, 1, 1), max_value=datetime.date(2030, 12, 28))
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_DATES, min_size=1, max_size=25))
+def test_month_day_roundtrip(spark, dates):
+    """month_day == month*100 + day for arbitrary dates (the reference's
+    string-slice derivation, assets/app_nfl.py:263)."""
+    from nfl_predictions_spark.functions.scalars import month_day
+
+    df = spark.createDataFrame(
+        [(datetime.datetime.combine(d, datetime.time()),) for d in dates], "ts timestamp"
+    )
+    rows = df.select(
+        month_day("ts").alias("md"),
+        (F.month("ts") * 100 + F.dayofmonth("ts")).alias("expect"),
+    ).collect()
+    assert all(r.md == r.expect for r in rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.one_of(st.just("NA"), st.text(min_size=0, max_size=8)), min_size=1, max_size=20))
+def test_na_sentinel_mapping(spark, values):
+    """'NA' (and only exact 'NA') maps to NULL (SURVEY §1.2)."""
+    from nfl_predictions_spark.functions.scalars import na_to_null
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    rows = df.select("v", na_to_null("v").alias("out")).collect()
+    for r in rows:
+        assert (r.out is None) == (r.v == "NA")
+        if r.v != "NA":
+            assert r.out == r.v
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.floats(-100, 100, allow_nan=False), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_best_play_rule(spark, pairs):
+    """best_play == 'Passing Play' iff pass > run, ties -> Running
+    (assets/app_nfl.py:158)."""
+    from nfl_predictions_spark.functions.scalars import best_play
+
+    df = spark.createDataFrame(pairs, "p double, r double")
+    rows = df.select("p", "r", best_play("p", "r").alias("bp")).collect()
+    for r in rows:
+        assert r.bp == ("Passing Play" if r.p > r.r else "Running Play")
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=40))
+def test_dsum_partitioning_invariant(spark, xs):
+    """Exact-decimal sums are identical across partition counts — the
+    reproducibility property the engine's aggregates are built on."""
+    from nfl_predictions_spark.functions.scalars import dsum
+
+    one = spark.createDataFrame([(x,) for x in xs], "x double").coalesce(1)
+    many = spark.createDataFrame([(x,) for x in xs], "x double").repartition(13)
+    a = one.agg(dsum("x", 6).alias("s")).first().s
+    b = many.agg(dsum("x", 6).alias("s")).first().s
+    assert a == b

