@@ -24,6 +24,7 @@ def _registry():
         "text",
         "multimodal",
         "extended",
+        "skew",
     ):
         try:
             import importlib

@@ -1,0 +1,178 @@
+"""Skew handling and storage co-location (100 TB scale patterns).
+
+Two techniques the engine standardizes for hot keys and repeated joins:
+
+- **Salting**: a skewed aggregation/join key is split into ``n_salts``
+  sub-keys (deterministic hash of a tie-break column), partially
+  aggregated per sub-key, then re-aggregated — no single reducer ever
+  sees the whole hot key. AQE's skew-join splitting handles the join
+  case automatically (enabled in session.py); explicit salting is the
+  portable form for aggregations and for engines/pipelines where AQE
+  can't see the skew.
+- **Bucketing**: both join sides pre-hashed into the same bucket count
+  on the join key at write time, so repeated joins read co-located
+  buckets with no exchange on either side (plan-asserted in tests).
+
+Both queries return results identical to their unsalted/unbucketed
+forms — the DuckDB oracles are the plain formulations, proving the
+rewrites are pure execution-strategy changes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.functions.scalars import dsum
+from nfl_predictions_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    salt_col: str,
+    n_salts: int = 16,
+):
+    """Two-phase aggregation for skewed keys: partial per (key, salt),
+    final per key. Returns (grouped, finalize) — callers add measures in
+    two steps. Simplified fixed-shape helper: count + decimal sum."""
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
+    partial = salted.groupBy(key, "_salt")
+    return partial
+
+
+@_q(
+    "q51_salted_agg",
+    "SELECT o_orderpriority, count(*) AS cnt, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q51_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a 5-value (maximally skewed) key, salted 16 ways:
+    partial count/sum per (key, salt) spreads the hot keys over 80
+    reducers; the final re-aggregation touches 80 tiny rows. The oracle
+    is the plain GROUP BY — identical answer, different execution."""
+    orders = table(spark, sf_dir, "orders")
+    partial = (
+        orders.withColumn("_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(16)))
+        .groupBy("o_orderpriority", "_salt")
+        .agg(
+            F.count("*").alias("pcnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("psum"),
+        )
+    )
+    return (
+        partial.groupBy("o_orderpriority")
+        .agg(
+            F.sum("pcnt").alias("cnt"),
+            F.sum("psum").cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q51b_salted_join",
+    "SELECT o_orderpriority, count(*) AS cnt FROM orders o JOIN lineitem l "
+    "ON o.o_orderkey = l.l_orderkey GROUP BY o_orderpriority "
+    "ORDER BY o_orderpriority",
+)
+def q51b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: the (replicable) small side is exploded across all
+    salt values, the big side carries one deterministic salt per row, and
+    the join key becomes (key, salt) — a hot key's rows land on n_salts
+    reducers instead of one. Oracle = the plain join."""
+    n_salts = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(n_salts))
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .withColumn("_salts", F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        .withColumn("_salt", F.explode("_salts"))
+        .drop("_salts")
+        .withColumn("_salt", F.col("_salt").cast("long"))
+    )
+    joined = orders.hint("shuffle_hash").join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (orders._salt == li._salt),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def write_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> str:
+    """Persist orders and lineitem bucketed by the join key. Bucketed
+    writes go through the session catalog (saveAsTable); the warehouse
+    lives under /tmp keyed by scale factor."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
+    done = {t[0] for t in spark.sql("SHOW TABLES IN buckets").select("tableName").collect()}
+    specs = {
+        f"orders_{tag}": ("orders", "o_orderkey"),
+        f"lineitem_{tag}": ("lineitem", "l_orderkey"),
+    }
+    for tbl, (src, key) in specs.items():
+        if tbl not in done:
+            # A previous session may have left the managed location on
+            # disk without a catalog entry (in-memory catalog) — clear it
+            # or saveAsTable refuses with LOCATION_ALREADY_EXISTS.
+            import shutil
+            from urllib.parse import urlparse
+
+            warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(os.path.join(warehouse, "buckets.db", tbl), ignore_errors=True)
+            (
+                table(spark, sf_dir, src)
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(f"buckets.{tbl}")
+            )
+    return tag
+
+
+@_q(
+    "q52_bucketed_join",
+    "SELECT l_returnflag, count(*) AS cnt, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q52_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join over pre-bucketed tables: both sides hashed into the same 8
+    buckets on the order key at write time, so the join plan has NO
+    Exchange on either side (asserted in tests) — the repeated-join
+    layout that removes the dominant shuffle at 100 TB."""
+    tag = write_bucketed_tables(spark, sf_dir)
+    orders = spark.table(f"buckets.orders_{tag}")
+    li = spark.table(f"buckets.lineitem_{tag}")
+    # merge hint: at test scale AQE would broadcast the small side (also
+    # exchange-free); force SMJ to demonstrate the bucket co-location
+    # that holds when BOTH sides are fact-table sized.
+    return (
+        orders.hint("merge").join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice").alias("sum_price"))
+        .orderBy("l_returnflag")
+    )

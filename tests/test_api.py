@@ -80,3 +80,34 @@ def test_partition_pruning_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan_lines = [l for l in plan.splitlines() if "Scan parquet" in l or "PartitionFilters" in l]
     assert any("PartitionFilters" in l and "event_date" in l for l in plan.splitlines()), scan_lines
+
+
+def test_bucketed_join_no_exchange(spark):
+    """q52's bucketed join must have no Exchange on either join side."""
+    from nfl_predictions_spark.operators.skew import q52_bucketed_join
+
+    df = q52_bucketed_join(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_salted_join_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.skew import q51b_salted_join
+    from nfl_predictions_spark.sources.tables import table
+
+    salted = {(r.o_orderpriority, r.cnt) for r in q51b_salted_join(spark, SF_SMOKE).collect()}
+    orders = table(spark, SF_SMOKE, "orders")
+    li = table(spark, SF_SMOKE, "lineitem")
+    plain = {
+        (r.o_orderpriority, r.cnt)
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert salted == plain
