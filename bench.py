@@ -33,12 +33,18 @@ HEADLINE = [
     "q26_array_collect",
     "q27_json",
     "q30_grouped_normalize",
-    # north-star ops (present once their modules land)
+    # north-star ops
     "q38_dedup_exact",
     "q39_minhash_lsh_pairs",
     "q39b_ngram_jaccard_pairs",
     "q40_token_stats",
     "q41_ann_topk",
+    "q42_embedding_near_dup",
+    # extended + scale patterns
+    "q44_pivot",
+    "q45_percentiles",
+    "q51_salted_agg",
+    "q52_bucketed_join",
 ]
 
 

@@ -235,25 +235,33 @@ QUERIES["q41c_ann_lsh"] = q41c_ann_lsh
 )
 def q42_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup with metadata blocking: only same-label
-    pairs are compared (the blocking key bounds the join — at scale the
-    block is the shuffle partition), then exact cosine >= threshold."""
+    pairs are compared (the blocking key is the shuffle partition), and
+    each block's pairwise cosines are one numpy matmul inside
+    applyInPandas — a pairwise expression join would evaluate an
+    interpreted dot per pair (~40x slower measured at sf0.1). Each block
+    must fit one executor; at 100 TB, blocks ARE the partitioning unit,
+    so that is the design constraint, not an accident."""
+    import numpy as np
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ Xn.T
+        i, j = np.triu_indices(len(ids), k=1)
+        mask = S[i, j] >= 0.4
+        return pd.DataFrame(
+            {
+                "d1": ids[i[mask]],
+                "d2": ids[j[mask]],
+                "cos": np.round(S[i[mask], j[mask]], 6),
+            }
+        )
+
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
-    )
     return (
-        emb.alias("a")
-        .join(
-            emb.alias("b"),
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.4)
-        .select(
-            F.col("a.vec_id").alias("d1"),
-            F.col("b.vec_id").alias("d2"),
-            F.round("cos_raw", 6).alias("cos"),
-        )
+        emb.groupBy("label")
+        .applyInPandas(block, schema="d1 long, d2 long, cos double")
         .orderBy("d1", "d2")
     )

@@ -172,3 +172,38 @@ def q36_stream_score_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q36_stream_score_route"] = q36_stream_score_route
+
+
+_Q53_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, value,
+    CAST(FLOOR((row_number() OVER (ORDER BY ts, event_id) - 1) * 4.0
+         / (SELECT count(*) FROM events)) AS INT) AS chunk
+  FROM events
+), per AS (
+  SELECT user_id, chunk, count(*) AS c, sum(value) AS s
+  FROM ranked GROUP BY user_id, chunk
+)
+SELECT user_id,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY chunk) - 1 AS INT) AS batch,
+  CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY chunk
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS events_so_far,
+  ROUND(SUM(s) OVER (PARTITION BY user_id ORDER BY chunk
+                     ROWS UNBOUNDED PRECEDING), 2) AS value_sum
+FROM per ORDER BY user_id, batch
+"""
+
+
+@_q("q53_stateful_running_totals", _Q53_ORACLE)
+def q53_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    cumulative count/value-sum updated every micro-batch the user
+    appears in. The chunked source assigns rows to batches by a
+    deterministic global rank, so the oracle reconstructs each batch's
+    membership and the cumulative state trajectory in SQL."""
+    from nfl_predictions_spark.streaming.stateful import running_user_totals
+
+    stream = events_file_stream(spark, sf_dir, with_dups=False)
+    return run_to_batch(spark, running_user_totals(stream), mode="update").orderBy(
+        "user_id", "batch"
+    )
