@@ -33,6 +33,7 @@ HEADLINE = [
     "q26_array_collect",
     "q27_json",
     "q30_grouped_normalize",
+    "q30b_grouped_normalize_expr",
     # north-star ops
     "q38_dedup_exact",
     "q39_minhash_lsh_pairs",

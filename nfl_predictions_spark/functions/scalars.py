@@ -50,8 +50,16 @@ def dsum(c: Column | str, scale: int = 2) -> Column:
     correctness checks and makes results non-reproducible. Casting to a
     fixed-point decimal first makes the sum exact and associative —
     byte-identical no matter the partitioning — then one final cast
-    back to double. Cost: decimal sum is marginally slower than double
-    sum but still whole-stage-codegen'd JVM work.
+    back to double.
+
+    Cost/alternatives (measured at sf0.1): decimal(18) sums run ~2.5x
+    slower than raw double sums and ~2.5x slower than summing
+    pre-scaled longs (``sum(round(x*1e6) as long)``). The scaled-long
+    trick is rejected as the default because a long accumulator
+    overflows silently at ~2e8 rows per group at this scale factor's
+    value range — a correctness cliff exactly where a 100 TB engine
+    operates. decimal(18) keeps the long-backed fast path per row and
+    widens the accumulator safely.
     """
     col = F.col(c) if isinstance(c, str) else c
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
