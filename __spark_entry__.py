@@ -25,6 +25,7 @@ def _registry():
         "multimodal",
         "extended",
         "skew",
+        "ml_text",
     ):
         try:
             import importlib

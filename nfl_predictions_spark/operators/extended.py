@@ -219,3 +219,28 @@ def q50_exists_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY o_custkey HAVING count(*) >= 12) "
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"
     )
+
+
+@_q(
+    "q49b_orc_source",
+    "SELECT event_id, event_type, CAST(value AS DOUBLE) AS value FROM events "
+    "ORDER BY event_id",
+)
+def q49b_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: the second columnar format Spark ships natively
+    (predicate pushdown + vectorized read, same as parquet)."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "nfl_predictions_spark",
+        f"events_orc_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        ).write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )

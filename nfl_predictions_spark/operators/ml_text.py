@@ -1,0 +1,104 @@
+"""MLlib-native variants of the text/near-dup stack (SURVEY §2B Q39-Q40
+named ``pyspark.ml.feature`` as the Spark primitives; the engine ships
+both the expression-level implementations in operators/text|dedup and
+these MLlib-pipeline forms, proving the same answers through the
+library path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.operators.dedup import _JACCARD_ORACLE, shingle_rows
+from nfl_predictions_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q("q39d_mllib_minhash", _JACCARD_ORACLE)
+def q39d_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH.approxSimilarityJoin over binary shingle vectors —
+    the MLlib path to the same near-dup pairs as q39/q39b (shared
+    oracle). CountVectorizer maps each distinct shingle to one vector
+    index, so the join's exact key-distance IS shingle-set Jaccard;
+    8 OR-amplified hash tables give candidate recall ~1-(1-j)^8
+    (~1-3e-6 at j=0.8). distCol is exact, so no false positives."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    ex = shingle_rows(table(spark, sf_dir, "documents"))
+    docs = ex.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True)
+    model = cv.fit(docs)
+    feats = model.transform(docs).select("doc_id", "features")
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=12345)
+    mh_model = mh.fit(feats)
+    pairs = mh_model.approxSimilarityJoin(feats, feats, threshold=0.2, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("d1"),
+            F.col("datasetB.doc_id").alias("d2"),
+            F.round(1 - F.col("dist"), 6).alias("jac"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+def q40f_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer -> StopWordsRemover -> CountVectorizer -> IDF, then the
+    top TF-IDF term per source (rows-only: CountVectorizer's vocabulary
+    order for tied frequencies is not contractual, so the SQL oracle
+    would over-pin; determinism within a session is tested instead)."""
+    from pyspark.ml.feature import CountVectorizer, IDF, StopWordsRemover, Tokenizer
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = Tokenizer(inputCol="text", outputCol="raw_tokens")
+    sw = StopWordsRemover(inputCol="raw_tokens", outputCol="tokens")
+    staged = sw.transform(tok.transform(docs))
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf", minDF=2.0)
+    cv_model = cv.fit(staged)
+    tf = cv_model.transform(staged)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    scored = idf_model.transform(tf)
+    vocab = cv_model.vocabulary
+
+    @F.udf("array<struct<term:string,score:double>>")
+    def top_terms(v):
+        if v is None:
+            return []
+        pairs = sorted(
+            zip(v.indices.tolist(), v.values.tolist()), key=lambda p: (-p[1], p[0])
+        )[:3]
+        return [(vocab[i], round(s, 4)) for i, s in pairs]
+
+    per_doc = scored.select("doc_id", "source", F.explode(top_terms("tfidf")).alias("t"))
+    return (
+        per_doc.groupBy("source", F.col("t.term").alias("term"))
+        .agg(F.count("*").alias("doc_hits"), F.round(F.sum("t.score"), 4).alias("score_sum"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "source"
+                ).orderBy(F.desc("score_sum"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("source", "term", "doc_hits", "score_sum", F.col("rn").cast("long").alias("rn"))
+        .orderBy("source", "rn")
+    )
+
+
+QUERIES["q40f_tfidf_top_terms"] = q40f_tfidf_top_terms

@@ -97,3 +97,20 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_media_real(b"\x00\x01", "image")
+
+
+def test_mllib_minhash_matches_exact(spark):
+    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
+    from nfl_predictions_spark.operators.ml_text import q39d_mllib_minhash
+
+    mllib = {(r.d1, r.d2, r.jac) for r in q39d_mllib_minhash(spark, SF_SMOKE).collect()}
+    exact = {(r.d1, r.d2, r.jac) for r in q39b_ngram_jaccard_pairs(spark, SF_SMOKE).collect()}
+    assert mllib == exact
+
+
+def test_tfidf_deterministic_in_session(spark):
+    from nfl_predictions_spark.operators.ml_text import q40f_tfidf_top_terms
+
+    a = q40f_tfidf_top_terms(spark, SF_SMOKE).collect()
+    b = q40f_tfidf_top_terms(spark, SF_SMOKE).collect()
+    assert a == b and len(a) > 0
