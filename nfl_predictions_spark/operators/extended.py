@@ -244,3 +244,35 @@ def q49b_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+@_q(
+    "q54_python_udtf",
+    "SELECT word, count(*) AS cnt, CAST(max(wlen) AS INT) AS max_len FROM ("
+    "  SELECT unnest(string_split(text, ' ')) AS word, "
+    "         length(unnest(string_split(text, ' '))) AS wlen FROM documents"
+    ") GROUP BY word ORDER BY word",
+)
+def q54_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 4 API): one input row fans out
+    to N output rows through an arbitrary Python generator — the escape
+    hatch for row-expanding logic the built-ins can't express. (This
+    particular expansion IS expressible as explode/split — which is
+    exactly what the oracle does — so the UDTF's answer is checkable;
+    production code should prefer the built-in, per the UDF policy.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, wlen int")
+    class ExplodeWords:
+        def eval(self, text: str):
+            if text:
+                for w in text.split(" "):
+                    yield w, len(w)
+
+    spark.udtf.register("explode_words", ExplodeWords)
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        "SELECT word, count(*) AS cnt, CAST(max(wlen) AS INT) AS max_len "
+        "FROM documents, LATERAL explode_words(text) "
+        "GROUP BY word ORDER BY word"
+    )
