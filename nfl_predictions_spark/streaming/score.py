@@ -47,11 +47,16 @@ def score_and_route(
         finally:
             batch.unpersist()
 
-    q = (
-        requests_stream.writeStream.foreachBatch(handle_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir())
-        .start()
-    )
-    q.awaitTermination(300)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            requests_stream.writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint_dir())
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return ok_dir, dlq_dir

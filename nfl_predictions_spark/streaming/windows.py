@@ -84,15 +84,29 @@ def run_to_batch(
     spark: SparkSession, streaming_df: DataFrame, mode: str = "append"
 ) -> DataFrame:
     """Execute a streaming transformation to completion (AvailableNow)
-    into a memory sink; return the sink contents as a batch DataFrame."""
+    into a memory sink; return the sink contents as a batch DataFrame.
+
+    Shuffle-partition note: a streaming query bakes the shuffle count
+    into its state layout at start. Under a default 200-partition
+    session every micro-batch schedules 200 state tasks for kilobytes
+    of state (measured 16-22 s/query at sf0.01); pinning a small count
+    for the stream's lifetime cuts that ~3x. Results are partition-
+    independent. A production deployment sizes this to expected state,
+    not to the batch default.
+    """
     name = f"nflspark_sink_{next(_counter)}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir())
-        .start()
-    )
-    q.awaitTermination(300)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint_dir())
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return spark.table(name)
