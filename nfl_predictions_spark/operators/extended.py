@@ -143,16 +143,9 @@ def q47_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "q48_partition_pruned_scan",
-    "SELECT CAST(count(*) AS BIGINT) AS cnt, "
-    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
-    "FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'",
-)
-def q48_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write events partitioned by event date, then aggregate one day:
-    the filter prunes to a single partition directory (asserted on the
-    plan in tests) — the layout decision that matters most at 100 TB."""
+def events_by_day_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once) the events table re-partitioned by event date —
+    the layout that enables static and dynamic partition pruning."""
     out = os.path.join(
         tempfile.gettempdir(),
         "nfl_predictions_spark",
@@ -167,6 +160,21 @@ def q48_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("event_date")
             .parquet(out)
         )
+    return out
+
+
+
+@_q(
+    "q48_partition_pruned_scan",
+    "SELECT CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'",
+)
+def q48_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events partitioned by event date, then aggregate one day:
+    the filter prunes to a single partition directory (asserted on the
+    plan in tests) — the layout decision that matters most at 100 TB."""
+    out = events_by_day_path(spark, sf_dir)
     return (
         spark.read.parquet(out)
         .filter(F.col("event_date") == F.lit("2024-01-05").cast("date"))
@@ -275,4 +283,55 @@ def q54_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT word, count(*) AS cnt, CAST(max(wlen) AS INT) AS max_len "
         "FROM documents, LATERAL explode_words(text) "
         "GROUP BY word ORDER BY word"
+    )
+
+
+@_q(
+    "q55_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+             o_orderpriority, 2 AS version
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), base AS (
+      SELECT *, 1 AS version FROM orders
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM updates
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC)
+        AS rn FROM unioned
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE version = 2) AS BIGINT) AS n_updated,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q55_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation without a lakehouse format: union base +
+    updates with a version column, keep the latest row per key via a
+    window rank. This is the engine's batch upsert primitive — at scale,
+    pair it with partition-overwrite writes so only partitions touched
+    by updates rewrite. Returns merge summary stats (row count, updated
+    count, exact total)."""
+    from pyspark.sql import Window
+
+    base = table(spark, sf_dir, "orders").withColumn("version", F.lit(1))
+    updates = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("version", F.lit(2))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    merged = (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("version") == 2, 1)).alias("n_updated"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )

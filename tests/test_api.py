@@ -111,3 +111,24 @@ def test_salted_join_matches_plain(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_dynamic_partition_pruning(spark):
+    """Joining the date-partitioned events table to a filtered dim must
+    inject a dynamic pruning subquery into the fact scan (the runtime
+    analogue of q48's static pruning)."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.extended import events_by_day_path
+
+    fact = spark.read.parquet(events_by_day_path(spark, SF_SMOKE))
+    dim = (
+        spark.createDataFrame([("2024-01-05",), ("2024-01-06",), ("2024-01-09",)], "d string")
+        .select(F.col("d").cast("date").alias("d"))
+        # DPP's benefit heuristic requires a selective filter on the
+        # build side — the realistic "filtered dim prunes the fact" shape.
+        .filter(F.col("d") < "2024-01-07")
+    )
+    joined = fact.join(dim, fact.event_date == dim.d).agg(F.count("*").alias("cnt"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
