@@ -773,3 +773,74 @@ def q30b_grouped_normalize_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", z.alias("z"))
         .orderBy("event_id")
     )
+
+
+@_q(
+    "q15b_cube",
+    "SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag, "
+    "COALESCE(l_linestatus, '(all)') AS l_linestatus, count(*) AS cnt, "
+    "CAST(GROUPING(l_returnflag) AS INT) AS g_r, "
+    "CAST(GROUPING(l_linestatus) AS INT) AS g_l "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) "
+    "ORDER BY g_r, g_l, l_returnflag, l_linestatus",
+)
+def q15b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in one pass (the rollup
+    sibling of q15)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.grouping("l_returnflag").cast("int").alias("g_r"),
+            F.grouping("l_linestatus").cast("int").alias("g_l"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "cnt",
+            "g_r",
+            "g_l",
+        )
+        .orderBy("g_r", "g_l", "l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "q19b_sort_nulls",
+    "SELECT n_nationkey, NULLIF(n_regionkey, 0) AS rk FROM nation "
+    "ORDER BY rk DESC NULLS LAST, n_nationkey",
+)
+def q19b_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-ordering semantics over real nulls (the TESTDATA tables have
+    none, so NULLIF manufactures them): DESC NULLS LAST + key tiebreak."""
+    return (
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", F.nullif(F.col("n_regionkey"), F.lit(0)).alias("rk"))
+        .orderBy(F.col("rk").desc_nulls_last(), F.col("n_nationkey").asc())
+    )
+
+
+@_q(
+    "q26b_map_lookup",
+    "SELECT n_name, CASE n_regionkey WHEN 0 THEN 'AFRICA-Z' WHEN 1 THEN 'AMERICA-Z' "
+    "ELSE 'OTHER' END AS zone FROM nation ORDER BY n_name",
+)
+def q26b_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_from_arrays construction + element_at lookup with a default —
+    the expression-level dictionary join (oracle expresses the same
+    lookup as CASE; semantics identical)."""
+    zone_map = F.map_from_arrays(
+        F.array(F.lit(0), F.lit(1)),
+        F.array(F.lit("AFRICA-Z"), F.lit("AMERICA-Z")),
+    )
+    return (
+        table(spark, sf_dir, "nation")
+        .select(
+            "n_name",
+            F.coalesce(
+                F.element_at(zone_map, F.col("n_regionkey")), F.lit("OTHER")
+            ).alias("zone"),
+        )
+        .orderBy("n_name")
+    )
