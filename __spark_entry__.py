@@ -26,6 +26,7 @@ def _registry():
         "extended",
         "skew",
         "ml_text",
+        "asof",
     ):
         try:
             import importlib

@@ -42,6 +42,7 @@ HEADLINE = [
     "q41_ann_topk",
     "q42_embedding_near_dup",
     # extended + scale patterns
+    "q63_asof_join",
     "q44_pivot",
     "q45_percentiles",
     "q51_salted_agg",

@@ -335,3 +335,244 @@ def q55_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("version") == 2, 1)).alias("n_updated"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+@_q(
+    "q56_window_ranks",
+    "SELECT o_orderkey, o_orderpriority, "
+    "CAST(ntile(4) OVER w AS INT) AS tile, "
+    "ROUND(percent_rank() OVER w, 6) AS prk, "
+    "ROUND(cume_dist() OVER w, 6) AS cd "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) "
+    "ORDER BY o_orderkey",
+)
+def q56_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (ntile / percent_rank /
+    cume_dist) with a unique-key tiebreak so ranks are deterministic
+    across engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).cast("int").alias("tile"),
+            F.round(F.percent_rank().over(w), 6).alias("prk"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_q(
+    "q56b_window_range_frame",
+    "SELECT o_orderkey, "
+    "count(*) OVER w AS cnt_near, "
+    "ROUND(sum(o_totalprice) OVER w, 3) AS sum_near "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice "
+    "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) "
+    "ORDER BY o_orderkey",
+)
+def q56b_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (all orders within $1000 below the current
+    price). Unlike ROWS frames, RANGE is tie-stable: rows with equal
+    order values always share a frame, so no tiebreak column is needed."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.count("*").over(w).alias("cnt_near"),
+            F.round(F.sum("o_totalprice").over(w), 3).alias("sum_near"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_q(
+    "q56c_window_value_fns",
+    "SELECT o_orderkey, "
+    "first_value(o_orderkey) OVER w AS first_key, "
+    "last_value(o_orderkey) OVER w AS last_key, "
+    "nth_value(o_orderkey, 2) OVER w AS second_key "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+    "ORDER BY o_orderkey",
+)
+def q56c_window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with an explicit unbounded
+    frame — the default frame stops at CURRENT ROW, which silently turns
+    last_value into 'this row'; always pin the frame."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.last("o_orderkey").over(w).alias("last_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_q(
+    "q57_posexplode",
+    "SELECT o_orderkey, "
+    "CAST(unnest(range(1, len(string_split(o_orderpriority, '-')) + 1)) - 1 AS INT) AS pos, "
+    "unnest(string_split(o_orderpriority, '-')) AS val "
+    "FROM orders ORDER BY o_orderkey, pos",
+)
+def q57_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode — array flattening with element position
+    (oracle: DuckDB zipped unnest over the list and its index range)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.posexplode(F.split("o_orderpriority", "-")).alias("pos", "val"),
+        )
+        .orderBy("o_orderkey", "pos")
+    )
+
+
+@_q(
+    "q58_stats_agg",
+    "SELECT l_returnflag, "
+    "ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
+    "ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp, "
+    "ROUND(stddev_samp(l_quantity), 6) AS sd_qty, "
+    "ROUND(var_samp(l_quantity), 6) AS var_qty "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q58_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates (corr / covar / stddev /
+    variance). Rounded: both engines use single-pass co-moment updates
+    but can differ in the last few ulps under different partition
+    orders."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q59_hash_sample",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0' "
+    "ORDER BY o_orderkey",
+)
+def q59_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 hash sample via md5 of the key — unlike
+    ``df.sample()`` (partition-dependent RNG), a hash sample is
+    reproducible across engines, scales, and partition layouts, which is
+    what a training-data pipeline needs for stable holdout splits."""
+    return (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 1
+            )
+            == "0"
+        )
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+_GSETS_SQL = (
+    "SELECT COALESCE(o_orderstatus, '(all)') AS st, "
+    "COALESCE(o_orderpriority, '(all)') AS pri, count(*) AS cnt, "
+    "CAST(GROUPING(o_orderstatus) AS INT) AS g_st, "
+    "CAST(GROUPING(o_orderpriority) AS INT) AS g_pri "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+    "ORDER BY g_st, g_pri, st, pri"
+)
+
+
+@_q("q60_grouping_sets_sql", _GSETS_SQL)
+def q60_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry point — the same SQL
+    text runs on Spark and the oracle (one multi-set aggregate pass, not
+    a union of three scans)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_GSETS_SQL)
+
+
+@_q(
+    "q61_array_funcs",
+    "SELECT user_id, "
+    "list_sort(list_distinct(list(event_type))) AS types, "
+    "CAST(len(list_distinct(list(event_type))) AS INT) AS n_types, "
+    "list_sort(list_distinct(list(event_type)))[1] AS first_type "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+)
+def q61_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pipeline: collect -> distinct -> sort -> size / element_at.
+    Sorting makes collect_list's nondeterministic order canonical, so the
+    array itself is oracle-comparable."""
+    types = F.array_sort(F.array_distinct(F.collect_list("event_type")))
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(types.alias("types"))
+        .select(
+            "user_id",
+            "types",
+            F.size("types").alias("n_types"),
+            F.element_at("types", 1).alias("first_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q62_struct_nested",
+    "SELECT n_nationkey, "
+    "struct_extract(struct_pack(name := n_name, rk := n_regionkey), 'name') AS nm, "
+    "struct_extract(struct_pack(name := n_name, rk := n_regionkey), 'rk') + 100 AS rk100 "
+    "FROM nation ORDER BY n_nationkey",
+)
+def q62_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + nested-field access (build a struct column,
+    project dotted fields back out) — the round-trip every nested-schema
+    pipeline depends on."""
+    return (
+        table(spark, sf_dir, "nation")
+        .select(
+            "n_nationkey",
+            F.struct(
+                F.col("n_name").alias("name"), F.col("n_regionkey").alias("rk")
+            ).alias("info"),
+        )
+        .select(
+            "n_nationkey",
+            F.col("info.name").alias("nm"),
+            (F.col("info.rk") + 100).alias("rk100"),
+        )
+        .orderBy("n_nationkey")
+    )
