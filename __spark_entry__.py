@@ -27,6 +27,8 @@ def _registry():
         "skew",
         "ml_text",
         "asof",
+        "timeseries",
+        "interval",
     ):
         try:
             import importlib

@@ -1,0 +1,78 @@
+"""Edge-case tests for the bucketed range join (operators/interval.py)
+and the gap-fill resampler (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.operators.interval import range_join
+from nfl_predictions_spark.operators.timeseries import gap_fill
+
+
+def test_range_join_edges_and_overlap(spark):
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 9.999), (3, 10.0), (4, 25.0), (5, 100.0)],
+        "id long, p double",
+    )
+    intervals = spark.createDataFrame(
+        # hi exactly on a bucket edge (10.0 with width 10), an interval
+        # spanning several buckets, and two overlapping intervals
+        [("a", 0.0, 10.0), ("b", 5.0, 30.0), ("c", 20.0, 30.0)],
+        "name string, lo double, hi double",
+    )
+    out = sorted(
+        (r["id"], r["name"])
+        for r in range_join(points, "p", intervals, "lo", "hi", 10.0).collect()
+    )
+    # hi is exclusive: p=10.0 misses [0,10) but hits [5,30)
+    assert out == [(1, "a"), (2, "a"), (2, "b"), (3, "b"), (4, "b"), (4, "c")]
+
+
+def test_range_join_matches_theta_join(spark):
+    """Bucketed strategy must be row-identical to the naive theta join
+    for random-ish data, including multi-bucket-wide intervals."""
+    points = spark.range(200).select(
+        F.col("id"), ((F.col("id") * 37) % 199).cast("double").alias("p")
+    )
+    intervals = spark.range(20).select(
+        F.concat(F.lit("b"), F.col("id")).alias("name"),
+        (F.col("id") * 9.5).alias("lo"),
+        (F.col("id") * 9.5 + 33.0).alias("hi"),
+    )
+    fast = sorted(
+        (r["id"], r["name"])
+        for r in range_join(points, "p", intervals, "lo", "hi", 8.0).collect()
+    )
+    slow = sorted(
+        (r["id"], r["name"])
+        for r in points.join(
+            intervals, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
+        ).collect()
+    )
+    assert fast == slow and len(fast) > 0
+
+
+def test_gap_fill_materializes_and_ffills(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("u", t0, 1.0),
+        ("u", t0 + datetime.timedelta(hours=3), 7.0),  # 2-hour gap before this
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = (
+        gap_fill(
+            df,
+            ts_col="ts",
+            keys=["k"],
+            grain="hour",
+            aggs=[F.count("*").alias("cnt"), F.sum("v").alias("v")],
+            ffill_cols=["v"],
+        )
+        .orderBy("ts_bucket")
+        .collect()
+    )
+    assert len(out) == 4  # 00:00 .. 03:00 inclusive, gaps materialized
+    assert [r["cnt"] for r in out] == [1, None, None, 1]
+    assert [r["v"] for r in out] == [1.0, 1.0, 1.0, 7.0]  # carried across gap
