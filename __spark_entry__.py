@@ -29,6 +29,7 @@ def _registry():
         "asof",
         "timeseries",
         "interval",
+        "graph",
     ):
         try:
             import importlib
