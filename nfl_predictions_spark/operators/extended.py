@@ -576,3 +576,33 @@ def q62_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@_q(
+    "q67_stratified_sample",
+    "SELECT event_id, event_type FROM events WHERE "
+    "CASE event_type "
+    "  WHEN 'purchase' THEN TRUE "
+    "  WHEN 'view' THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2','3') "
+    "  ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0' "
+    "END "
+    "ORDER BY event_id",
+)
+def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (keep all purchases,
+    1/4 of views, 1/16 of the rest) — like q59 but per group, the
+    rebalancing pass a training pipeline runs over class-skewed data.
+    Hash-deterministic, so the sample is stable across engines and
+    partitionings (``df.sampleBy`` is not)."""
+    digit = F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 1)
+    keep = (
+        F.when(F.col("event_type") == "purchase", F.lit(True))
+        .when(F.col("event_type") == "view", digit.isin("0", "1", "2", "3"))
+        .otherwise(digit == "0")
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .where(keep)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )

@@ -261,8 +261,12 @@ def q12_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: multi-measure hash aggregate over two grouping
     keys. All money math goes through exact decimal sums (order
     independent) and is returned as double."""
-    li = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    from nfl_predictions_spark.sources.tables import spread
+
+    li = spread(
+        table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+        )
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))

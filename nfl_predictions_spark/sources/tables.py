@@ -53,3 +53,24 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     """Register the TESTDATA tables as temp views for ``spark.sql`` use."""
     for name in names or TABLE_NAMES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Round-robin repartition a DataFrame to cluster parallelism — but
+    ONLY when its current partitioning is deficient (fewer than
+    cores/``min_factor`` partitions).
+
+    Why: a parquet file is splittable only at row-group boundaries, so a
+    single-row-group file scans as ONE task no matter what
+    ``maxPartitionBytes`` says — and everything pipelined onto that scan
+    (filters, partial aggregates, CPU-heavy expressions) serializes. At
+    real scale inputs have many files/row groups and this helper is a
+    no-op (the guard keeps the plan shuffle-free exactly when scan
+    parallelism already matches the cluster); on few-row-group inputs it
+    trades one small shuffle for full-width execution."""
+    from nfl_predictions_spark.session import default_parallelism
+
+    target = default_parallelism()
+    if df.rdd.getNumPartitions() * min_factor >= target:
+        return df
+    return df.repartition(target)
