@@ -207,3 +207,48 @@ def q53_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(spark, running_user_totals(stream), mode="update").orderBy(
         "user_id", "batch"
     )
+
+
+@_q(
+    "q68_stream_stream_join",
+    "SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id "
+    "FROM events p JOIN events v ON p.event_type = 'purchase' "
+    "AND v.event_type = 'view' AND p.user_id = v.user_id "
+    "AND v.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts "
+    "ORDER BY p_id, v_id",
+)
+def q68_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases joined to same-user views in
+    the preceding 10 minutes. Both sides carry watermarks and the join
+    has the time-range bound Structured Streaming needs to size state;
+    the watermark here exceeds the replay span so no state is evicted
+    and the result equals the batch interval join (the oracle). In a
+    live deployment the delay is the real out-of-orderness bound and
+    state stays O(watermark x rate) per key — q34 pins the eviction
+    semantics."""
+    ev = events_file_stream(spark, sf_dir, with_dups=False)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "90 days")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "90 days")
+    )
+    joined = p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 10 MINUTES AND p_ts"
+        ),
+    ).select("p_id", "v_id", F.col("p_user").alias("user_id"))
+    return run_to_batch(spark, joined, mode="append").orderBy("p_id", "v_id")
