@@ -606,3 +606,38 @@ def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type")
         .orderBy("event_id")
     )
+
+
+@_q(
+    "q69_python_datasource",
+    "SELECT event_type, count(*) AS cnt, "
+    "ROUND(sum(((i * 48271) % 65536) / 65536.0), 6) AS sum_value "
+    "FROM (SELECT unnest(range(0, 20000)) AS i), "
+    "LATERAL (SELECT ['click','error','purchase','signup','view']"
+    "[((i * 40503) % 31 % 5) + 1] AS event_type) "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def q69_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (sources/synthetic.py): partitioned
+    deterministic generation read through
+    ``spark.read.format("synthetic_events")``. Every column is integer
+    arithmetic on the row index, so the oracle regenerates the identical
+    table with generate_series — including bit-exact double sums (16
+    fractional bits; see the source's docstring)."""
+    from nfl_predictions_spark.sources import synthetic
+
+    synthetic.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "20000")
+        .option("partitions", "16")
+        .load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -132,3 +132,25 @@ def test_dynamic_partition_pruning(spark):
     joined = fact.join(dim, fact.event_date == dim.d).agg(F.count("*").alias("cnt"))
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_python_datasource_partition_invariant(spark):
+    """The custom source must generate identical content at any
+    generation width (rows are a pure function of the global index)."""
+    from nfl_predictions_spark.sources import synthetic
+
+    synthetic.register(spark)
+
+    def load(parts):
+        return sorted(
+            spark.read.format("synthetic_events")
+            .option("rows", "500")
+            .option("partitions", str(parts))
+            .load()
+            .collect()
+        )
+
+    a, b = load(1), load(7)
+    assert a == b and len(a) == 500
+    assert a[3]["event_id"] == 3
+    assert a[3]["user_id"] == (3 * 2654435761) % 1000
