@@ -641,3 +641,116 @@ def q69_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_q(
+    "q45b_percentile_approx",
+    "SELECT l_returnflag, "
+    "ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact, "
+    "TRUE AS p50_within_1pct FROM lineitem "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q45b_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch, mergeable across
+    partitions — the 100 TB path q45's docstring points to) certified
+    against the exact interpolated percentile: the sketch value itself is
+    engine-specific, so the oracle checks the certification column, like
+    q14 does for HLL."""
+    exact = F.expr("percentile(l_extendedprice, 0.5D)")
+    approx = F.percentile_approx("l_extendedprice", 0.5, 10000)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(exact, 6).alias("p50_exact"),
+            (F.abs(approx - exact) <= 0.01 * exact).alias("p50_within_1pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q70_sink_roundtrip",
+    "SELECT o_orderstatus, count(*) AS cnt, "
+    "ROUND(sum(CAST(o_totalprice AS DECIMAL(18,3))), 3) AS total "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def q70_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink parity: write orders through the parquet, CSV and JSON sinks,
+    read each back, and verify every format round-trips the same
+    aggregate (the oracle aggregates the original table — equality
+    certifies the sinks lossless for this schema). CSV/JSON get explicit
+    timestamp formats; parquet is the canonical columnar path."""
+    import tempfile
+
+    src = table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="nflspark_sink_")
+    frames = {}
+    src.write.mode("overwrite").parquet(f"{out}/p")
+    frames["p"] = spark.read.parquet(f"{out}/p")
+    src.write.mode("overwrite").option("header", "true").option(
+        "timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).csv(f"{out}/c")
+    frames["c"] = spark.read.option("header", "true").schema(src.schema).option(
+        "timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).csv(f"{out}/c")
+    src.write.mode("overwrite").option(
+        "timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).json(f"{out}/j")
+    frames["j"] = spark.read.schema(src.schema).option(
+        "timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).json(f"{out}/j")
+
+    def summarize(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("cnt"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,3)")), 3
+            ).alias("total"),
+        )
+
+    p, c, j = (summarize(frames[k]) for k in ("p", "c", "j"))
+    # all three must agree row-for-row; intersect collapses them to one
+    agreed = p.intersect(c).intersect(j)
+    return agreed.orderBy("o_orderstatus")
+
+
+@_q(
+    "q71_funnel",
+    "WITH f AS (SELECT user_id, "
+    "  min(CASE WHEN event_type = 'view' THEN ts END) AS first_view "
+    "  FROM events GROUP BY user_id), "
+    "p AS (SELECT e.user_id, min(e.ts) AS first_purchase FROM events e "
+    "  JOIN f ON f.user_id = e.user_id AND e.event_type = 'purchase' "
+    "  AND e.ts >= f.first_view GROUP BY e.user_id) "
+    "SELECT f.user_id, f.first_view, p.first_purchase, "
+    "p.first_purchase IS NOT NULL AS converted "
+    "FROM f LEFT JOIN p USING (user_id) ORDER BY f.user_id",
+)
+def q71_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: each user's first view and first purchase at or
+    after it. Two grouped aggregates over one shuffle key; the
+    conditional-min pattern (min of CASE) avoids a self-join per funnel
+    step, and the step join is per-user (broadcast-able at any realistic
+    user-dimension size)."""
+    ev = table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(f), "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        f.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_purchase",
+            F.col("first_purchase").isNotNull().alias("converted"),
+        )
+        .orderBy("user_id")
+    )
