@@ -265,3 +265,67 @@ def q42_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(block, schema="d1 long, d2 long, cos double")
         .orderBy("d1", "d2")
     )
+
+
+def q41d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the index-based scale path next to the
+    LSH variant: a KMeans coarse quantizer partitions vectors into nlist
+    cells; each query probes only the nprobe nearest cells and rescores
+    exactly inside them, so the per-query work is nprobe/nlist of brute
+    force. At 100 TB the cell id is the PARTITION KEY: vectors cluster-
+    partition by cell, a probe touches nprobe partitions, and the
+    centroid table (nlist x dim) broadcasts. Seeded KMeans makes the
+    index deterministic; not SQL-expressible -> rows-only driver check,
+    recall vs the exact baseline pinned in tests/test_northstar.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    nlist, nprobe = 16, 4
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=nlist, seed=42, maxIter=10).fit(emb.select("features"))
+    assigned = model.transform(emb).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    queries = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    # nprobe nearest cells per query: tiny cross join vs the broadcast
+    # centroid table, ranked by true L2 distance
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qe").cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qe", "cell")
+    )
+    cands = assigned.join(F.broadcast(probed), on="cell").select(
+        "qid", "qe", F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
+    return (
+        cands.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+QUERIES["q41d_ann_ivf"] = q41d_ann_ivf

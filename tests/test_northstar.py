@@ -114,3 +114,17 @@ def test_tfidf_deterministic_in_session(spark):
     a = q40f_tfidf_top_terms(spark, SF_SMOKE).collect()
     b = q40f_tfidf_top_terms(spark, SF_SMOKE).collect()
     assert a == b and len(a) > 0
+
+
+def test_ann_ivf_recall(spark):
+    """IVF with nprobe/nlist = 4/16 must beat the cell-fraction baseline
+    decisively and always find the query's own vector (a query probes
+    its home cell first)."""
+    from nfl_predictions_spark.operators.similarity import q41_ann_topk, q41d_ann_ivf
+
+    exact = {(r.qid, r.cid) for r in q41_ann_topk(spark, SF_SMOKE).collect()}
+    approx = {(r.qid, r.cid) for r in q41d_ann_ivf(spark, SF_SMOKE).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"
+    for qid in {q for q, _ in exact}:
+        assert (qid, qid) in approx
