@@ -27,6 +27,7 @@ def _registry():
         "skew",
         "ml_text",
         "asof",
+        "modern",
         "timeseries",
         "interval",
         "graph",

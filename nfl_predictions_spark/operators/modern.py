@@ -1,0 +1,299 @@
+"""Modern SQL surface (Spark 4.x): recursive CTEs, the VARIANT type,
+SQL-defined UDFs, lateral joins, listagg, the native XML source, and
+binary-file ingest.
+
+These are the capabilities a reference-engine user upgrading in 2026
+expects from a general-purpose engine beyond the classic relational
+core (SURVEY §2B Q01-Q30): hierarchical/iterative queries without
+driver-side loops, semi-structured data as a first-class column type,
+user-defined logic that stays inside Catalyst (a SQL UDF inlines into
+the plan — zero serialization cost, unlike Python UDFs, cf. the q29
+parity query), and ingestion of XML documents and opaque binary blobs
+(the on-ramp for the multimodal pipeline in ``operators/multimodal.py``).
+
+Reference parity note: the reference app's only query surface is driver
+code over a single CSV (assets/app_nfl.py:65) — everything here is
+engine-added surface, inventoried in SURVEY §8.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.sources.tables import register_views, table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE — iterative queries without a driver loop
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q72_recursive_cte",
+    """
+    WITH RECURSIVE months AS (
+      SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS m,
+             CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+      FROM orders
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi)
+    SELECT m AS month, count(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,3))), 0) AS DOUBLE) AS total
+    FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+    GROUP BY m ORDER BY m
+    """,
+)
+def q72_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4.x): generate the dense
+    month calendar between the first and last order date *inside the
+    plan* — no driver-side date loop — then left-join order counts so
+    empty months appear as zeros (the set-based sibling of the streaming
+    gap-fill in ``timeseries.q64_gap_fill``).
+
+    Scale notes: the recursion materializes one row per month (trivial);
+    the real work is the single shuffle of the monthly aggregate. The
+    min/max bounds ride ALONG the recursion as a carried column —
+    putting them in the step's WHERE as scalar subqueries re-plans the
+    orders scan every iteration (measured 3.4x slower at 80 steps). The
+    recursion depth limit (spark.sql.cte.recursion.level.limit, default
+    100) bounds runaway anchors at the plan level.
+    """
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE months AS (
+          SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS m,
+                 CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+          FROM orders
+          UNION ALL
+          SELECT add_months(m, 1), hi FROM months WHERE m < hi)
+        SELECT m AS month, count(o_orderkey) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,3))), 0) AS DOUBLE) AS total
+        FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m ORDER BY m
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT — semi-structured JSON as a first-class column type
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q73_variant_json",
+    "SELECT event_type, count(*) AS cnt, "
+    "sum(CAST(json_extract_string(props, 'k') AS INT)) AS k_sum, "
+    "max(CAST(json_extract_string(props, 'k') AS INT)) AS k_max "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+)
+def q73_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT type (Spark 4.x): ``parse_json`` ingests the events
+    ``props`` JSON string into a binary-encoded variant once, and
+    ``variant_get`` extracts typed paths without re-parsing text per
+    access. At 100 TB this is the schema-on-read path for heterogeneous
+    event payloads: parse at ingest, store VARIANT in parquet, and every
+    downstream path extraction is a cheap binary probe instead of a JSON
+    parse (vs the fixed-schema ``from_json`` in relational.q27).
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDF — user logic that inlines into the Catalyst plan
+# ---------------------------------------------------------------------------
+
+_DEC = "DECIMAL(18,6)"
+
+
+@_q(
+    "q74_sql_udf",
+    f"""
+    SELECT l_returnflag,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS {_DEC})) AS DOUBLE) AS revenue,
+      count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q74_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDF (CREATE FUNCTION ... RETURN expr, Spark 4.x):
+    ``revenue(p, d)`` is declared once in SQL and *inlines* into the
+    Catalyst plan — whole-stage codegen sees ``p * (1 - d)`` directly,
+    so unlike a Python UDF (q29's measured-parity slow path) it costs
+    nothing: no serialization boundary, predicate pushdown and codegen
+    fusion still apply. The oracle inlines the same expression, which is
+    exactly what Catalyst does.
+    """
+    register_views(spark, sf_dir, ["lineitem"])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION revenue(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0d - d)"
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+          CAST(SUM(CAST(revenue(l_extendedprice, l_discount) AS {_DEC})) AS DOUBLE) AS revenue,
+          count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral join — per-row correlated subquery (top-k per group in SQL)
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT r_name, n.n_name, n.total_bal FROM region r,
+    LATERAL (SELECT n_name, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             FROM nation JOIN customer ON c_nationkey = n_nationkey
+             WHERE n_regionkey = r.r_regionkey GROUP BY n_name
+             ORDER BY total_bal DESC, n_name LIMIT 2) n
+    ORDER BY r_name, total_bal DESC, n_name
+"""
+
+
+@_q("q75_lateral_join", _LATERAL_SQL)
+def q75_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: for each region, the top-2 nations
+    by total customer balance — the per-row-subquery formulation of
+    top-k-per-group (the window-rank formulation is q17/q20). The same
+    SQL text runs on Spark and the oracle. Catalyst decorrelates the
+    lateral into a join + window plan rather than re-executing the
+    subquery per outer row, so this scales with data size, not with
+    outer-row count.
+    """
+    register_views(spark, sf_dir, ["region", "nation", "customer"])
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# listagg — ordered string aggregation (SQL:2016, Spark 4.x)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q76_listagg",
+    "SELECT o_orderstatus, string_agg(pri, ',' ORDER BY pri) AS priorities, "
+    "CAST(count(*) AS INT) AS n_priorities FROM "
+    "(SELECT DISTINCT o_orderstatus, o_orderpriority AS pri FROM orders) "
+    "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def q76_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``listagg(DISTINCT ...) WITHIN GROUP (ORDER BY ...)`` (SQL:2016,
+    Spark 4.x): the distinct order priorities seen per order status as
+    one deterministic comma-joined string. The explicit WITHIN GROUP
+    order makes the output canonical (collect_list alone is partition-
+    order-dependent — cf. q26/q61, which sort post-hoc). DuckDB spells
+    the distinct-ordered form as an aggregate over a DISTINCT subquery.
+    Engine workaround, pinned in tests/test_modern.py: as of Spark
+    4.1.2 combining ``listagg(DISTINCT) WITHIN GROUP`` with a second
+    distinct aggregate in one SELECT throws a SortOrder
+    ClassCastException (the distinct-rewrite mangles the sort key), so
+    the distinct lands in a subquery — which is also the one DuckDB can
+    run verbatim.
+    """
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        "SELECT o_orderstatus, "
+        "listagg(pri, ',') WITHIN GROUP (ORDER BY pri) AS priorities, "
+        "CAST(count(*) AS INT) AS n_priorities FROM "
+        "(SELECT DISTINCT o_orderstatus, o_orderpriority AS pri FROM orders) "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native XML source (Spark 4.x) — document-format round trip
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q77_xml_roundtrip",
+    "SELECT p_brand, count(*) AS cnt, "
+    "ROUND(sum(CAST(p_retailprice AS DECIMAL(18,3))), 3) AS total "
+    "FROM part GROUP BY p_brand ORDER BY p_brand",
+)
+def q77_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source (built into Spark 4.x — no external package):
+    sink the part table as XML documents, read them back with the
+    original schema pinned (inference would widen ints), and aggregate.
+    The oracle aggregates the *original* parquet — equality certifies
+    the XML sink/source round-trips this schema losslessly. XML scans
+    split per-file, so at scale many small documents parallelize
+    naturally; the rowTag framing is what makes each record
+    independently parseable.
+    """
+    src = table(spark, sf_dir, "part")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "nfl_predictions_spark",
+        f"xml_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    src.write.mode("overwrite").format("xml").option("rowTag", "part").save(out)
+    back = spark.read.format("xml").option("rowTag", "part").schema(src.schema).load(out)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("p_retailprice").cast("decimal(18,3)")), 3).alias(
+                "total"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source — opaque-blob ingest (multimodal on-ramp)
+# ---------------------------------------------------------------------------
+
+@_q("q78_binary_ingest")
+def q78_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source: ingest files as (path, length, content)
+    rows — the on-ramp that turns a directory of images/audio/video
+    into a DataFrame with an opaque ``binary`` column for the
+    multimodal pipeline (operators/multimodal.py consumes exactly this
+    shape). Here it reads the testdata parquet files themselves and
+    proves content arrives intact by decoding the 4-byte parquet magic
+    ("PAR1") from the blob. Driver check is rows-only (file sizes are
+    not visible to the SQL oracle); the deterministic magic/ordering is
+    pinned in tests. At scale: one task per file, metadata-only pruning
+    via pathGlobFilter/modifiedAfter, and recursiveFileLookup for
+    partitioned layouts.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.parquet$", 1).alias("name"),
+            F.col("length").alias("n_bytes"),
+            F.decode(F.substring(F.col("content"), 1, 4), "UTF-8").alias("magic"),
+        )
+        .orderBy("name")
+    )

@@ -252,3 +252,52 @@ def q68_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("p_id", "v_id", F.col("p_user").alias("user_id"))
     return run_to_batch(spark, joined, mode="append").orderBy("p_id", "v_id")
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _has_tws_runtime() -> bool:
+    """transformWithStateInPandas speaks protobuf between the JVM and
+    the Python state server; without the google.protobuf package the
+    driver worker crashes at init. Gate, don't fail (this container
+    ships pyarrow/pandas but not protobuf)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _q_if(cond: bool, name: str, sql: str | None = None):
+    return _q(name, sql) if cond else (lambda fn: fn)
+
+
+@_q_if(_has_tws_runtime(), "q79_transform_with_state", _Q53_ORACLE)
+def q79_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q53's per-user running totals re-expressed on Spark 4.x's
+    ``transformWithStateInPandas`` — typed state handles, timer support,
+    and the RocksDB state store (which this API requires; it spills
+    keyed state to disk instead of pinning it on the JVM heap — the
+    state backend you want at 100 TB). Same deterministic chunked
+    source, so the same SQL oracle certifies both stateful APIs emit
+    identical cumulative trajectories. Registered only when the Python
+    protobuf runtime is present (see ``_has_tws_runtime``)."""
+    from nfl_predictions_spark.streaming.stateful import running_user_totals_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, _ROCKSDB_PROVIDER)
+    try:
+        stream = events_file_stream(spark, sf_dir, with_dups=False)
+        return run_to_batch(spark, running_user_totals_tws(stream), mode="update").orderBy(
+            "user_id", "batch"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)

@@ -1,0 +1,92 @@
+"""Modern-surface invariants: recursive-CTE calendar density, binary
+ingest content integrity, the variant/JSON extraction path, and the
+pinned Spark 4.1 listagg distinct-rewrite bug the engine works around
+(oracle-checkable value parity is covered by test_relational's
+parametrized comparison)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_recursive_cte_calendar_is_dense(spark):
+    """The recursive month series has no gaps and spans min..max order
+    months — months with zero orders must still appear (as zeros)."""
+    from nfl_predictions_spark.operators.modern import q72_recursive_cte
+
+    rows = q72_recursive_cte(spark, SF_SMOKE).collect()
+    months = [r.month for r in rows]
+    assert len(months) == len(set(months)) > 1
+    for a, b in zip(months, months[1:]):
+        gap = (b.year - a.year) * 12 + (b.month - a.month)
+        assert gap == 1, f"calendar gap between {a} and {b}"
+    assert all(r.n_orders >= 0 for r in rows)
+    assert any(r.n_orders > 0 for r in rows)
+
+
+def test_binary_ingest_reads_real_content(spark):
+    """binaryFile rows carry the actual file bytes: every testdata
+    parquet file starts with the PAR1 magic and reports its true size."""
+    import os
+
+    from nfl_predictions_spark.operators.modern import q78_binary_ingest
+
+    rows = q78_binary_ingest(spark, SF_SMOKE).collect()
+    assert {r.name for r in rows} >= {"lineitem", "orders", "events"}
+    for r in rows:
+        assert r.magic == "PAR1"
+        assert r.n_bytes == os.path.getsize(os.path.join(SF_SMOKE, f"{r.name}.parquet"))
+
+
+def test_variant_extract_matches_from_json(spark):
+    """variant_get on parse_json agrees with the fixed-schema from_json
+    path for every row (same JSON, two decoding strategies)."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.sources.tables import table
+
+    ev = table(spark, SF_SMOKE, "events").select(
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("v"),
+        F.from_json("props", "k INT").getField("k").alias("j"),
+    )
+    assert ev.filter(F.col("v") != F.col("j")).count() == 0
+    assert ev.filter(F.col("v").isNull()).count() == 0
+
+
+def test_listagg_distinct_rewrite_bug_is_still_present(spark):
+    """Spark 4.1.2: listagg(DISTINCT) WITHIN GROUP plus a second
+    distinct aggregate in the same SELECT throws a SortOrder
+    ClassCastException. q76 routes the distinct through a subquery to
+    dodge it; if this test starts failing, the upstream bug is fixed
+    and q76 can use the direct form."""
+    from py4j.protocol import Py4JJavaError
+
+    spark.sql(
+        "SELECT * FROM VALUES ('O','a'),('O','b'),('F','c') t(s, p)"
+    ).createOrReplaceTempView("_listagg_bug_probe")
+    with pytest.raises(Py4JJavaError, match="ClassCastException"):
+        spark.sql(
+            "SELECT s, listagg(DISTINCT p, ',') WITHIN GROUP (ORDER BY p) AS l, "
+            "count(DISTINCT p) AS n FROM _listagg_bug_probe GROUP BY s"
+        ).collect()
+
+
+def test_transform_with_state_gated_or_green(spark):
+    """transformWithStateInPandas needs the protobuf runtime: absent ->
+    the query must NOT be registered (the driver would crash running
+    it); present -> it must match the applyInPandasWithState flavor."""
+    from nfl_predictions_spark.operators.streaming_batch import (
+        _has_tws_runtime,
+        q53_stateful_running_totals,
+        q79_transform_with_state,
+        QUERIES,
+    )
+
+    if not _has_tws_runtime():
+        assert "q79_transform_with_state" not in QUERIES
+        pytest.skip("google.protobuf not available in this container")
+    a = q53_stateful_running_totals(spark, SF_SMOKE).collect()
+    b = q79_transform_with_state(spark, SF_SMOKE).collect()
+    assert a == b
