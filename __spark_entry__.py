@@ -28,6 +28,8 @@ def _registry():
         "ml_text",
         "asof",
         "modern",
+        "sketches",
+        "maintenance",
         "timeseries",
         "interval",
         "graph",

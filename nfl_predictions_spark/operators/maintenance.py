@@ -1,0 +1,145 @@
+"""Table-lifecycle operations: catalog-managed tables and small-file
+compaction.
+
+Reference parity: the reference has no catalog at all — its "table" is
+one CSV read into driver memory (assets/app_nfl.py:42-65). A real
+engine deployment needs named tables (so queries reference data by name,
+not path) and file-size governance (streaming/incremental ingest writes
+many small files; scans degrade when file count, not byte count,
+dominates scheduling).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _tmp(sf_dir: str, leaf: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        "nfl_predictions_spark",
+        f"{leaf}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+
+
+@_q(
+    "q81_catalog_table",
+    "SELECT o_orderpriority, count(*) AS cnt, "
+    "ROUND(sum(CAST(o_totalprice AS DECIMAL(18,3))), 3) AS total "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q81_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog round-trip: ``saveAsTable`` the orders table (external,
+    parquet, /tmp-backed so the host's warehouse dir is untouched), then
+    answer from ``spark.table(name)`` — data addressed by NAME through
+    the session catalog, not by path. The oracle aggregates the original
+    parquet; equality certifies the managed write + catalog read
+    lossless. At scale this is where table-level metadata (statistics,
+    partitioning, bucketing spec from q52) lives so Catalyst can use it
+    across queries and sessions."""
+    name = f"nflspark_orders_{os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')}"
+    src = table(spark, sf_dir, "orders")
+    path = _tmp(sf_dir, "catalog_orders")
+    marker = os.path.join(path, "_SUCCESS")
+    if not (spark.catalog.tableExists(name) and os.path.exists(marker)):
+        src.write.mode("overwrite").option("path", path).format("parquet").saveAsTable(
+            name
+        )
+    return (
+        spark.table(name)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,3)")), 3).alias(
+                "total"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_COMPACT_TARGET_BYTES = 32 << 20
+
+
+def compact(spark: SparkSession, path: str, target_bytes: int = _COMPACT_TARGET_BYTES) -> int:
+    """Rewrite a parquet directory into ~``target_bytes`` files; returns
+    the new file count. The small-file problem at scale: a 100 TB table
+    ingested by streaming micro-batches accumulates millions of KB-sized
+    files, and scan scheduling becomes O(files), metadata becomes the
+    bottleneck, and row-group-level pruning stops mattering. Compaction
+    = read + repartition to ceil(bytes/target) + atomic swap. Here the
+    swap is rename-based; a production lake format does it with a
+    transaction log instead."""
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_bytes))
+    tmp_out = path.rstrip("/") + "_compacting"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
+        tmp_out
+    )
+    import shutil
+
+    old = path.rstrip("/") + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp_out, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files
+
+
+@_q(
+    "q82_compaction",
+    "SELECT event_type, count(*) AS cnt, "
+    "ROUND(sum(CAST(value AS DECIMAL(18,3))), 3) AS total, "
+    "TRUE AS compacted FROM events "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def q82_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction certified lossless: stage events as 64
+    deliberately tiny files (a streaming-ingest layout), ``compact`` to
+    size-targeted files, and aggregate the result. The oracle aggregates
+    the ORIGINAL events — value equality certifies no row was lost or
+    duplicated by the rewrite; the ``compacted`` column additionally
+    pins that the file count actually dropped below the staged count."""
+    staged = _tmp(sf_dir, "compaction_events")
+    marker = os.path.join(staged, "_COMPACTED")
+    if not os.path.exists(marker):
+        table(spark, sf_dir, "events").repartition(64).write.mode("overwrite").parquet(
+            staged
+        )
+        compact(spark, staged)
+        with open(marker, "w") as f:
+            f.write("ok")
+    n_after = sum(1 for f in os.listdir(staged) if f.endswith(".parquet"))
+    return (
+        spark.read.parquet(staged)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,3)")), 3).alias("total"),
+        )
+        .withColumn("compacted", F.lit(n_after < 64))
+        .orderBy("event_type")
+    )

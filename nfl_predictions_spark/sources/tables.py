@@ -29,6 +29,64 @@ TABLE_NAMES = [
 ]
 
 
+# Runtime scale tuning -------------------------------------------------------
+#
+# The engine cannot assume its own session factory: the round driver (and
+# any host application embedding the query registry) builds a PLAIN
+# SparkSession — 200 shuffle partitions, AQE off. Every conf the engine
+# depends on must therefore be applied at runtime, and the single choke
+# point every query passes through is ``table()``.
+
+_TARGET_SHUFFLE_BYTES = 64 << 20  # post-shuffle partition target
+_PARQUET_EXPANSION = 4  # columnar-compressed -> in-memory row estimate
+_TUNED: set[tuple[str, str]] = set()
+
+
+def _input_bytes(sf_dir: str) -> int:
+    total = 0
+    try:
+        for f in os.listdir(sf_dir):
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(sf_dir, f))
+    except OSError:
+        pass
+    return total
+
+
+def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
+    """Size runtime shuffle behavior to the ACTUAL input scale, once per
+    (session, input dir).
+
+    - AQE on (runtime settable): coalesces post-shuffle partitions,
+      splits skew — under the host's plain session this is the engine's
+      only runtime re-planning hook.
+    - ``spark.sql.shuffle.partitions`` from measured input bytes: a
+      fixed 200 means 200 near-empty state/shuffle tasks at sf0.01 and
+      far too few at 100 TB. Estimate in-memory size as bytes x4
+      (parquet compression), target ~64 MB per post-shuffle partition,
+      clamp to [2 x cores, SPARK_GRAFT_MAX_SHUFFLE (default 8192)] —
+      at 100 TB the cap plus AQE's advisory coalescing governs, not the
+      static count.
+    - Broadcast threshold 64 MB: the engine broadcast()-hints its known
+      dim joins; the raised threshold catches un-hinted ones.
+    """
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    if key in _TUNED:
+        return
+    _TUNED.add(key)
+    from nfl_predictions_spark.session import default_parallelism
+
+    cpus = default_parallelism()
+    cap = int(os.environ.get("SPARK_GRAFT_MAX_SHUFFLE", "8192"))
+    est = _input_bytes(sf_dir) * _PARQUET_EXPANSION
+    parts = max(2 * cpus, min(cap, est // _TARGET_SHUFFLE_BYTES + 1))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one TESTDATA table. Plain ``spark.read.parquet`` — no schema
     argument so the parquet footer schema is authoritative, no eager
@@ -40,6 +98,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and Arrow apply, so oracles agree.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tune_for_input(spark, sf_dir)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn(

@@ -19,9 +19,17 @@ import sys
 
 #: Queries allowed to contain the given fragment.
 ALLOW = {
-    "BatchEvalPython": {"q29_udf_parity"},  # the declared row-UDF parity query
+    "BatchEvalPython": {
+        "q29_udf_parity",  # the declared row-UDF parity query
+        "q54_python_udtf",  # UDTFs evaluate in Python by definition
+        "q40f_tfidf_top_terms",  # MLlib text pipeline's internal UDF
+    },
     "CartesianProduct": {"q41_ann_topk"},  # 5-row broadcast side, intended
-    "BroadcastNestedLoopJoin": {"q41_ann_topk", "q46_scalar_subquery"},
+    "BroadcastNestedLoopJoin": {
+        "q41_ann_topk",
+        "q46_scalar_subquery",
+        "q41d_ann_ivf",  # query x centroid table: nlist x dim broadcast, intended
+    },
 }
 
 
