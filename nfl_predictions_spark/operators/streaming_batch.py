@@ -301,3 +301,69 @@ def q79_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+@_q(
+    "q83_python_stream_source",
+    "SELECT event_type, count(*) AS cnt, "
+    "ROUND(sum(((i * 48271) % 65536) / 65536.0), 6) AS sum_value "
+    "FROM (SELECT unnest(range(0, 20000)) AS i), "
+    "LATERAL (SELECT ['click','error','purchase','signup','view']"
+    "[((i * 40503) % 31 % 5) + 1] AS event_type) "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def q83_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python *streaming* source (q69's generator via
+    ``simpleStreamReader``): the offset is the global row index, each
+    micro-batch appends the next slice, and generation stops advancing
+    at the row cap. Batch BOUNDARIES are timing-dependent; batch CONTENT
+    is not — append-mode union of all batches is exactly rows [0, N), so
+    the same generate_series oracle as the batch flavor certifies the
+    streaming path end-to-end (offsets, commits, replay).
+
+    AvailableNow prefetches only the simple reader's first batch, so the
+    run uses a continuous trigger and stops once the sink holds all N
+    rows (bounded by a deadline; the assert keeps a silent short-read
+    from masquerading as success)."""
+    import time
+    import uuid
+
+    from nfl_predictions_spark.sources import synthetic
+
+    synthetic.register(spark)
+    n_rows = 20_000
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", str(n_rows))
+        .option("batch_rows", "6000")
+        .load()
+    )
+    name = f"nflspark_synstream_{uuid.uuid4().hex[:8]}"
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="nflspark_synck_"))
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table(name).count() < n_rows:
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    sunk = spark.table(name)
+    assert sunk.count() == n_rows, "streaming source under-delivered"
+    return (
+        sunk.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

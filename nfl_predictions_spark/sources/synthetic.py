@@ -55,6 +55,12 @@ class SyntheticEventsDataSource(DataSource):
             int(self.options.get("partitions", 32)),
         )
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(
+            int(self.options.get("rows", 100_000)),
+            int(self.options.get("batch_rows", 5_000)),
+        )
+
 
 class _Slice(InputPartition):
     def __init__(self, start: int, end: int):
@@ -77,6 +83,48 @@ class SyntheticEventsReader(DataSourceReader):
     def read(self, partition: _Slice):
         for i in range(partition.start, partition.end):
             yield row_at(i)
+
+
+try:  # pragma: no cover - import probe
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover
+    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor of the generator: the offset is just the global
+    row index, each micro-batch emits the next ``batch_rows`` indices,
+    and generation stops advancing at ``rows`` — so a run with
+    ``Trigger.AvailableNow`` terminates after ceil(rows/batch_rows)
+    batches having produced EXACTLY the same table as the batch reader
+    (same ``row_at`` formula, so the same SQL oracle applies).
+
+    Replay contract: ``read`` is driver-side here (the simple-reader
+    API); rows between two committed offsets are re-derivable from the
+    indices alone, so ``readBetweenOffsets`` regenerates instead of
+    caching — recovery needs no state beyond the offset json. The
+    partition-parallel path (``DataSourceStreamReader`` with per-batch
+    InputPartitions) is the scale-up; the simple reader is the correct
+    semantics-first default for a rate-bounded source.
+    """
+
+    def __init__(self, rows: int, batch_rows: int):
+        self._rows = rows
+        self._batch = max(1, batch_rows)
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i0 = int(start["i"])
+        i1 = min(i0 + self._batch, self._rows)
+        # a LIST-iterator, not a generator: the wrapper's prefetch cache
+        # needs a true iterator (it calls next() on the empty-batch
+        # probe) that is ALSO picklable for replay — generators aren't
+        return iter([row_at(i) for i in range(i0, i1)]), {"i": i1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([row_at(i) for i in range(int(start["i"]), int(end["i"]))])
 
 
 def register(spark) -> None:

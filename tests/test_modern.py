@@ -90,3 +90,17 @@ def test_transform_with_state_gated_or_green(spark):
     a = q53_stateful_running_totals(spark, SF_SMOKE).collect()
     b = q79_transform_with_state(spark, SF_SMOKE).collect()
     assert a == b
+
+
+def test_python_stream_source_matches_batch_source(spark):
+    """The streaming flavor of the synthetic DataSource must deliver
+    exactly the batch flavor's table — same rows, no loss, no dupes —
+    regardless of how the micro-batches were cut."""
+    from nfl_predictions_spark.operators.extended import q69_python_datasource
+    from nfl_predictions_spark.operators.streaming_batch import (
+        q83_python_stream_source,
+    )
+
+    a = q69_python_datasource(spark, SF_SMOKE).collect()
+    b = q83_python_stream_source(spark, SF_SMOKE).collect()
+    assert a == b
