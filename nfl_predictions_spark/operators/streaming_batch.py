@@ -367,3 +367,56 @@ def q83_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_q(
+    "q84_state_reader",
+    "SELECT date_trunc('minute', ts) AS ws, count(*) AS cnt FROM events "
+    "GROUP BY ws "
+    "HAVING ws + INTERVAL 1 MINUTE > (SELECT max(ts) - INTERVAL 1 MINUTE FROM events) "
+    "ORDER BY ws",
+)
+def q84_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store reader (Spark 4 ``statestore`` batch source): run
+    q34's watermarked tumbling aggregation, then open its CHECKPOINT as
+    a DataFrame and return what is still buffered in keyed state — which
+    in append mode is exactly the windows the final watermark has NOT
+    passed (the complement of q34's emission; that complement predicate
+    is the oracle). This is the observability story for stateful
+    pipelines at scale: state inspection/repair is a batch query over
+    the checkpoint, not a debugger attached to a running job.
+
+    The reader resolves state partitions through the session's
+    StateStoreCoordinator, which only exists after a streaming query has
+    run in THIS session — so the query always executes its own stream
+    (fresh checkpoint each call) rather than caching across sessions."""
+    import tempfile
+    import uuid
+
+    stream = events_file_stream(spark, sf_dir, with_dups=False)
+    agg = watermarked_tumbling(stream)
+    ck = tempfile.mkdtemp(prefix="nflspark_stateq_")
+    name = f"nflspark_state_{uuid.uuid4().hex[:8]}"
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    return (
+        spark.read.format("statestore")
+        .load(ck)
+        .select(
+            F.col("key.window.start").cast("timestamp_ntz").alias("ws"),
+            F.col("value.count").alias("cnt"),
+        )
+        .orderBy("ws")
+    )

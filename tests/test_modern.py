@@ -104,3 +104,19 @@ def test_python_stream_source_matches_batch_source(spark):
     a = q69_python_datasource(spark, SF_SMOKE).collect()
     b = q83_python_stream_source(spark, SF_SMOKE).collect()
     assert a == b
+
+
+def test_state_reader_is_complement_of_watermark_emission(spark):
+    """Emitted windows (q34) plus windows still in state (q84) must
+    exactly tile all event-time windows with no overlap."""
+    from nfl_predictions_spark.operators.streaming_batch import (
+        q31_stream_tumbling,
+        q34_stream_watermark,
+        q84_state_reader,
+    )
+
+    emitted = {(r.ws, r.cnt) for r in q34_stream_watermark(spark, SF_SMOKE).collect()}
+    in_state = {(r.ws, r.cnt) for r in q84_state_reader(spark, SF_SMOKE).collect()}
+    every = {(r.ws, r.cnt) for r in q31_stream_tumbling(spark, SF_SMOKE).collect()}
+    assert emitted | in_state == every
+    assert not (emitted & in_state)
