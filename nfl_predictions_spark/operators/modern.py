@@ -297,3 +297,73 @@ def q78_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name")
     )
+
+
+# ---------------------------------------------------------------------------
+# pandas API on Spark — the DataFrame dialect pandas users arrive with
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q85_pandas_api",
+    "SELECT o_orderstatus, count(*) AS cnt, sum(o_orderkey) AS key_sum, "
+    "max(o_totalprice) AS max_price FROM orders "
+    "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def q85_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark (``pyspark.pandas``): the same groupby-agg a
+    pandas user would write, executing as distributed Spark plans — the
+    migration path for the reference's driver-side pandas habits
+    (assets/app_nfl.py holds its whole dataset in driver memory; a psdf
+    never does). ``.to_spark()`` hands the result back to the SQL
+    engine, so the pandas dialect composes with every other operator
+    here. Aggregates chosen exact-by-construction (counts, long sums,
+    max), so no float-summation tolerance is needed."""
+    psdf = table(spark, sf_dir, "orders").pandas_api()
+    out = (
+        psdf.groupby("o_orderstatus")
+        .agg(
+            cnt=("o_orderkey", "count"),
+            key_sum=("o_orderkey", "sum"),
+            max_price=("o_totalprice", "max"),
+        )
+        .reset_index()
+    )
+    return (
+        out.to_spark()
+        .select(
+            "o_orderstatus",
+            F.col("cnt").cast("long"),
+            "key_sum",
+            "max_price",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k — heavy-hitters sketch (Spark 4.x)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q86_approx_top_k",
+    "SELECT event_type, cnt FROM ("
+    "  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
+    ") ORDER BY cnt DESC, event_type LIMIT 3",
+)
+def q86_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via ``approx_top_k`` (Spark 4.x): one pass, one
+    fixed-size frequency sketch per partition merged at the driver — at
+    100 TB this answers "top URLs / tokens / error codes" without the
+    full groupBy shuffle a naive count-and-sort needs. Here the sketch
+    tracks more slots (10k) than the column has distinct values (5), so
+    its counts are EXACT and the plain top-k SQL is a full value oracle,
+    not just a tolerance certificate. Re-sorted on (cnt, item) because
+    the sketch's own output order is unspecified under count ties."""
+    register_views(spark, sf_dir, ["events"])
+    return (
+        spark.sql(
+            "SELECT inline(approx_top_k(event_type, 3)) "
+            "AS (event_type, cnt) FROM events"
+        )
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+    )
