@@ -138,3 +138,34 @@ def q37b_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q37b_ml_eval"] = q37b_ml_eval
+
+
+def q87_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-model GBT feature importances (normalized total gain) for the
+    reference's 8-feature vector — the model-explanation query a user of
+    the reference's two saved pipelines asks first. Importance vectors
+    are training-artifact-specific (not SQL-expressible -> rows-only);
+    determinism comes from the seeded pipeline, and invariants (all
+    features present, weights sum to 1, non-negative) are pinned in
+    tests/test_ml.py. Reference models: assets/static/assets/
+    nfl_model_pass/stages/2_GBTRegressor_*/ (maxIter 20, seed 12345)."""
+    import pandas as pd
+
+    pass_model, run_model = trained_models(spark)
+    rows = []
+    for model_name, pipeline in (("pass", pass_model), ("run", run_model)):
+        gbt = pipeline.stages[-1]
+        assembler = pipeline.stages[-2]
+        feats = list(assembler.getInputCols())
+        imps = gbt.featureImportances
+        for i, feat in enumerate(feats):
+            rows.append((model_name, feat, round(float(imps[i]), 6)))
+    pdf = pd.DataFrame(rows, columns=["model", "feature", "importance"])
+    return (
+        spark.createDataFrame(pdf)
+        .select("model", "feature", F.col("importance").cast("double"))
+        .orderBy("model", F.desc("importance"), "feature")
+    )
+
+
+QUERIES["q87_ml_feature_importance"] = q87_ml_feature_importance

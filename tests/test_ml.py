@@ -180,3 +180,20 @@ def test_model_rmse_reasonable(spark, models, synthetic):
     ).evaluate(pred)
     stats = test_df.agg(F.stddev("Yards_Gained").alias("sd")).first()
     assert rmse < stats.sd
+
+
+def test_feature_importance_invariants(spark):
+    """Both models: importances cover the 8-feature vector, are
+    non-negative, and sum to ~1 (normalized total gain)."""
+    from nfl_predictions_spark.ml.queries import q87_ml_feature_importance
+    from tests.conftest import SF_SMOKE
+
+    rows = q87_ml_feature_importance(spark, SF_SMOKE).collect()
+    by_model = {}
+    for r in rows:
+        assert r.importance >= 0
+        by_model.setdefault(r.model, []).append(r)
+    assert set(by_model) == {"pass", "run"}
+    for model, rs in by_model.items():
+        assert len(rs) == 8
+        assert abs(sum(r.importance for r in rs) - 1.0) < 1e-3
