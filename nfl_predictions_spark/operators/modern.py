@@ -367,3 +367,61 @@ def q86_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), F.asc("event_type"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL conveniences: GROUP BY ALL / ORDER BY ALL / IDENTIFIER()
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q88_group_by_all",
+    "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
+    "count(*) AS cnt FROM events GROUP BY ALL ORDER BY ALL",
+)
+def q88_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (adopted from DuckDB by Spark 3.4+ —
+    the same text runs on both engines verbatim) plus IDENTIFIER(): the
+    table name arrives as a parameter but cannot smuggle SQL in (it
+    parses as an identifier, not as text) — the safe form of the
+    string-formatted query the reference pushes through Livy
+    (assets/app_nfl.py:188-194 interpolates user payloads straight into
+    code)."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "count(*) AS cnt FROM IDENTIFIER(:tbl) GROUP BY ALL ORDER BY ALL",
+        args={"tbl": "events"},
+    )
+
+
+@_q(
+    "q89_nullsafe_join",
+    """
+    WITH e AS (SELECT event_id, user_id, nullif(event_type, 'view') AS et FROM events)
+    SELECT a.et, count(*) AS pair_cnt FROM e a JOIN e b
+    ON a.et IS NOT DISTINCT FROM b.et AND a.user_id = b.user_id AND a.event_id < b.event_id
+    GROUP BY a.et ORDER BY a.et NULLS FIRST
+    """,
+)
+def q89_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics you want
+    when "unknown" is a real category (here: 'view' events nulled out,
+    then same-user same-category pairs counted). Executes as a regular
+    hash join on the null-safe key, not a nested loop; without it, NULL
+    groups silently drop from inner joins and counts understate."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.nullif("event_type", F.lit("view")).alias("et")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.et").eqNullSafe(F.col("b.et"))
+            & (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .groupBy(F.col("a.et").alias("et"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .orderBy(F.asc_nulls_first("et"))
+    )

@@ -120,3 +120,24 @@ def test_state_reader_is_complement_of_watermark_emission(spark):
     every = {(r.ws, r.cnt) for r in q31_stream_tumbling(spark, SF_SMOKE).collect()}
     assert emitted | in_state == every
     assert not (emitted & in_state)
+
+
+def test_observation_metrics_ride_the_same_job(spark):
+    """df.observe collects row-level metrics during the SAME action that
+    produces the result — no second scan. The free instrumentation hook
+    for pipeline health checks (row counts, null rates) at scale."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.sources.tables import table
+
+    obs = Observation("scan_health")
+    li = table(spark, SF_SMOKE, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").isNull().cast("int")).alias("null_qty"),
+    )
+    out = li.groupBy("l_returnflag").count().collect()
+    assert obs.get["rows_seen"] == table(spark, SF_SMOKE, "lineitem").count()
+    assert obs.get["null_qty"] == 0
+    assert len(out) > 0
