@@ -239,3 +239,66 @@ def q40e_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("source", "rn")
     )
+
+
+_CHUNK_SIZE = 64  # tokens per chunk
+_CHUNK_OVERLAP = 16  # tokens shared between adjacent chunks
+_CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@_q(
+    "q90_chunk_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n,
+             CAST(CEIL(GREATEST(len(t) - {_CHUNK_SIZE}, 0) / {_CHUNK_STEP}.0) AS INT) + 1
+               AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           CAST(len(t[i * {_CHUNK_STEP} + 1 : i * {_CHUNK_STEP} + {_CHUNK_SIZE}]) AS INT)
+             AS n_tokens,
+           md5(array_to_string(t[i * {_CHUNK_STEP} + 1 : i * {_CHUNK_STEP} + {_CHUNK_SIZE}], ' '))
+             AS chunk_md5
+    FROM sized, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q90_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget document chunking with overlap — the core
+    training-data op that turns raw documents into model-sized pieces
+    ({_CHUNK_SIZE} whitespace tokens per chunk, {_CHUNK_OVERLAP}-token
+    overlap so no span is split across a boundary without context).
+    Fully declarative: tokenize once, derive the chunk count
+    arithmetically, ``sequence`` + ``explode`` the chunk index, and
+    ``slice`` the token array — no Python in the hot path, whole-stage
+    codegen end to end, and the explode output is partition-local (no
+    shuffle until the final presentation sort, which real pipelines
+    drop). The oracle re-derives every chunk in SQL and compares md5 of
+    the joined tokens — byte parity, not just counts. At 100 TB this
+    shape is scan -> narrow explode -> sink with zero wide dependencies.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    n = F.size("t")
+    n_chunks = (
+        F.ceil(F.greatest(n - F.lit(_CHUNK_SIZE), F.lit(0)) / float(_CHUNK_STEP))
+        .cast("int")
+        + 1
+    )
+    chunk = F.slice("t", F.col("i") * _CHUNK_STEP + 1, _CHUNK_SIZE)
+    return (
+        docs.select("doc_id", toks.alias("t"))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_id"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

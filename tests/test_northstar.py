@@ -128,3 +128,40 @@ def test_ann_ivf_recall(spark):
     assert recall >= 0.3, f"IVF recall {recall:.2f}"
     for qid in {q for q, _ in exact}:
         assert (qid, qid) in approx
+
+
+def test_chunking_overlap_and_coverage(spark):
+    """Chunks tile each document: chunk 0 starts at token 0, successive
+    chunks start STEP tokens later sharing OVERLAP tokens, every token
+    lands in some chunk, and only the final chunk may be short."""
+    from nfl_predictions_spark.operators.text import (
+        _CHUNK_SIZE,
+        _CHUNK_STEP,
+        q90_chunk_documents,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    chunks = q90_chunk_documents(spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: r.text.split()
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+    import hashlib
+
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) == set(docs)
+    for doc_id, cs in by_doc.items():
+        toks = docs[doc_id]
+        cs.sort(key=lambda c: c.chunk_id)
+        for c in cs:
+            start = c.chunk_id * _CHUNK_STEP
+            expect = toks[start : start + _CHUNK_SIZE]
+            assert c.n_tokens == len(expect)
+            md5 = hashlib.md5(" ".join(expect).encode()).hexdigest()
+            assert c.chunk_md5 == md5
+        last = cs[-1]
+        assert last.chunk_id * _CHUNK_STEP + last.n_tokens == len(toks)
+        for c in cs[:-1]:
+            assert c.n_tokens == _CHUNK_SIZE
