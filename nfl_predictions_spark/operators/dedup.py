@@ -354,3 +354,52 @@ def q39c_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q39c_simhash_pairs"] = q39c_simhash_pairs
+
+
+_DECON_N = 8  # benchmark-contamination n-gram order
+
+
+@_q(
+    "q91_decontamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(ts[i : i + {_DECON_N - 1}], ' ')
+         for i in range(1, len(ts) - {_DECON_N - 2})])) AS s
+      FROM toks WHERE len(ts) >= {_DECON_N}
+    ), ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
+       tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+    SELECT tr.doc_id, count(DISTINCT tr.s) AS n_shared,
+           count(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id ORDER BY tr.doc_id
+    """,
+)
+def q91_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the LLM-data op that q38-q39's
+    within-corpus dedup does NOT cover: find training documents sharing
+    any long n-gram ({_DECON_N}-gram) with a held-out eval set (here a
+    deterministic 2% slice, doc_id % 50 == 0), reporting how many grams
+    leak and from how many eval documents. Shingling reuses the
+    codegen'd shifted-slice path (``shingle_rows``); the join BROADCASTS
+    the eval side — at 100 TB the benchmark suite is always tiny next to
+    the corpus, so contamination is one broadcast hash join over the
+    train shingles, no shuffle of the big side at all."""
+    sh = shingle_rows(table(spark, sf_dir, "documents"), n=_DECON_N)
+    is_eval = F.col("doc_id") % 50 == 0
+    ev = (
+        sh.filter(is_eval)
+        .select(F.col("doc_id").alias("eval_id"), F.col("s").alias("es"))
+    )
+    tr = sh.filter(~is_eval)
+    return (
+        tr.join(F.broadcast(ev), tr.s == ev.es)
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("s").alias("n_shared"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
