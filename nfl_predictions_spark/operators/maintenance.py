@@ -143,3 +143,53 @@ def q82_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("compacted", F.lit(n_after < 64))
         .orderBy("event_type")
     )
+
+
+@_q(
+    "q93_schema_evolution",
+    "SELECT o_orderstatus, count(*) AS cnt, "
+    "count(o_note) AS with_note, count(DISTINCT o_note) AS n_notes "
+    "FROM (SELECT o_orderkey, o_orderstatus, NULL AS o_note FROM orders "
+    "      WHERE o_orderkey % 2 = 0 "
+    "      UNION ALL "
+    "      SELECT o_orderkey, o_orderstatus, "
+    "             'v2:' || o_orderpriority AS o_note FROM orders "
+    "      WHERE o_orderkey % 2 <> 0) "
+    "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def q93_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (``mergeSchema``): a v1 write without
+    ``o_note`` and a v2 write that added it land in one directory; the
+    merged scan presents the union schema with NULLs where v1 files
+    have no column — additive evolution with no rewrite of old data.
+    The oracle reconstructs the same two generations with UNION ALL.
+    At scale this is the default posture for long-lived event tables:
+    columns only get ADDED, readers merge footers (an O(files) driver
+    cost — which is why production tables pin the merged schema in a
+    catalog instead of re-inferring per query; q81 is that half)."""
+    src = table(spark, sf_dir, "orders")
+    path = _tmp(sf_dir, "schema_evo_orders")
+    marker = os.path.join(path, "_V2_DONE")
+    if not os.path.exists(marker):
+        v1 = src.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        )
+        v2 = src.filter(F.col("o_orderkey") % 2 != 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.concat(F.lit("v2:"), F.col("o_orderpriority")).alias("o_note"),
+        )
+        v1.write.mode("overwrite").parquet(path)
+        v2.write.mode("append").parquet(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("o_note").alias("with_note"),
+            F.count_distinct("o_note").alias("n_notes"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -329,3 +329,67 @@ def q41d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q41d_ann_ivf"] = q41d_ann_ivf
+
+
+def q94_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification over the embedding column: build
+    one mean vector per label (posexplode -> per-dimension avg -> the
+    exploded form IS the centroid — no array rebuild needed), score
+    every vector against every centroid through a position join, and
+    report the label-vs-predicted confusion counts. Centroids are
+    rounded to 6 decimals so both engines agree despite different
+    summation orders; 10 centroids x 64 dims is broadcast-sized, so the
+    only wide op on the corpus is the per-(vector, candidate) partial
+    aggregation — at 100 TB this is a scan plus a map-side-combined agg,
+    no vector ever shuffles whole."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    ex = emb.select("vec_id", "label", F.posexplode("e").alias("pos", "x"))
+    cent = (
+        ex.groupBy(F.col("label").alias("cand"), "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    scored = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "cand")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+        .withColumn("cos", F.col("dot") / (F.col("nv") * F.col("nc")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("cand").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("label", "pred")
+    )
+
+
+QUERIES["q94_nearest_centroid"] = q94_nearest_centroid
+ORACLE["q94_nearest_centroid"] = """
+WITH ex AS (
+  SELECT vec_id, label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), cm AS (
+  SELECT label AS cand, pos, ROUND(avg(x), 6) AS c
+  FROM ex GROUP BY cand, pos
+), cl AS (
+  SELECT cand, list(c ORDER BY pos) AS cv FROM cm GROUP BY cand
+), sc AS (
+  SELECT e.vec_id, e.label, cl.cand,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv) AS cos
+  FROM embeddings e, cl
+), pick AS (
+  SELECT vec_id, label, cand,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand) AS rn
+  FROM sc
+)
+SELECT label, cand AS pred, count(*) AS cnt FROM pick WHERE rn = 1
+GROUP BY label, pred ORDER BY label, pred
+"""

@@ -110,3 +110,56 @@ def q64_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cnt", F.lit(0)).alias("cnt"),
         F.col("val").alias("val_ffill"),
     ).orderBy("user_id", "ts_bucket")
+
+
+_WMA_WEIGHTS = [5, 4, 3, 2, 1]  # most-recent-first, 5-row window
+
+
+@_q(
+    "q92_weighted_moving_avg",
+    """
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+        lag(value, 1) OVER win AS v1, lag(value, 2) OVER win AS v2,
+        lag(value, 3) OVER win AS v3, lag(value, 4) OVER win AS v4
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+      ROUND((5*value + 4*COALESCE(v1,0) + 3*COALESCE(v2,0)
+           + 2*COALESCE(v3,0) + 1*COALESCE(v4,0))
+        / (5 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END
+             + CASE WHEN v2 IS NULL THEN 0 ELSE 3 END
+             + CASE WHEN v3 IS NULL THEN 0 ELSE 2 END
+             + CASE WHEN v4 IS NULL THEN 0 ELSE 1 END), 6) AS wma
+    FROM w ORDER BY user_id, event_id
+    """,
+)
+def q92_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted moving average (WMA-5) per user over event
+    time — the smoothing pass a feature pipeline runs before modeling.
+    Expressed as lag() arithmetic rather than a UDAF: one window shuffle
+    on user_id, whole-stage codegen for the weighted sum, and BOTH
+    engines evaluate the identical fixed-order expression tree, so the
+    floats agree bit-for-bit before the presentation rounding. Warm-up
+    rows renormalize over the weights actually present instead of
+    zero-padding the average down."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value")] + [
+        F.lag("value", k).over(w) for k in range(1, len(_WMA_WEIGHTS))
+    ]
+    num = sum(
+        (F.coalesce(c, F.lit(0.0)) * float(wt) for c, wt in zip(lags, _WMA_WEIGHTS)),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (F.when(c.isNull(), 0.0).otherwise(float(wt)) for c, wt in zip(lags, _WMA_WEIGHTS)),
+        start=F.lit(0.0),
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("wma", F.round(num / den, 6))
+        .select("user_id", "event_id", "wma")
+        .orderBy("user_id", "event_id")
+    )
