@@ -142,3 +142,52 @@ def q43_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q43_multimodal_features"] = q43_multimodal_features
+
+
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+
+
+def q97_image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image-header parsing, entirely JVM-side: synthesize valid
+    PNG byte prefixes (8-byte signature + IHDR chunk) as a binary
+    column, then parse width/height back OUT of the raw bytes with
+    ``substring``/``hex``/``conv`` — no Python, no codec library, pure
+    whole-stage-codegen byte slicing. parse(construct(i)) == i is the
+    oracle, certifying offsets and big-endian decoding; the identical
+    parse expressions run unchanged on real PNG files ingested through
+    q78's binaryFile source (width/height live at bytes 17-24 of every
+    conformant PNG). This is the metadata-extraction stage a 100 TB
+    image corpus runs BEFORE any expensive decode: a scan-speed filter
+    on dimensions/signature that discards junk without ever leaving
+    the JVM."""
+    ids = spark.range(500).select(F.col("id").alias("img_id"))
+    width = (F.col("img_id") % 1000 + 1).cast("int")
+    height = (F.col("img_id") % 777 + 1).cast("int")
+    ihdr = F.concat(
+        F.lit(_PNG_SIG_HEX),
+        F.lit("0000000D"),  # IHDR data length
+        F.lit("49484452"),  # "IHDR"
+        F.lpad(F.hex(width), 8, "0"),
+        F.lpad(F.hex(height), 8, "0"),
+    )
+    with_bytes = ids.withColumn("png", F.unhex(ihdr))
+    parsed_w = F.conv(F.hex(F.expr("substring(png, 17, 4)")), 16, 10).cast("int")
+    parsed_h = F.conv(F.hex(F.expr("substring(png, 21, 4)")), 16, 10).cast("int")
+    sig_ok = F.hex(F.expr("substring(png, 1, 8)")) == F.lit(_PNG_SIG_HEX)
+    return (
+        with_bytes.select(
+            "img_id",
+            parsed_w.alias("width"),
+            parsed_h.alias("height"),
+            sig_ok.alias("sig_ok"),
+        )
+        .orderBy("img_id")
+    )
+
+
+QUERIES["q97_image_header_parse"] = q97_image_header_parse
+ORACLE["q97_image_header_parse"] = (
+    "SELECT CAST(i AS BIGINT) AS img_id, "
+    "CAST(i % 1000 + 1 AS INT) AS width, CAST(i % 777 + 1 AS INT) AS height, "
+    "TRUE AS sig_ok FROM (SELECT unnest(range(0, 500)) AS i) ORDER BY img_id"
+)

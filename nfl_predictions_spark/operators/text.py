@@ -302,3 +302,62 @@ def q90_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@_q(
+    "q98_fuzzy_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    probes AS (
+      SELECT p_name AS src, substr(p_name, 1, 2) || substr(p_name, 4) AS probe
+      FROM names
+    ), cand AS (
+      SELECT probes.probe, probes.src, names.p_name AS cand_name,
+             levenshtein(probes.probe, names.p_name) AS dist
+      FROM probes JOIN names ON substr(probes.probe, 1, 1) = substr(names.p_name, 1, 1)
+      WHERE levenshtein(probes.probe, names.p_name) <= 2
+    )
+    SELECT probe, src,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           min(dist) AS best_dist,
+           substr(min(dist || '|' || cand_name), 3) AS best_match
+    FROM cand GROUP BY probe, src ORDER BY probe, src
+    """,
+)
+def q98_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (edit-distance record linkage): corrupt
+    every distinct part name deterministically (drop its 3rd char),
+    then link each corrupted probe back to the catalog via
+    ``levenshtein <= 2`` with FIRST-LETTER BLOCKING — the blocking key
+    turns an all-pairs O(|probes| x |names|) comparison into an
+    equi-join per block, which is the only way edit-distance linkage
+    survives at catalog scale (blocks shrink the cross product by the
+    block-count factor; salting a hot block composes from q51). Best
+    match = min (distance, name) — every probe must re-find its source
+    at distance 1, near-collisions surface as extra candidates. Both
+    engines implement the same unweighted Levenshtein, so the oracle
+    checks values exactly."""
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    probes = names.select(
+        F.col("p_name").alias("src"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
+        ).alias("probe"),
+    )
+    cand = (
+        probes.join(
+            names,
+            F.substring(F.col("probe"), 1, 1) == F.substring(F.col("p_name"), 1, 1),
+        )
+        .withColumn("dist", F.levenshtein("probe", "p_name"))
+        .filter(F.col("dist") <= 2)
+    )
+    return (
+        cand.groupBy("probe", "src")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.min("dist").alias("best_dist"),
+            F.min_by("p_name", F.struct("dist", "p_name")).alias("best_match"),
+        )
+        .orderBy("probe", "src")
+    )
