@@ -754,3 +754,52 @@ def q71_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_q(
+    "q101_malformed_csv",
+    "SELECT CAST(i % 7 = 3 AS BOOLEAN) AS is_bad, count(*) AS cnt, "
+    "sum(CASE WHEN i % 7 = 3 THEN NULL ELSE i END) AS id_sum "
+    "FROM (SELECT unnest(range(0, 2000)) AS i) "
+    "GROUP BY is_bad ORDER BY is_bad",
+)
+def q101_malformed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-ingest contract (PERMISSIVE mode): stage a CSV where every
+    7th-ish row (i % 7 == 3) is corrupt — a non-numeric id — and read it
+    with an explicit schema plus ``columnNameOfCorruptRecord``. Bad rows
+    surface as (null columns + raw line in the corrupt column) instead
+    of killing the job (FAILFAST) or silently vanishing (DROPMALFORMED);
+    the aggregate proves every good row parsed and every bad row was
+    quarantined. At 100 TB ingest, PERMISSIVE + a dead-letter filter on
+    the corrupt column IS the data-quality gate (q36's dead-letter
+    stream sink is the streaming half)."""
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "nfl_predictions_spark",
+        f"malformed_csv_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(staged, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(staged, exist_ok=True)
+        rows = spark.range(2000).selectExpr(
+            "CASE WHEN id % 7 = 3 THEN concat('oops_', id) ELSE CAST(id AS STRING) "
+            "END AS id_str",
+            "concat('name_', id) AS name",
+        )
+        rows.selectExpr("concat_ws(',', id_str, name) AS line").coalesce(
+            1
+        ).write.mode("overwrite").text(staged + "/raw")
+        with open(marker, "w") as f:
+            f.write("ok")
+    schema = "id LONG, name STRING, _corrupt STRING"
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(staged + "/raw")
+    )
+    return (
+        parsed.groupBy(F.col("_corrupt").isNotNull().alias("is_bad"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("id").alias("id_sum"))
+        .orderBy("is_bad")
+    )

@@ -181,3 +181,69 @@ def test_rate_micro_batch_tick_source(spark):
     assert out.count() >= 30
     first3 = {r.seq for r in out.filter("seq < 30").collect()}
     assert first3 == set(range(30))  # deterministic dense sequence
+
+
+def test_restart_from_checkpoint_is_exactly_once(spark):
+    """Kill a streaming query after its first micro-batch, restart it
+    from the SAME checkpoint, and the final deduped output must equal
+    the full-run result — no missing and no duplicated rows. This is
+    the recovery contract every production deployment relies on."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.streaming.sources import events_file_stream
+    from nfl_predictions_spark.streaming.windows import stateful_dedup
+    from nfl_predictions_spark.sources.tables import table
+    from tests.conftest import SF_SMOKE
+
+    ck = tempfile.mkdtemp(prefix="nflspark_restart_ck_")
+    out = tempfile.mkdtemp(prefix="nflspark_restart_out_")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        def start():
+            # the memory sink does NOT support checkpoint recovery; the
+            # file sink does (its commit log is part of the contract)
+            stream = events_file_stream(spark, SF_SMOKE, with_dups=True)
+            return (
+                stateful_dedup(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q1 = start()
+        # interrupt mid-run: wait for >=1 batch then hard-stop
+        deadline = __import__("time").time() + 60
+        while not q1.recentProgress and __import__("time").time() < deadline:
+            __import__("time").sleep(0.2)
+        q1.stop()
+        q1.awaitTermination(60)
+        q2 = start()
+        q2.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    sunk = spark.read.parquet(out).select("event_id").collect()
+    got = {r.event_id for r in sunk}
+    expected = {r.event_id for r in table(spark, SF_SMOKE, "events").collect()}
+    assert got == expected
+    assert len(sunk) == len(expected), "duplicate emission across restart"
+
+
+def test_analyze_table_feeds_cbo_stats(spark):
+    """ANALYZE TABLE persists row-count/size statistics the cost-based
+    optimizer reads; the catalog table from q81 must report them."""
+    from nfl_predictions_spark.operators.maintenance import q81_catalog_table
+    from tests.conftest import SF_SMOKE
+
+    q81_catalog_table(spark, SF_SMOKE).collect()
+    name = "nflspark_orders_sf0_001"
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    row = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").filter(
+        "col_name = 'Statistics'"
+    ).first()
+    assert row is not None and "rows" in row.data_type
