@@ -467,3 +467,59 @@ def q99_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions — lambdas inside the engine
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q102_higher_order_funcs",
+    """
+    WITH per_user AS (
+      SELECT user_id, list(value ORDER BY event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+      CAST(len(list_filter(vals, x -> x > 100)) AS INT) AS n_big,
+      ROUND(list_aggregate(list_transform(vals, x -> x * x), 'sum'), 4) AS sum_sq,
+      CAST(len(vals) > 0 AND len(list_filter(vals, x -> x < 0)) = 0 AS BOOLEAN)
+        AS all_nonneg,
+      CAST(len(list_filter(vals, x -> x > 190)) > 0 AS BOOLEAN) AS any_huge
+    FROM per_user ORDER BY user_id
+    """,
+)
+def q102_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over array columns — ``filter``,
+    ``transform``, ``aggregate``, ``forall``, ``exists`` with real
+    lambdas evaluated INSIDE the engine (both engines bind x per
+    element; no UDF, no explode-regroup round trip). The collect uses an
+    explicit ORDER BY so the array is canonical, and the fold goes
+    through decimal-free doubles rounded at the end: the lambda chain is
+    the same expression tree in both engines, so 4 decimals is safe.
+    Per NOTES.md, Spark evaluates these lambdas interpreted (outside
+    codegen) — fine at per-user array sizes; hot paths belong on the
+    exploded form (cf. dedup.shingle_rows)."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("event_id", "value"))
+        ).alias("pairs")
+    ).select(
+        "user_id",
+        F.expr("transform(pairs, p -> p.value)").alias("vals"),
+    )
+    return per_user.select(
+        "user_id",
+        F.size(F.filter("vals", lambda x: x > 100)).alias("n_big"),
+        F.round(
+            F.aggregate(
+                F.transform("vals", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("sum_sq"),
+        F.forall("vals", lambda x: x >= 0).alias("all_nonneg"),
+        F.exists("vals", lambda x: x > 190).alias("any_huge"),
+    ).orderBy("user_id")
