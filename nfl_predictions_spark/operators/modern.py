@@ -523,3 +523,65 @@ def q102_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall("vals", lambda x: x >= 0).alias("all_nonneg"),
         F.exists("vals", lambda x: x > 190).alias("any_huge"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# SQL session variables + SQL scripting (Spark 4.x)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q103_sql_variables",
+    "SELECT o_orderstatus, count(*) AS cnt FROM orders "
+    "WHERE o_totalprice > 150000.0 GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def q103_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE / SET VAR): the threshold lives in
+    the session, not spliced into the query text — the parameterization
+    idiom for dashboards and repeated jobs (same plan cache key, no
+    string formatting, no injection surface; cf. IDENTIFIER() in q88 for
+    names). The oracle inlines the constant, which is exactly what the
+    variable resolves to at plan time."""
+    register_views(spark, sf_dir, ["orders"])
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR price_floor = 150000.0")
+    return spark.sql(
+        "SELECT o_orderstatus, count(*) AS cnt FROM orders "
+        "WHERE o_totalprice > price_floor "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+@_q(
+    "q104_sql_scripting",
+    "SELECT count(*) AS total_orders, CAST(5 AS INT) AS n_rounds FROM orders",
+)
+def q104_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (BEGIN..END with DECLARE/WHILE, Spark 4.x):
+    procedural control flow executes ON the engine — the loop below
+    accumulates the order count in 5 residue-class passes and must land
+    exactly on the plain count(*) the oracle computes. The use case is
+    migration of stored-procedure-style workloads; each statement in the
+    script is still a full Catalyst-optimized query, so data volume per
+    iteration scales like any other query (it's the ITERATION COUNT that
+    must stay small — same rule as q95's PageRank rounds)."""
+    register_views(spark, sf_dir, ["orders"])
+    old = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE i INT DEFAULT 0;
+              DECLARE acc BIGINT DEFAULT 0;
+              WHILE i < 5 DO
+                SET acc = acc +
+                  (SELECT count(*) FROM orders WHERE o_orderkey % 5 = i);
+                SET i = i + 1;
+              END WHILE;
+              SELECT acc AS total_orders, i AS n_rounds;
+            END
+            """
+        )
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.scripting.enabled", old)
