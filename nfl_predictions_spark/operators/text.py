@@ -361,3 +361,71 @@ def q98_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe", "src")
     )
+
+
+_VOCAB_K = 20
+
+
+@_q(
+    "q105_vocab_oov",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ), vocab AS (
+      SELECT t FROM (
+        SELECT t, count(*) AS c FROM tok GROUP BY t
+        ORDER BY c DESC, t LIMIT {_VOCAB_K})
+    ), per_doc AS (
+      SELECT doc_id, lang, count(*) AS n_tokens,
+             sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+      GROUP BY doc_id, lang
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+           sum(n_tokens) AS tokens, sum(n_oov) AS oov,
+           ROUND(sum(n_oov) / CAST(sum(n_tokens) AS DOUBLE), 6) AS oov_rate
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def q105_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + out-of-vocabulary rate — the
+    tokenizer-prep stage of a training pipeline: fix the top-{_VOCAB_K}
+    token vocabulary by corpus frequency (deterministic under ties:
+    count desc, token asc), then measure per-language OOV mass against
+    it. The vocabulary is LIMIT-sized, so it BROADCASTS to the token
+    stream (left join marks OOV without shuffling the corpus); at 100 TB
+    the frequency pass is one map-side-combined count and the scoring
+    pass is shuffle-free. A high OOV rate per slice is the signal to
+    grow the vocab or re-train the tokenizer before the expensive run.
+    """
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("t"))
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(_VOCAB_K)
+        .select(F.col("t").alias("vt"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), tok.t == vocab.vt, "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("vt").isNull().cast("long")).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_oov").alias("oov"),
+            F.round(
+                F.sum("n_oov") / F.sum("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )

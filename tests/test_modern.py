@@ -154,3 +154,25 @@ def test_pagerank_invariants(spark):
     assert all(r.rank > 0 for r in a)
     b = q95_pagerank(spark, SF_SMOKE).collect()
     assert a == b
+
+
+def test_persist_reuses_inmemory_scan(spark):
+    """persist() makes the second aggregate read the cached relation
+    (InMemoryTableScan in the plan), not the parquet source again."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.sources.tables import table
+
+    df = table(spark, SF_SMOKE, "lineitem").select("l_returnflag", "l_quantity")
+    df.persist()
+    try:
+        df.groupBy("l_returnflag").count().collect()  # materialize cache
+        plan = (
+            df.agg(F.sum("l_quantity"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" in plan
+    finally:
+        df.unpersist()
