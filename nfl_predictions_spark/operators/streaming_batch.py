@@ -131,17 +131,23 @@ def q35_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(spark, stateful_dedup(stream), mode="append").orderBy("event_id")
 
 
-def q36_stream_score_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Score-and-route (the reference's NiFi flow as one streaming
-    query): simulated requests -> foreachBatch {validate, two-model
-    score, success sink | dead-letter sink}. Returns per-route summary
-    counts (model predictions are not SQL-expressible)."""
+_Q36_N = 300
+_Q36_INVALID_EVERY = 37
+
+
+def _run_score_route(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """Shared Q36 pipeline: simulated requests -> streaming foreachBatch
+    {validate, two-model score, success sink | dead-letter sink} (the
+    reference's NiFi flow, assets/flow.xml.gz, as one streaming query).
+    Returns the materialized (scored, dead_letter) sinks as batch
+    DataFrames, checkpointed so they outlive the temp sink dirs."""
     from nfl_predictions_spark.ml.queries import trained_models
     from nfl_predictions_spark.streaming.score import score_and_route
     from nfl_predictions_spark.streaming.simulate import simulated_requests, with_invalid
 
-    n = 300
-    reqs = with_invalid(simulated_requests(spark.range(n), "id"))
+    reqs = with_invalid(
+        simulated_requests(spark.range(_Q36_N), "id"), every=_Q36_INVALID_EVERY
+    )
     in_dir = tempfile.mkdtemp(prefix="nflspark_q36_in_")
     reqs.repartition(3).write.mode("overwrite").parquet(in_dir)
     stream = (
@@ -153,22 +159,56 @@ def q36_stream_score_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         pass_model, run_model = trained_models(spark)
         ok_dir, dlq_dir = score_and_route(spark, stream, pass_model, run_model, out_root)
-        scored = spark.read.parquet(ok_dir)
-        dlq = spark.read.parquet(dlq_dir)
-        summary = (
-            scored.groupBy("best_play")
-            .agg(F.count("*").alias("cnt"))
-            .withColumnRenamed("best_play", "route")
-            .unionByName(
-                dlq.select(F.lit("dead_letter").alias("route")).groupBy("route").agg(
-                    F.count("*").alias("cnt")
-                )
-            )
-        )
-        return summary.orderBy("route").select("route", "cnt").localCheckpoint()
+        scored = spark.read.parquet(ok_dir).localCheckpoint()
+        dlq = spark.read.parquet(dlq_dir).localCheckpoint()
+        return scored, dlq
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
         shutil.rmtree(out_root, ignore_errors=True)
+
+
+@_q(
+    "q36_stream_route_counts",
+    f"SELECT 'dead_letter' AS route, count(*) AS cnt FROM range({_Q36_N}) t(i) "
+    f"WHERE i % {_Q36_INVALID_EVERY} = 0 "
+    "UNION ALL "
+    f"SELECT 'scored' AS route, count(*) AS cnt FROM range({_Q36_N}) t(i) "
+    f"WHERE i % {_Q36_INVALID_EVERY} <> 0 ORDER BY route",
+)
+def q36_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q36's routing invariant, with a full oracle: every request whose
+    seq hits the invalid-injection modulus carries an unseen
+    PlayType_lag and MUST land in the dead-letter sink; every other
+    request MUST be scored. Those counts are deterministic functions of
+    the sequence alone — independent of the GBT predictions — so DuckDB
+    can state them from ``range()``. The model-dependent best-play split
+    stays in ``q36_stream_score_route`` (rows-only by design)."""
+    scored, dlq = _run_score_route(spark)
+    return (
+        scored.select(F.lit("scored").alias("route"))
+        .unionByName(dlq.select(F.lit("dead_letter").alias("route")))
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("route")
+    )
+
+
+def q36_stream_score_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-best-play routing summary (model predictions are not
+    SQL-expressible -> rows-only check; invariants pinned in
+    tests/test_streaming.py)."""
+    scored, dlq = _run_score_route(spark)
+    summary = (
+        scored.groupBy("best_play")
+        .agg(F.count("*").alias("cnt"))
+        .withColumnRenamed("best_play", "route")
+        .unionByName(
+            dlq.select(F.lit("dead_letter").alias("route")).groupBy("route").agg(
+                F.count("*").alias("cnt")
+            )
+        )
+    )
+    return summary.orderBy("route").select("route", "cnt")
 
 
 QUERIES["q36_stream_score_route"] = q36_stream_score_route
@@ -408,7 +448,7 @@ def q84_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", ck)
             .start()
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "q84 stream did not finish within 300 s"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return (
@@ -438,20 +478,43 @@ def q96_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partials are decimal(18,3), so merge order cannot perturb the sums
     (double partial sums would differ from the single-pass oracle in the
     last bits). At 100 TB this pattern replaces re-aggregating the
-    corpus per refresh with work proportional to the NEW data only."""
+    corpus per refresh with work proportional to the NEW data only.
+
+    Exactly-once mechanics (the transaction-log part a lake format would
+    supply): state versions are immutable directories ``v<batch_id>``
+    and a tiny ``CURRENT`` pointer file — atomically replaced via
+    ``os.replace`` — names the live version AND the set of applied batch
+    ids. A retried ``foreachBatch`` attempt (Spark retries the batch
+    function on transient failure, same batch_id) finds its id already
+    recorded and becomes a no-op, so a partial aggregate can never be
+    merged twice; a crash between the version write and the pointer swap
+    leaves the pointer on the previous consistent version and the retry
+    simply overwrites the orphan. Readers resolve ``CURRENT`` then load
+    that version — they never observe a half-swapped state."""
+    import json
     import os
     import shutil
     import tempfile
 
-    target = tempfile.mkdtemp(prefix="nflspark_mv_") + "/state"
+    root = tempfile.mkdtemp(prefix="nflspark_mv_")
+    pointer = os.path.join(root, "CURRENT")
+
+    def _read_pointer() -> dict:
+        if not os.path.exists(pointer):
+            return {"dir": None, "applied": []}
+        with open(pointer) as f:
+            return json.load(f)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        meta = _read_pointer()
+        if batch_id in meta["applied"]:
+            return  # retried attempt of an already-committed batch
         part = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("cnt"),
             F.sum(F.col("value").cast("decimal(18,3)")).alias("total"),
         )
-        if os.path.isdir(target):
-            existing = part.sparkSession.read.parquet(target)
+        if meta["dir"] is not None:
+            existing = part.sparkSession.read.parquet(os.path.join(root, meta["dir"]))
             part = (
                 existing.unionByName(part)
                 .groupBy("event_type")
@@ -460,14 +523,14 @@ def q96_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = part.select(
             "event_type", "cnt", F.col("total").cast("decimal(18,3)").alias("total")
         )
-        tmp_new = target + "_new"
-        part.coalesce(1).write.mode("overwrite").parquet(tmp_new)
-        old = target + "_old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(target):
-            os.rename(target, old)
-        os.rename(tmp_new, target)
-        shutil.rmtree(old, ignore_errors=True)
+        new_dir = f"v{batch_id}"
+        part.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, new_dir))
+        tmp_ptr = pointer + ".tmp"
+        with open(tmp_ptr, "w") as f:
+            json.dump({"dir": new_dir, "applied": meta["applied"] + [batch_id]}, f)
+        os.replace(tmp_ptr, pointer)  # the commit point
+        if meta["dir"] is not None:
+            shutil.rmtree(os.path.join(root, meta["dir"]), ignore_errors=True)
 
     stream = events_file_stream(spark, sf_dir, with_dups=False)
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -479,11 +542,14 @@ def q96_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", tempfile.mkdtemp(prefix="nflspark_mvck_"))
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        assert finished, "q96 stream did not finish within 300 s"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    meta = _read_pointer()
+    assert meta["dir"] is not None, "q96 matview state never committed"
     return (
-        spark.read.parquet(target)
+        spark.read.parquet(os.path.join(root, meta["dir"]))
         .select("event_type", "cnt", F.round("total", 3).alias("total"))
         .orderBy("event_type")
     )

@@ -45,16 +45,22 @@ def stage_event_chunks(
 
     Cached per (sf_dir, n_chunks, with_dups) under /tmp — rebuilt only
     if absent. Chunk boundaries come from exact ts quantiles so the
-    split is deterministic.
+    split is deterministic. The build happens in a process-private temp
+    dir that is renamed into place as a unit, so a concurrent reader
+    either sees the complete staged input or none of it — never a
+    half-written chunk set.
     """
     key = f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}_d{int(with_dups)}"
-    root = os.path.join(tempfile.gettempdir(), "nfl_predictions_spark", "stream", key)
+    base = os.path.join(tempfile.gettempdir(), "nfl_predictions_spark", "stream")
+    root = os.path.join(base, key)
     in_dir = os.path.join(root, "in")
     marker = os.path.join(root, "_done")
     if os.path.exists(marker):
         return in_dir
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(in_dir)
+    os.makedirs(base, exist_ok=True)
+    build_root = tempfile.mkdtemp(prefix=f".{key}_build_", dir=base)
+    build_in = os.path.join(build_root, "in")
+    os.makedirs(build_in)
 
     df = _events_ltz(spark, sf_dir)
     n = df.count()
@@ -72,16 +78,28 @@ def stage_event_chunks(
                 (F.col("chunk") == i - 1) & (F.col("event_id") % DUP_MODULUS == 0)
             ).drop("chunk")
             part = part.unionByName(prev)
-        tmpout = os.path.join(root, "tmpout")
+        tmpout = os.path.join(build_root, "tmpout")
         part.coalesce(1).write.mode("overwrite").parquet(tmpout)
         src = glob.glob(os.path.join(tmpout, "part-*.parquet"))[0]
-        dst = os.path.join(in_dir, f"chunk{i:03d}.parquet")
+        dst = os.path.join(build_in, f"chunk{i:03d}.parquet")
         shutil.move(src, dst)
         # File source processes files in (mtime, path) order; pin an
         # increasing mtime so arrival order == event-time order.
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    with open(marker, "w") as f:
+    shutil.rmtree(os.path.join(build_root, "tmpout"), ignore_errors=True)
+    with open(os.path.join(build_root, "_done"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(build_root, root)
+    except OSError:
+        if os.path.exists(marker):
+            # Lost the race to a concurrent complete build — use theirs.
+            shutil.rmtree(build_root, ignore_errors=True)
+        else:
+            # A stale half-build (crashed process) is squatting on the
+            # path; replace it with the complete one.
+            shutil.rmtree(root, ignore_errors=True)
+            os.rename(build_root, root)
     return in_dir
 
 
