@@ -117,14 +117,14 @@ _SHINGLE_SQL = (
 def q38_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup two ways: whole-row distinct and content-digest
     distinct (the form that scales — the digest is computed map-side and
-    the shuffle carries 16 bytes per row, not the document)."""
+    the shuffle carries 16 bytes per row, not the document). One lazy
+    single-pass aggregate: nothing executes until the caller acts, so
+    the driver/bench measure the real scan+agg, not a pre-baked literal."""
     docs = table(spark, sf_dir, "documents")
-    return spark.range(1).select(
-        F.lit(docs.count()).alias("cnt_total"),
-        F.lit(docs.distinct().count()).alias("cnt_distinct_rows"),
-        F.lit(
-            docs.select(F.md5("text").alias("d")).agg(F.countDistinct("d")).first()[0]
-        ).alias("cnt_distinct_text"),
+    return docs.agg(
+        F.count(F.lit(1)).alias("cnt_total"),
+        F.countDistinct(F.struct(*docs.columns)).alias("cnt_distinct_rows"),
+        F.countDistinct(F.md5("text")).alias("cnt_distinct_text"),
     )
 
 

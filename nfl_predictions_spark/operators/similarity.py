@@ -181,6 +181,58 @@ def lsh_signatures(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return emb.select(id_col, "embedding", *sig_cols)
 
 
+def _lsh_oracle_sql() -> str:
+    """DuckDB oracle for the LSH path. The hyperplanes are a pure
+    function of (table, plane, dim) — no RNG state — so the oracle can
+    recompute the exact same bucket ids from literal plane arrays and
+    replicate the candidate join in SQL. Both engines evaluate the
+    projection as an in-order double-precision fold over identical
+    literals, so the sign bits (and hence the buckets) agree bit-for-bit.
+    """
+    sig_exprs = []
+    for t in range(_N_TABLES):
+        cases = []
+        for j in range(_PLANES_PER_TABLE):
+            plane = "[" + ",".join(
+                repr(_plane_value(t, j, d)) for d in range(_DIM)
+            ) + "]"
+            cases.append(
+                f"CASE WHEN list_dot_product(emb, {plane}) > 0 "
+                f"THEN {1 << j} ELSE 0 END"
+            )
+        sig_exprs.append("(" + " + ".join(cases) + f") AS bucket{t}")
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, bucket{t} AS b FROM sig"
+        for t in range(_N_TABLES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sig AS (SELECT vec_id, {", ".join(sig_exprs)} FROM e),
+bands AS ({bands}),
+q AS (SELECT vec_id AS qid, t, b FROM bands WHERE vec_id < {_N_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.qid, c.vec_id AS cid
+  FROM q JOIN bands c ON q.t = c.t AND q.b = c.b
+),
+p AS (
+  SELECT cand.qid, cand.cid,
+    list_dot_product(qe.emb, ce.emb)
+      / (sqrt(list_dot_product(qe.emb, qe.emb)) * sqrt(list_dot_product(ce.emb, ce.emb)))
+      AS cos
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.qid
+  JOIN e ce ON ce.vec_id = cand.cid
+), r AS (
+  SELECT qid, cid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+  FROM p
+)
+SELECT qid, cid, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {_TOP_K} ORDER BY qid, rn
+"""
+
+
+@_q("q41c_ann_lsh", _lsh_oracle_sql())
 def q41c_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: candidates are vectors sharing the query's bucket
     in any of the 8 hash tables; exact cosine rescoring inside the
@@ -214,9 +266,6 @@ def q41c_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
         .orderBy("qid", "rn")
     )
-
-
-QUERIES["q41c_ann_lsh"] = q41c_ann_lsh
 
 
 @_q(
