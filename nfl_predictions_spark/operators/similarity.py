@@ -268,6 +268,90 @@ def q41c_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q42_BLOCK_CAP = 4096
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    block_cap: int = _Q42_BLOCK_CAP,
+) -> DataFrame:
+    """Embedding-cosine near-dup with metadata blocking: only same-label
+    pairs are compared (the blocking key is the shuffle partition), and
+    each block's pairwise cosines are one numpy matmul inside
+    applyInPandas — a pairwise expression join would evaluate an
+    interpreted dot per pair (~40x slower measured at sf0.1).
+
+    A block must fit one executor, and a skewed label must not get to
+    decide whether it does: labels above ``block_cap`` rows are
+    salt-split into ``s = ceil(n / block_cap)`` buckets by hashed id,
+    and every unordered salt pair (sa <= sb) becomes its own task — the
+    standard triangle partitioning of an all-pairs join. Each row is
+    replicated s times (once per partner bucket), each task holds at
+    most 2*block_cap rows, and each pair is produced exactly once: the
+    pair (x, y) lives only in the block keyed by its two salts. For
+    labels under the cap s == 1 and the plan degenerates to the simple
+    per-label block."""
+    import numpy as np
+
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    salted = (
+        emb.join(F.broadcast(sizes), "label")
+        .withColumn("s", F.ceil(F.col("n_label") / F.lit(block_cap)).cast("int"))
+        .withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.col("s")).cast("int"))
+    )
+    # Replicate each row to every salt-pair block it participates in:
+    # partner buckets t in [0, s); block key is (min(salt,t), max(salt,t)).
+    partnered = salted.select(
+        "label",
+        "vec_id",
+        "embedding",
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("t"),
+    ).select(
+        "label",
+        "vec_id",
+        "embedding",
+        "salt",
+        F.least("salt", "t").alias("sa"),
+        F.greatest("salt", "t").alias("sb"),
+    )
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        sa, sb = int(pdf["sa"].iloc[0]), int(pdf["sb"].iloc[0])
+        if sa == sb:
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = Xn @ Xn.T
+            i, j = np.triu_indices(len(ids), k=1)
+            mask = S[i, j] >= threshold
+            return pd.DataFrame(
+                {
+                    "d1": ids[i[mask]],
+                    "d2": ids[j[mask]],
+                    "cos": np.round(S[i[mask], j[mask]], 6),
+                }
+            )
+        a = pdf[pdf["salt"] == sa]
+        b = pdf[pdf["salt"] == sb]
+        ida, idb = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
+        A = np.array(a["embedding"].tolist(), dtype=np.float64)
+        B = np.array(b["embedding"].tolist(), dtype=np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = An @ Bn.T
+        i, j = np.nonzero(S >= threshold)
+        d1 = np.minimum(ida[i], idb[j])
+        d2 = np.maximum(ida[i], idb[j])
+        return pd.DataFrame({"d1": d1, "d2": d2, "cos": np.round(S[i, j], 6)})
+
+    return partnered.groupBy("label", "sa", "sb").applyInPandas(
+        block, schema="d1 long, d2 long, cos double"
+    )
+
+
 @_q(
     "q42_embedding_near_dup",
     """
@@ -283,37 +367,8 @@ def q41c_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q42_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup with metadata blocking: only same-label
-    pairs are compared (the blocking key is the shuffle partition), and
-    each block's pairwise cosines are one numpy matmul inside
-    applyInPandas — a pairwise expression join would evaluate an
-    interpreted dot per pair (~40x slower measured at sf0.1). Each block
-    must fit one executor; at 100 TB, blocks ARE the partitioning unit,
-    so that is the design constraint, not an accident."""
-    import numpy as np
-
-    def block(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        S = Xn @ Xn.T
-        i, j = np.triu_indices(len(ids), k=1)
-        mask = S[i, j] >= 0.4
-        return pd.DataFrame(
-            {
-                "d1": ids[i[mask]],
-                "d2": ids[j[mask]],
-                "cos": np.round(S[i[mask], j[mask]], 6),
-            }
-        )
-
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    return (
-        emb.groupBy("label")
-        .applyInPandas(block, schema="d1 long, d2 long, cos double")
-        .orderBy("d1", "d2")
-    )
+    return embedding_near_dup(emb).orderBy("d1", "d2")
 
 
 def q41d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

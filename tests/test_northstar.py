@@ -165,3 +165,31 @@ def test_chunking_overlap_and_coverage(spark):
         assert last.chunk_id * _CHUNK_STEP + last.n_tokens == len(toks)
         for c in cs[:-1]:
             assert c.n_tokens == _CHUNK_SIZE
+
+
+def test_embedding_near_dup_salt_split_matches_unsalted(spark):
+    """One oversized label forced through the salt-split path (tiny
+    block_cap) must produce exactly the same pair set as the single
+    per-label block - every pair exactly once, none lost at the salt
+    boundaries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.similarity import embedding_near_dup
+
+    rng = np.random.RandomState(7)
+    n, dim = 200, 16
+    base = rng.randn(8, dim)
+    rows = []
+    for i in range(n):
+        v = base[i % 8] + 0.05 * rng.randn(dim)  # clustered -> many pairs
+        rows.append((i, "hot", [float(x) for x in v]))
+    rows.append((n, "cold", [float(x) for x in rng.randn(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+
+    plain = embedding_near_dup(emb, block_cap=10_000).orderBy("d1", "d2")
+    salted = embedding_near_dup(emb, block_cap=16).orderBy("d1", "d2")
+    a = [(r.d1, r.d2, r.cos) for r in plain.collect()]
+    b = [(r.d1, r.d2, r.cos) for r in salted.collect()]
+    assert len(a) > 100  # the cluster actually generates pairs
+    assert a == b
