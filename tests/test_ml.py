@@ -8,6 +8,8 @@ and handleInvalid=error contracts are pinned explicitly.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -197,3 +199,59 @@ def test_feature_importance_invariants(spark):
     for model, rs in by_model.items():
         assert len(rs) == 8
         assert abs(sum(r.importance for r in rs) - 1.0) < 1e-3
+
+
+_SHIPPED_MODELS = "/root/reference/assets/static/assets"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(_SHIPPED_MODELS, "nfl_model_pass")),
+    reason="reference's shipped Spark 2.1 PipelineModel artifacts not present",
+)
+def test_shipped_model_golden_parity(spark):
+    """Serving-semantics parity against the reference's SHIPPED artifacts
+    (assets/static/assets/nfl_model_pass|run, Spark 2.1.0 persistence
+    format - loads cleanly under the current Spark): the engine's
+    vectorized score_best_play must be bit-identical to the reference's
+    own scoring path (assets/app_nfl.py:151-160, per-model transform of
+    an untyped one-row DataFrame) on the golden /api request
+    (assets/app_nfl.py:286).
+
+    Pinned observation: the code comment at assets/app_nfl.py:314
+    claims ('Running Play', 3.984419701538829, 5.375515688399204), but
+    the SHIPPED models produce (4.213519030614256, 5.338774165685845)
+    even through the reference's own code path - the comment predates
+    the shipped training run. Best play agrees ('Running Play'); the
+    regression values here are pinned to what the artifacts actually
+    produce, which is the strongest parity statement the shipped assets
+    support."""
+    from pyspark.ml import PipelineModel
+
+    from nfl_predictions_spark.ml.score import GOLDEN_REQUEST, score_best_play
+    from nfl_predictions_spark.schemas import SCORE_REQUEST_SCHEMA
+
+    p = PipelineModel.load(os.path.join(_SHIPPED_MODELS, "nfl_model_pass"))
+    r = PipelineModel.load(os.path.join(_SHIPPED_MODELS, "nfl_model_run"))
+
+    # Reference path, verbatim semantics (app_nfl.py:153-158).
+    input_df = spark.createDataFrame(
+        [(3, 3, 60, 50, 8, 15, 920, "PIT", "NE", "Run")],
+        "qtr long, down long, TimeSecs long, yrdline100 long, ydstogo long, "
+        "ydsnet long, month_day long, posteam string, DefensiveTeam string, "
+        "PlayType_lag string",
+    )
+    ref_pass = p.transform(input_df).select("prediction").collect()[0][0]
+    ref_run = r.transform(input_df).select("prediction").collect()[0][0]
+    assert ("Passing Play" if ref_pass > ref_run else "Running Play") == "Running Play"
+    assert ref_pass == pytest.approx(4.213519030614256, abs=1e-12)
+    assert ref_run == pytest.approx(5.338774165685845, abs=1e-12)
+
+    # Engine path on the same artifacts: bit-identical predictions.
+    row = tuple(GOLDEN_REQUEST[f.name] for f in SCORE_REQUEST_SCHEMA.fields)
+    df = spark.createDataFrame([row], SCORE_REQUEST_SCHEMA)
+    out = score_best_play(p, r, df).select(
+        "best_play", "passing_yards", "running_yards"
+    ).collect()[0]
+    assert out.best_play == "Running Play"
+    assert out.passing_yards == ref_pass
+    assert out.running_yards == ref_run
