@@ -34,13 +34,15 @@ HEADLINE = [
     "q27_json",
     "q30_grouped_normalize",
     "q30b_grouped_normalize_expr",
-    # north-star ops
+    # north-star ops (production paths only: the intentionally-quadratic
+    # exact baselines like q39b stay correctness-only, outside the bench)
     "q38_dedup_exact",
     "q39_minhash_lsh_pairs",
-    "q39b_ngram_jaccard_pairs",
     "q40_token_stats",
     "q41_ann_topk",
+    "q41c_ann_lsh",
     "q42_embedding_near_dup",
+    "q91_decontamination",
     # extended + scale patterns
     "q63_asof_join",
     "q44_pivot",
