@@ -147,7 +147,6 @@ def q95_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("id")).distinct()
-    n = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(_PR_ITERS):

@@ -99,8 +99,7 @@ def q40b_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     sw = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.array_intersect(toks, sw))  # NOTE: set semantics — see below
-    # array_intersect dedups; we need multiset counts, so filter instead:
+    # multiset count (array_intersect would dedup):
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
     n_punct = F.length("text") - F.length(
         F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
@@ -315,6 +314,9 @@ def q90_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT probes.probe, probes.src, names.p_name AS cand_name,
              levenshtein(probes.probe, names.p_name) AS dist
       FROM probes JOIN names ON substr(probes.probe, 1, 1) = substr(names.p_name, 1, 1)
+       AND floor(length(names.p_name) / 2)
+             BETWEEN floor(length(probes.probe) / 2) - 1
+                 AND floor(length(probes.probe) / 2) + 1
       WHERE levenshtein(probes.probe, names.p_name) <= 2
     )
     SELECT probe, src,
@@ -328,26 +330,39 @@ def q98_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching (edit-distance record linkage): corrupt
     every distinct part name deterministically (drop its 3rd char),
     then link each corrupted probe back to the catalog via
-    ``levenshtein <= 2`` with FIRST-LETTER BLOCKING — the blocking key
-    turns an all-pairs O(|probes| x |names|) comparison into an
-    equi-join per block, which is the only way edit-distance linkage
-    survives at catalog scale (blocks shrink the cross product by the
-    block-count factor; salting a hot block composes from q51). Best
-    match = min (distance, name) — every probe must re-find its source
-    at distance 1, near-collisions surface as extra candidates. Both
-    engines implement the same unweighted Levenshtein, so the oracle
-    checks values exactly."""
+    ``levenshtein <= 2`` with (FIRST LETTER, LENGTH BAND) BLOCKING —
+    the blocking key turns an all-pairs O(|probes| x |names|) comparison
+    into an equi-join per block, which is the only way edit-distance
+    linkage survives at catalog scale. First letter alone is a 26-way
+    split that skews on hot initials; adding a width-2 length band
+    multiplies the block count by the length spread. The band is
+    lossless for this threshold: dist <= 2 bounds the length gap at 2,
+    so the candidate's band differs from the probe's by at most 1, and
+    the probe side explodes to its three adjacent bands (3x probe
+    duplication — the cheap side — in exchange for much finer blocks on
+    the big side; each true pair still meets exactly once since a
+    candidate has one band). Best match = min (distance, name) — every
+    probe must re-find its source at distance 1. Both engines implement
+    the same unweighted Levenshtein and the same blocking, so the
+    oracle checks values exactly."""
     names = table(spark, sf_dir, "part").select("p_name").distinct()
+    band = F.floor(F.length("p_name") / 2)
+    names_b = names.withColumn("band", band)
     probes = names.select(
         F.col("p_name").alias("src"),
         F.concat(
             F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
         ).alias("probe"),
     )
+    pband = F.floor(F.length("probe") / 2)
+    probes_b = probes.withColumn(
+        "band", F.explode(F.array(pband - 1, pband, pband + 1))
+    )
     cand = (
-        probes.join(
-            names,
-            F.substring(F.col("probe"), 1, 1) == F.substring(F.col("p_name"), 1, 1),
+        probes_b.join(
+            names_b,
+            (F.substring(F.col("probe"), 1, 1) == F.substring(F.col("p_name"), 1, 1))
+            & (probes_b["band"] == names_b["band"]),
         )
         .withColumn("dist", F.levenshtein("probe", "p_name"))
         .filter(F.col("dist") <= 2)
