@@ -33,6 +33,7 @@ def _registry():
         "timeseries",
         "interval",
         "graph",
+        "llmprep",
     ):
         try:
             import importlib

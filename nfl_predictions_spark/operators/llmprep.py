@@ -1,0 +1,418 @@
+"""LLM training-data preparation operators (round-2 widening of the
+north-star suite; SURVEY §2B Q38-Q40 family).
+
+Five pipeline stages a 100 TB pretraining-corpus build needs between
+raw ingest and the tokenizer, each as a pure Catalyst plan with a full
+DuckDB oracle:
+
+- q106_repetition_stats — Gopher-style repetition quality signals
+  (duplicate-token and duplicate-bigram fractions per doc, rolled up
+  per language). Scan + per-row array expressions + one agg; no UDFs.
+- q107_pii_redaction — regex redaction of emails/IPv4s with per-doc
+  match counts. PII is injected deterministically from doc_id first so
+  the redaction path is actually exercised by data that contains PII.
+- q108_hash_split — deterministic content-hash train/val/test split
+  (md5-derived bucket in [0,100)): reproducible on any cluster, no RNG
+  state, stable under re-partitioning — the property a resumable
+  pipeline needs.
+- q109_token_shards — token-offset sharding (the "concatenate and cut
+  every B tokens" step before sequence packing) via a SCALABLE prefix
+  sum: per-group subtotals -> tiny broadcast prefix -> within-group
+  cumulative window. A naive global cumsum window has ONE partition at
+  100 TB; this shape keeps every wide stage keyed and bounded.
+- q110_unigram_logprob — unigram language-model quality score: corpus
+  token frequencies (broadcast, vocabulary-sized) scoring each doc's
+  mean log-probability — the cheap statistical proxy for
+  perplexity-based quality filtering.
+
+All five consume the synthetic ``documents`` table. No reference
+counterpart exists (the reference has no corpus tooling); these follow
+the public Gopher/CCNet-style recipes re-expressed as Spark plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q106 — repetition quality signals
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = "[ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]"
+
+
+@_q(
+    "q106_repetition_stats",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+    g AS (SELECT doc_id, lang, ts, {_BIGRAM_SQL} AS bg FROM tok),
+    per_doc AS (
+      SELECT doc_id, lang,
+        round(1.0 - len(list_distinct(ts)) * 1.0 / len(ts), 6) AS dup_token_frac,
+        CASE WHEN len(bg) > 0
+             THEN round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6)
+             ELSE 0.0 END AS dup_bigram_frac
+      FROM g
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+      round(avg(dup_token_frac), 6) AS avg_dup_token_frac,
+      round(avg(dup_bigram_frac), 6) AS avg_dup_bigram_frac,
+      CAST(sum(CASE WHEN dup_token_frac > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS flagged
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def q106_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per the public Gopher quality-filter recipe:
+    fraction of duplicated tokens and duplicated 2-grams per document,
+    rolled up per language with a >30% flag count. Everything is
+    per-row array arithmetic inside codegen (split / slice / arrays_zip
+    / array_distinct) followed by one map-side-combinable aggregate —
+    per-doc cost is O(tokens), the shuffle carries only (lang, 4
+    doubles), so the plan is scan-bound at any corpus size."""
+    toks = F.split(F.col("text"), " ")
+    m = F.size("ts") - 1
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", toks.alias("ts"))
+        .withColumn(
+            "bg",
+            F.when(
+                m >= 1,
+                F.transform(
+                    F.arrays_zip(
+                        F.slice("ts", 1, m), F.slice("ts", 2, m)
+                    ),
+                    lambda g: F.concat_ws(" ", g["0"], g["1"]),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    per_doc = docs.select(
+        "lang",
+        F.round(
+            1.0 - F.size(F.array_distinct("ts")) / F.size("ts"), 6
+        ).alias("dup_token_frac"),
+        F.when(
+            F.size("bg") > 0,
+            F.round(1.0 - F.size(F.array_distinct("bg")) / F.size("bg"), 6),
+        )
+        .otherwise(0.0)
+        .alias("dup_bigram_frac"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("dup_token_frac"), 6).alias("avg_dup_token_frac"),
+            F.round(F.avg("dup_bigram_frac"), 6).alias("avg_dup_bigram_frac"),
+            F.sum(
+                F.when(F.col("dup_token_frac") > 0.3, 1).otherwise(0)
+            ).alias("flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — PII redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]{2,4}"
+_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@_q(
+    "q107_pii_redaction",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+        text || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@mail' || (doc_id % 7) || '.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                     ELSE '' END AS text
+      FROM documents
+    ), red AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+        len(regexp_extract_all(text, '{_IPV4_RE}')) AS n_ip,
+        regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_IPV4_RE}', '<IP>', 'g') AS clean
+      FROM aug
+    )
+    SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, CAST(n_ip AS BIGINT) AS n_ip,
+           md5(clean) AS clean_md5
+    FROM red WHERE n_email > 0 OR n_ip > 0 ORDER BY doc_id
+    """,
+)
+def q107_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact email / IPv4 literals per document,
+    returning match counts and an md5 of the redacted text (byte-level
+    cross-engine parity without shipping the text back). The synthetic
+    corpus contains no PII, so deterministic PII is first injected as a
+    function of doc_id — the oracle injects identically, so the regex
+    engines are compared on text that genuinely matches. Pure
+    regexp_replace/count expressions: codegen, no UDFs, scan-bound."""
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).cast(
+            "long"
+        ).alias("n_email"),
+        F.size(F.regexp_extract_all("text", F.lit(_IPV4_RE), F.lit(0))).cast(
+            "long"
+        ).alias("n_ip"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        red.filter((F.col("n_email") > 0) | (F.col("n_ip") > 0))
+        .select("doc_id", "n_email", "n_ip", "clean_md5")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q108 — deterministic content-hash split
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q108_hash_split",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+        (ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1)))
+          % 100 AS bucket
+      FROM documents
+    ), s AS (
+      SELECT lang,
+        CASE WHEN bucket < 90 THEN 'train'
+             WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS docs
+    FROM s GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def q108_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split keyed on a content
+    hash (two md5 hex chars -> bucket in [0,100)): the split of a
+    document never depends on partitioning, row order, cluster size, or
+    an RNG seed file — re-running the pipeline anywhere reproduces the
+    same membership, and a changed document migrates buckets atomically.
+    Per-language counts verify the split is also roughly stratified.
+    Pure expressions + one small agg; scan-bound at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.ascii(F.substring(F.md5("text"), 1, 1)) * 256
+        + F.ascii(F.substring(F.md5("text"), 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("lang", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109 — token-offset sharding via scalable prefix sum
+# ---------------------------------------------------------------------------
+
+_SHARD_TOKENS = 4096
+_PREFIX_GROUP = 500  # docs per prefix group (tune to ~partition size at scale)
+
+
+@_q(
+    "q109_token_shards",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), o AS (
+      SELECT doc_id, n_tok,
+        sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS start_raw
+      FROM t
+    ), s AS (
+      SELECT doc_id, n_tok, COALESCE(start_raw, 0) AS start_off,
+        COALESCE(start_raw, 0) // {_SHARD_TOKENS} AS shard,
+        CASE WHEN (COALESCE(start_raw, 0) + n_tok - 1) // {_SHARD_TOKENS}
+                  <> COALESCE(start_raw, 0) // {_SHARD_TOKENS}
+             THEN 1 ELSE 0 END AS straddles
+      FROM o
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS docs,
+           sum(n_tok) AS tokens, CAST(sum(straddles) AS BIGINT) AS straddlers,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def q109_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-offset sharding — the "concatenate the corpus in doc_id
+    order and cut every {B} tokens" step that precedes sequence packing.
+    The offsets are a global prefix sum, and the naive form (a window
+    over ORDER BY doc_id with no partition key) collapses to ONE
+    partition. This plan uses the scalable two-phase shape instead:
+
+    1. group docs into doc_id ranges; per-group token subtotals
+       (map-side combinable agg — tiny result, one row per group);
+    2. prefix-sum the subtotals inside a window over the GROUP table
+       (thousands of rows at 100 TB — negligible) and broadcast-join
+       the group base offsets back;
+    3. within-group running sum, window PARTITIONED BY the group key.
+
+    Every wide stage is either keyed (per-group window) or operates on
+    the group-count-sized table; nothing serializes the corpus through
+    one task. The oracle states the same semantics as the naive global
+    window, proving the decomposition exact."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    g = docs.withColumn("grp", F.floor(F.col("doc_id") / _PREFIX_GROUP))
+    # Phase 1+2: per-group subtotals, prefix over the tiny group table.
+    wg = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        g.groupBy("grp")
+        .agg(F.sum("n_tok").alias("g_tok"))
+        .withColumn("g_base", F.coalesce(F.sum("g_tok").over(wg), F.lit(0)))
+        .select("grp", "g_base")
+    )
+    # Phase 3: within-group running sum on the corpus, keyed window.
+    ww = Window.partitionBy("grp").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    s = (
+        g.join(F.broadcast(bases), "grp")
+        .withColumn(
+            "start_off",
+            F.col("g_base") + F.coalesce(F.sum("n_tok").over(ww), F.lit(0)),
+        )
+        .withColumn("shard", F.floor(F.col("start_off") / _SHARD_TOKENS))
+        .withColumn(
+            "straddles",
+            (
+                F.floor((F.col("start_off") + F.col("n_tok") - 1) / _SHARD_TOKENS)
+                != F.col("shard")
+            ).cast("int"),
+        )
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.sum("straddles").cast("long").alias("straddlers"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110 — unigram-LM quality score
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q110_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), freq AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY t
+    ), tot AS (SELECT sum(c) AS n FROM freq),
+    scored AS (
+      SELECT tok.doc_id, avg(ln(freq.c * 1.0 / tot.n)) AS mean_lp
+      FROM tok JOIN freq ON tok.t = freq.t CROSS JOIN tot
+      GROUP BY tok.doc_id
+    ), ranked AS (
+      SELECT doc_id, round(mean_lp, 6) AS mean_logprob,
+             row_number() OVER (ORDER BY mean_lp DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, mean_logprob, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20 ORDER BY rn
+    """,
+)
+def q110_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the cheap statistical proxy for
+    perplexity-based quality filtering (CCNet uses a 5-gram KenLM; the
+    unigram case is the same dataflow): corpus term frequencies form
+    the model, each document scores as the mean log-probability of its
+    tokens, top 20 most-probable docs returned. The model table is
+    vocabulary-sized -> broadcast; the corpus side is exploded tokens
+    with a map-side-combinable per-doc agg. mean_lp is an avg of ~100
+    doubles — both engines agg in float64 and round to 6, and the
+    per-doc token join order cannot perturb avg() beyond that rounding.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("c") / F.col("n"))).alias("mean_lp"))
+    )
+    w = Window.orderBy(F.desc("mean_lp"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "doc_id", F.round("mean_lp", 6).alias("mean_logprob"), "rn"
+        )
+        .orderBy("rn")
+    )
