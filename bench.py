@@ -43,6 +43,7 @@ HEADLINE = [
     "q41c_ann_lsh",
     "q42_embedding_near_dup",
     "q91_decontamination",
+    "q111_corpus_pipeline",
     # extended + scale patterns
     "q63_asof_join",
     "q44_pivot",

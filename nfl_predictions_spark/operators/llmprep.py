@@ -416,3 +416,122 @@ def q110_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — the full corpus build as ONE plan
+# ---------------------------------------------------------------------------
+
+
+def _corpus_pipeline_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _DECON_N
+    from nfl_predictions_spark.operators.text import _STOPWORDS
+
+    sw = "['" + "','".join(_STOPWORDS) + "']"
+    shingle = (
+        f"list_distinct([array_to_string(ts[i : i + {_DECON_N - 1}],' ') "
+        f"for i in range(1, len(ts) - {_DECON_N - 2})])"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, text, string_split(text,' ') AS ts,
+         len(string_split(text,' ')) AS n,
+         len(list_filter(string_split(text,' '), x -> list_contains({sw}, x))) AS n_stop,
+         length(text) - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g')) AS n_punct
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, text, ts, n FROM t
+  WHERE n BETWEEN 20 AND 80 AND n_stop*1.0/n BETWEEN 0.05 AND 0.6
+    AND n_punct*1.0/length(text) < 0.1 AND doc_id % 50 <> 0
+), d AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q
+), surv AS (SELECT doc_id, lang, text, ts, n FROM d WHERE rn = 1),
+evsh AS (
+  SELECT DISTINCT unnest({shingle}) AS s
+  FROM t WHERE doc_id % 50 = 0 AND len(ts) >= {_DECON_N}
+), tsh AS (
+  SELECT doc_id, unnest({shingle}) AS s
+  FROM surv WHERE len(ts) >= {_DECON_N}
+), contaminated AS (SELECT DISTINCT tsh.doc_id FROM tsh JOIN evsh USING (s)),
+clean AS (SELECT surv.* FROM surv LEFT JOIN contaminated c ON surv.doc_id = c.doc_id
+          WHERE c.doc_id IS NULL),
+sp AS (
+  SELECT lang, n,
+    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT lang, n,
+          (ascii(substr(md5(text),1,1))*256 + ascii(substr(md5(text),2,1))) % 100 AS b
+        FROM clean)
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS docs, sum(n) AS tokens
+FROM sp GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+@_q("q111_corpus_pipeline", _corpus_pipeline_oracle())
+def q111_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-corpus build as ONE composed Catalyst plan:
+
+        quality gate (q40b rule) -> exact dedup survivor (q38b rule)
+        -> benchmark decontamination (q91 rule, broadcast eval side)
+        -> deterministic hash split (q108 rule)
+        -> per-(lang, split) doc/token accounting
+
+    Composition is the point: each stage is the operator already
+    oracle-checked in isolation, and because everything stays
+    declarative, Catalyst fuses the quality filter into the scan,
+    plans ONE shuffle for the dedup window, broadcasts the (tiny) eval
+    shingle set and the contaminated-id set, and map-side-combines the
+    final agg. At 100 TB nothing in this plan materializes an
+    intermediate corpus copy - the anti-join and filters stream."""
+    from nfl_predictions_spark.operators.dedup import _DECON_N, shingle_rows
+    from nfl_predictions_spark.operators.text import _STOPWORDS
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+    )
+    is_eval = F.col("doc_id") % 50 == 0
+
+    quality = (
+        docs.withColumn("n", n)
+        .filter(
+            F.col("n").between(20, 80)
+            & (n_stop / F.col("n")).between(0.05, 0.6)
+            & (n_punct / F.length("text") < 0.1)
+            & ~is_eval
+        )
+        .select("doc_id", "lang", "text", "n")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    surv = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    evsh = (
+        shingle_rows(docs.filter(is_eval), n=_DECON_N)
+        .select("s")
+        .distinct()
+    )
+    contaminated = (
+        shingle_rows(surv, n=_DECON_N)
+        .join(F.broadcast(evsh), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = surv.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    bucket = (
+        F.ascii(F.substring(F.md5("text"), 1, 1)) * 256
+        + F.ascii(F.substring(F.md5("text"), 2, 1))
+    ) % 100
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    return (
+        clean.select("lang", "n", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n").alias("tokens"))
+        .orderBy("lang", "split")
+    )
