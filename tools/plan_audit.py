@@ -29,6 +29,7 @@ ALLOW = {
         "q41_ann_topk",
         "q46_scalar_subquery",
         "q41d_ann_ivf",  # query x centroid table: nlist x dim broadcast, intended
+        "q110_unigram_logprob",  # 1-row corpus-total broadcast, intended
     },
 }
 
