@@ -535,3 +535,51 @@ def q111_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("docs"), F.sum("n").alias("tokens"))
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reusable quality rule (shared with the streaming corpus ingest, q112)
+# ---------------------------------------------------------------------------
+
+#: DuckDB CTE body stating the same rule as ``quality_docs`` (callers
+#: interpolate it as  WITH t AS (...), q AS ({QUALITY_SQL})  ...).
+QUALITY_SQL = """
+  SELECT doc_id, lang, text, n FROM (
+    SELECT doc_id, lang, text,
+      len(string_split(text,' ')) AS n,
+      len(list_filter(string_split(text,' '),
+          x -> list_contains({sw}, x))) AS n_stop,
+      length(text) - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g'))
+        AS n_punct
+    FROM documents
+  ) WHERE n BETWEEN 20 AND 80 AND n_stop*1.0/n BETWEEN 0.05 AND 0.6
+    AND n_punct*1.0/length(text) < 0.1
+"""
+
+
+def quality_docs(docs: DataFrame) -> DataFrame:
+    """The q40b quality gate as a reusable streaming-safe filter:
+    returns (doc_id, lang, text, n) for documents passing the
+    length-band / stopword-ratio / punctuation-density rule. Pure row
+    expressions, so it applies identically to a batch frame or a
+    micro-batch inside foreachBatch."""
+    from nfl_predictions_spark.operators.text import _STOPWORDS
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+    )
+    return docs.withColumn("n", n).filter(
+        F.col("n").between(20, 80)
+        & (n_stop / F.col("n")).between(0.05, 0.6)
+        & (n_punct / F.length("text") < 0.1)
+    ).select("doc_id", "lang", "text", "n")
+
+
+def quality_sql() -> str:
+    from nfl_predictions_spark.operators.text import _STOPWORDS
+
+    return QUALITY_SQL.format(sw="['" + "','".join(_STOPWORDS) + "']")

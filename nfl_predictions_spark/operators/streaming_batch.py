@@ -15,7 +15,7 @@ from __future__ import annotations
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nfl_predictions_spark.streaming.sources import events_file_stream
@@ -588,3 +588,99 @@ def q100_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return run_to_batch(spark, enriched, mode="complete").orderBy("n_name")
+
+
+def _q112_oracle() -> str:
+    from nfl_predictions_spark.operators.llmprep import quality_sql
+
+    return f"""
+WITH q AS ({quality_sql()}),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM q
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS docs, sum(n) AS tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM d WHERE rn = 1 GROUP BY lang ORDER BY lang
+"""
+
+
+@_q("q112_streaming_corpus_ingest", _q112_oracle())
+def q112_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion — the streaming form of the batch
+    corpus build: documents arrive as doc_id-ordered micro-batches; each
+    batch is quality-filtered (q40b rule), deduplicated within itself,
+    anti-joined against the ACCUMULATED digest state, and the survivors
+    appended as an immutable per-batch file recorded in an exactly-once
+    manifest (streaming/state.py — append-only variant of q96's
+    versioned-pointer pattern, so a retried batch can never double-add).
+
+    Work per batch is proportional to NEW data: the corpus is never
+    rewritten, the only reread is the digest column of accepted state
+    for the anti-join (16 bytes/doc; at 100 TB this is the dedup-index
+    table a lake format would keep — and the anti-join shuffles only
+    the new batch against it). Because arrival order == doc_id order
+    and first-seen wins, the final state equals the batch "lowest
+    doc_id per digest" survivor rule, which is exactly what the oracle
+    states — an incremental computation certified against its batch
+    equivalent."""
+    import os
+
+    from nfl_predictions_spark.operators.llmprep import quality_docs
+    from nfl_predictions_spark.streaming.sources import documents_file_stream
+    from nfl_predictions_spark.streaming.state import (
+        commit_batch,
+        data_dirs,
+        read_manifest,
+    )
+
+    root = tempfile.mkdtemp(prefix="nflspark_corpus_")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        meta = read_manifest(root)
+        if batch_id in meta["applied"]:
+            return  # retried attempt of a committed batch
+        sess = batch_df.sparkSession
+        qual = quality_docs(batch_df).withColumn("digest", F.md5("text"))
+        w = Window.partitionBy("digest").orderBy("doc_id")
+        accepted = (
+            qual.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        seen = data_dirs(root, meta)
+        if seen:
+            state_digests = sess.read.parquet(*seen).select("digest")
+            accepted = accepted.join(state_digests, "digest", "left_anti")
+        out = os.path.join(root, f"b{batch_id}")
+        accepted.write.mode("overwrite").parquet(out)
+        rows = sess.read.parquet(out).count() if os.path.isdir(out) else 0
+        commit_batch(root, meta, batch_id, f"b{batch_id}", rows)
+
+    stream = documents_file_stream(spark, sf_dir)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="nflspark_corpusck_"))
+            .start()
+        )
+        assert q.awaitTermination(300), "q112 stream did not finish within 300 s"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    meta = read_manifest(root)
+    dirs = data_dirs(root, meta)
+    assert dirs, "q112 ingested nothing"
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n").alias("tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )

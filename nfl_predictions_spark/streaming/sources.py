@@ -117,3 +117,62 @@ def events_file_stream(
 
 def checkpoint_dir() -> str:
     return tempfile.mkdtemp(prefix="nflspark_ck_")
+
+
+def stage_document_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Documents as n doc_id-ordered chunk files (contiguous id ranges,
+    increasing mtimes) — the corpus-ingest stream: arrival order ==
+    doc_id order, so "first seen wins" dedup equals "lowest doc_id
+    wins". Same atomic build-then-rename staging as the event chunks."""
+    key = f"docs_{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}"
+    base = os.path.join(tempfile.gettempdir(), "nfl_predictions_spark", "stream")
+    root = os.path.join(base, key)
+    in_dir = os.path.join(root, "in")
+    marker = os.path.join(root, "_done")
+    if os.path.exists(marker):
+        return in_dir
+    os.makedirs(base, exist_ok=True)
+    build_root = tempfile.mkdtemp(prefix=f".{key}_build_", dir=base)
+    build_in = os.path.join(build_root, "in")
+    os.makedirs(build_in)
+
+    df = table(spark, sf_dir, "documents")
+    n = df.count()
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id")
+    ranked = df.withColumn(
+        "chunk", ((F.row_number().over(w) - 1) * n_chunks / n).cast("int")
+    )
+    for i in range(n_chunks):
+        part = ranked.filter(F.col("chunk") == i).drop("chunk")
+        tmpout = os.path.join(build_root, "tmpout")
+        part.coalesce(1).write.mode("overwrite").parquet(tmpout)
+        src = glob.glob(os.path.join(tmpout, "part-*.parquet"))[0]
+        dst = os.path.join(build_in, f"chunk{i:03d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(os.path.join(build_root, "tmpout"), ignore_errors=True)
+    with open(os.path.join(build_root, "_done"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(build_root, root)
+    except OSError:
+        if os.path.exists(marker):
+            shutil.rmtree(build_root, ignore_errors=True)
+        else:
+            shutil.rmtree(root, ignore_errors=True)
+            os.rename(build_root, root)
+    return in_dir
+
+
+def documents_file_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    in_dir = stage_document_chunks(spark, sf_dir, n_chunks)
+    schema = table(spark, sf_dir, "documents").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )

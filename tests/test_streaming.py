@@ -247,3 +247,30 @@ def test_analyze_table_feeds_cbo_stats(spark):
         "col_name = 'Statistics'"
     ).first()
     assert row is not None and "rows" in row.data_type
+
+
+def test_exactly_once_manifest_semantics(tmp_path):
+    """The append-only manifest: batch ids record exactly once, empty
+    dirs are skipped by readers, and the commit is an atomic pointer
+    replace (the tmp file never survives)."""
+    import os
+
+    from nfl_predictions_spark.streaming.state import (
+        commit_batch,
+        data_dirs,
+        read_manifest,
+    )
+
+    root = str(tmp_path)
+    meta = read_manifest(root)
+    assert meta == {"applied": [], "dirs": []}
+    commit_batch(root, meta, 0, "b0", rows=10)
+    meta = read_manifest(root)
+    assert meta["applied"] == [0]
+    # a retried batch 0 is detected by the caller via `applied`
+    assert 0 in meta["applied"]
+    commit_batch(root, meta, 1, "b1", rows=0)  # empty batch commits too
+    meta = read_manifest(root)
+    assert meta["applied"] == [0, 1]
+    assert data_dirs(root, meta) == [os.path.join(root, "b0")]  # empty skipped
+    assert not [f for f in os.listdir(root) if f.startswith(".MANIFEST.tmp")]
