@@ -590,6 +590,45 @@ def q100_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(spark, enriched, mode="complete").orderBy("n_name")
 
 
+def corpus_ingest_fn(root: str):
+    """foreachBatch function for the incremental corpus build: quality
+    gate, in-batch dedup, anti-join against accumulated digest state,
+    append survivors under an exactly-once manifest. Exposed at module
+    level so tests can drive a RETRY directly (same batch_id twice must
+    be a no-op the second time)."""
+    import os
+
+    from nfl_predictions_spark.operators.llmprep import quality_docs
+    from nfl_predictions_spark.streaming.state import (
+        commit_batch,
+        data_dirs,
+        read_manifest,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        meta = read_manifest(root)
+        if batch_id in meta["applied"]:
+            return  # retried attempt of a committed batch
+        sess = batch_df.sparkSession
+        qual = quality_docs(batch_df).withColumn("digest", F.md5("text"))
+        w = Window.partitionBy("digest").orderBy("doc_id")
+        accepted = (
+            qual.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        seen = data_dirs(root, meta)
+        if seen:
+            state_digests = sess.read.parquet(*seen).select("digest")
+            accepted = accepted.join(state_digests, "digest", "left_anti")
+        out = os.path.join(root, f"b{batch_id}")
+        accepted.write.mode("overwrite").parquet(out)
+        rows = sess.read.parquet(out).count() if os.path.isdir(out) else 0
+        commit_batch(root, meta, batch_id, f"b{batch_id}", rows)
+
+    return ingest
+
+
 def _q112_oracle() -> str:
     from nfl_predictions_spark.operators.llmprep import quality_sql
 
@@ -624,39 +663,11 @@ def q112_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id per digest" survivor rule, which is exactly what the oracle
     states — an incremental computation certified against its batch
     equivalent."""
-    import os
-
-    from nfl_predictions_spark.operators.llmprep import quality_docs
     from nfl_predictions_spark.streaming.sources import documents_file_stream
-    from nfl_predictions_spark.streaming.state import (
-        commit_batch,
-        data_dirs,
-        read_manifest,
-    )
+    from nfl_predictions_spark.streaming.state import data_dirs, read_manifest
 
     root = tempfile.mkdtemp(prefix="nflspark_corpus_")
-
-    def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        meta = read_manifest(root)
-        if batch_id in meta["applied"]:
-            return  # retried attempt of a committed batch
-        sess = batch_df.sparkSession
-        qual = quality_docs(batch_df).withColumn("digest", F.md5("text"))
-        w = Window.partitionBy("digest").orderBy("doc_id")
-        accepted = (
-            qual.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        seen = data_dirs(root, meta)
-        if seen:
-            state_digests = sess.read.parquet(*seen).select("digest")
-            accepted = accepted.join(state_digests, "digest", "left_anti")
-        out = os.path.join(root, f"b{batch_id}")
-        accepted.write.mode("overwrite").parquet(out)
-        rows = sess.read.parquet(out).count() if os.path.isdir(out) else 0
-        commit_batch(root, meta, batch_id, f"b{batch_id}", rows)
-
+    ingest = corpus_ingest_fn(root)
     stream = documents_file_stream(spark, sf_dir)
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -274,3 +274,49 @@ def test_exactly_once_manifest_semantics(tmp_path):
     assert meta["applied"] == [0, 1]
     assert data_dirs(root, meta) == [os.path.join(root, "b0")]  # empty skipped
     assert not [f for f in os.listdir(root) if f.startswith(".MANIFEST.tmp")]
+
+
+def test_corpus_ingest_retry_is_noop(spark, tmp_path):
+    """Drive the q112 foreachBatch function directly and RETRY a batch:
+    the second application of the same batch_id must not change state -
+    the failure mode the driver caught in q96 round 1."""
+    from pyspark.sql import Row
+
+    from nfl_predictions_spark.operators.streaming_batch import corpus_ingest_fn
+    from nfl_predictions_spark.streaming.state import data_dirs, read_manifest
+
+    root = str(tmp_path / "state")
+    import os
+
+    os.makedirs(root)
+    ingest = corpus_ingest_fn(root)
+    # 40 tokens, 25% stopwords, no punctuation -> passes the quality gate
+    text_ok = " ".join(f"tok{i} alpha{i} beta{i} the" for i in range(10))
+    b0 = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=text_ok, lang="en", source="s", n_chars=1),
+            Row(doc_id=2, text=text_ok, lang="en", source="s", n_chars=1),  # dup of 1
+        ]
+    )
+    b1 = spark.createDataFrame(
+        [
+            Row(doc_id=3, text=text_ok, lang="en", source="s", n_chars=1),  # dup of 1
+            Row(doc_id=4, text=text_ok + " extra", lang="en", source="s", n_chars=1),
+        ]
+    )
+    ingest(b0, 0)
+    ingest(b1, 1)
+
+    def state_rows():
+        meta = read_manifest(root)
+        dirs = data_dirs(root, meta)
+        return sorted(
+            (r.doc_id, r.digest) for r in spark.read.parquet(*dirs).collect()
+        )
+
+    before = state_rows()
+    assert [d for d, _ in before] == [1, 4]  # in-batch + cross-batch dedup
+    ingest(b1, 1)  # Spark retries the batch function: same batch_id
+    ingest(b0, 0)  # even an out-of-order replay of an old batch
+    assert state_rows() == before
+    assert read_manifest(root)["applied"] == [0, 1]
