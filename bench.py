@@ -43,6 +43,9 @@ HEADLINE = [
     "q41c_ann_lsh",
     "q42_embedding_near_dup",
     "q91_decontamination",
+    "q106_repetition_stats",
+    "q108_hash_split",
+    "q109_token_shards",
     "q111_corpus_pipeline",
     # extended + scale patterns
     "q63_asof_join",
