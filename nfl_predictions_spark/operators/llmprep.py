@@ -583,3 +583,73 @@ def quality_sql() -> str:
     from nfl_predictions_spark.operators.text import _STOPWORDS
 
     return QUALITY_SQL.format(sw="['" + "','".join(_STOPWORDS) + "']")
+
+
+# ---------------------------------------------------------------------------
+# q113 — pipeline observability via df.observe
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q113_pipeline_observability",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        len(string_split(text,' ')) AS n,
+        len(list_filter(string_split(text,' '),
+            x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+          AS n_stop,
+        length(text) - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g'))
+          AS n_punct,
+        length(text) AS len_text
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS rows_in,
+      CAST(sum(CASE WHEN n BETWEEN 20 AND 80
+                     AND n_stop*1.0/n BETWEEN 0.05 AND 0.6
+                     AND n_punct*1.0/len_text < 0.1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS rows_kept,
+      sum(n) AS tokens_in
+    FROM t
+    """,
+)
+def q113_pipeline_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability with ``df.observe``: accumulator-style
+    metrics (rows in, rows passing the quality gate, total tokens)
+    collected DURING the pass itself — zero extra scans, zero extra
+    shuffles; the metrics ride the same tasks as the data. This is how
+    a production corpus build reports its attrition funnel without
+    re-aggregating 100 TB: observe() on each stage, one pass total.
+    The observed values are returned as a one-row DataFrame so the
+    driver can value-check them against the oracle's direct aggregate.
+    """
+    from pyspark.sql import Observation
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    from nfl_predictions_spark.operators.text import _STOPWORDS
+
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+    )
+    keep = (
+        n.between(20, 80)
+        & (n_stop / n).between(0.05, 0.6)
+        & (n_punct / F.length("text") < 0.1)
+    )
+    obs = Observation("corpus_funnel")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(keep.cast("long")).alias("rows_kept"),
+        F.sum(n.cast("long")).alias("tokens_in"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the single pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_in"], m["rows_kept"], m["tokens_in"])],
+        "rows_in long, rows_kept long, tokens_in long",
+    )

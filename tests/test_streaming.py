@@ -320,3 +320,73 @@ def test_corpus_ingest_retry_is_noop(spark, tmp_path):
     ingest(b0, 0)  # even an out-of-order replay of an old batch
     assert state_rows() == before
     assert read_manifest(root)["applied"] == [0, 1]
+
+
+def test_corpus_ingest_incremental_across_restarts(spark, tmp_path):
+    """True incrementality: run the corpus-ingest stream to completion,
+    then deliver MORE chunk files and restart with the same checkpoint
+    and state root. The restart must process only the new files (one
+    new applied batch), and the final state must equal the batch
+    survivor rule over the union of all arrivals."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.streaming_batch import corpus_ingest_fn
+    from nfl_predictions_spark.streaming.state import data_dirs, read_manifest
+
+    in_dir = str(tmp_path / "in")
+    root = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    os.makedirs(root)
+
+    def txt(seed):
+        return " ".join(f"tok{seed}x{i} alpha{i} beta{i} the" for i in range(10))
+
+    def stage(chunk_no, rows):
+        df = spark.createDataFrame(
+            [Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t)) for d, t in rows]
+        )
+        tmpout = str(tmp_path / f"tmpout{chunk_no}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmpout)
+        src = glob.glob(os.path.join(tmpout, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"chunk{chunk_no:03d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + chunk_no,) * 2)
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(corpus_ingest_fn(root))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    stage(0, [(0, txt(0)), (1, txt(1)), (2, txt(0))])  # 2 is dup of 0
+    run_stream()
+    meta1 = read_manifest(root)
+    s1 = sorted(
+        r.doc_id for r in spark.read.parquet(*data_dirs(root, meta1)).collect()
+    )
+    assert s1 == [0, 1]
+
+    stage(1, [(3, txt(1)), (4, txt(4))])  # 3 dups doc 1 from the first run
+    run_stream()
+    meta2 = read_manifest(root)
+    assert len(meta2["applied"]) == len(meta1["applied"]) + 1  # only new work
+    s2 = sorted(
+        r.doc_id for r in spark.read.parquet(*data_dirs(root, meta2)).collect()
+    )
+    assert s2 == [0, 1, 4]
