@@ -2,12 +2,13 @@
 
 Images/audio/video are opaque ``binary`` payloads with typed metadata
 (schemas.MEDIA_SCHEMA). The Spark-side plumbing — schema, partitioning,
-Arrow batch shape, UDF signatures — is real and tested; the actual
-codec decode is STUBBED: the image/audio libraries are not in this
-container, so ``decode_media_real`` raises NotImplementedError behind
-an import-try, and ``extract_features`` computes deterministic
-byte-level statistics instead (a stand-in with the same dataflow shape
-as a real decode -> feature-extract stage).
+Arrow batch shape, UDF signatures — is real and tested. Codec status:
+the IMAGE path is REAL for PNG (``png_encode``/``png_decode``: stdlib
+zlib inflate + defilter with CRC verification, exercised end-to-end by
+q114); jpeg/audio/video decodes remain gated behind
+``decode_media_real`` (their libraries are not in this container), with
+``extract_features`` as the deterministic byte-level stand-in keeping
+the same dataflow shape.
 
 Scale notes: payloads never pass through Python row-at-a-time —
 ``mapInPandas`` streams Arrow record batches, so each executor touches
@@ -191,3 +192,153 @@ ORACLE["q97_image_header_parse"] = (
     "CAST(i % 1000 + 1 AS INT) AS width, CAST(i % 777 + 1 AS INT) AS height, "
     "TRUE AS sig_ok FROM (SELECT unnest(range(0, 500)) AS i) ORDER BY img_id"
 )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (stdlib-only: zlib + struct; PNG spec is public) —
+# upgrades the decode stage from a byte-stats stand-in to an actual
+# encode -> decode -> feature-extract round trip for the image modality.
+# ---------------------------------------------------------------------------
+
+
+def png_encode(arr) -> bytes:
+    """Minimal valid PNG writer: 8-bit RGB, filter 0 scanlines, one
+    IDAT, real CRCs. ``arr`` is uint8 (h, w, 3)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes):
+    """Minimal PNG reader for the subset png_encode emits (8-bit RGB,
+    filter 0), with signature + per-chunk CRC verification. Returns a
+    uint8 (h, w, 3) numpy array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, idat, w, h = 8, b"", None, None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
+            if (bit_depth, color_type) != (8, 2):
+                raise ValueError("decoder supports 8-bit RGB only")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    rows = []
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        if line[0] != 0:
+            raise ValueError("decoder supports filter 0 only")
+        rows.append(np.frombuffer(line, dtype=np.uint8, count=w * 3, offset=1))
+    return np.stack(rows).reshape(h, w, 3)
+
+
+_IMG_W = _IMG_H = 8
+
+
+def synthetic_png_images(spark: SparkSession, n: int = 400) -> DataFrame:
+    """Deterministic REAL PNGs as a binary column: pixel channels are
+    closed-form functions of (img_id, x, y), so any downstream statistic
+    has an exact SQL restatement. Encoding runs in mapInPandas — Arrow
+    batches of ids out, Arrow batches of PNG bytes back."""
+    import numpy as np
+
+    def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys, xs = np.mgrid[0:_IMG_H, 0:_IMG_W]
+        for pdf in it:
+            payloads = []
+            for i in pdf["id"]:
+                r = (i * 31 + xs * 7 + ys * 13) % 256
+                g = (i * 17 + xs * 5 + ys * 3) % 256
+                b = (i * 29 + xs * 11 + ys * 19) % 256
+                payloads.append(
+                    png_encode(np.stack([r, g, b], axis=-1).astype(np.uint8))
+                )
+            yield pd.DataFrame({"img_id": pdf["id"], "png": payloads})
+
+    return spark.range(n).mapInPandas(encode_batches, "img_id long, png binary")
+
+
+def q114_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode as a REAL pipeline stage: a binary PNG column is
+    decoded (stdlib inflate + defilter, CRC-verified) inside
+    mapInPandas and per-image channel means come off the decoded pixel
+    array. The oracle recomputes the same means from the closed-form
+    pixel function on an (id x y x x) grid — if any byte of the
+    encode/decode path were wrong, CRCs or the channel statistics
+    would diverge. Decode is embarrassingly parallel and shuffle-free:
+    at 100 TB each executor decodes its partition's blobs in Arrow
+    batches and ships back only the tiny feature rows, never pixels."""
+    import numpy as np
+
+    imgs = synthetic_png_images(spark, 400)
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"img_id": [], "width": [], "height": [],
+                   "r_mean": [], "g_mean": [], "b_mean": []}
+            for img_id, png in zip(pdf["img_id"], pdf["png"]):
+                a = png_decode(bytes(png))
+                out["img_id"].append(img_id)
+                out["height"].append(a.shape[0])
+                out["width"].append(a.shape[1])
+                for ci, c in enumerate(("r_mean", "g_mean", "b_mean")):
+                    out[c].append(round(float(a[:, :, ci].mean()), 6))
+            yield pd.DataFrame(out)
+
+    return (
+        imgs.mapInPandas(
+            decode_batches,
+            "img_id long, width int, height int, "
+            "r_mean double, g_mean double, b_mean double",
+        )
+        .orderBy("img_id")
+    )
+
+
+QUERIES["q114_image_decode_stats"] = q114_image_decode_stats
+ORACLE["q114_image_decode_stats"] = f"""
+WITH g AS (
+  SELECT i.i AS img_id, x.x AS x, y.y AS y
+  FROM (SELECT unnest(range(0, 400)) AS i) i,
+       (SELECT unnest(range(0, {_IMG_W})) AS x) x,
+       (SELECT unnest(range(0, {_IMG_H})) AS y) y
+)
+SELECT img_id, {_IMG_W} AS width, {_IMG_H} AS height,
+  round(avg((img_id*31 + x*7 + y*13) % 256), 6) AS r_mean,
+  round(avg((img_id*17 + x*5 + y*3) % 256), 6) AS g_mean,
+  round(avg((img_id*29 + x*11 + y*19) % 256), 6) AS b_mean
+FROM g GROUP BY img_id ORDER BY img_id
+"""

@@ -193,3 +193,21 @@ def test_embedding_near_dup_salt_split_matches_unsalted(spark):
     b = [(r.d1, r.d2, r.cos) for r in salted.collect()]
     assert len(a) > 100  # the cluster actually generates pairs
     assert a == b
+
+
+def test_png_roundtrip_exact():
+    """decode(encode(img)) must reproduce every pixel byte, and a
+    corrupted chunk must fail CRC verification."""
+    import numpy as np
+    import pytest as _pytest
+
+    from nfl_predictions_spark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (8, 8), (5, 13)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(img)), img)
+    data = bytearray(png_encode(rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)))
+    data[40] ^= 0xFF  # flip a byte inside a chunk
+    with _pytest.raises(ValueError):
+        png_decode(bytes(data))
