@@ -342,3 +342,103 @@ SELECT img_id, {_IMG_W} AS width, {_IMG_H} AS height,
   round(avg((img_id*29 + x*11 + y*19) % 256), 6) AS b_mean
 FROM g GROUP BY img_id ORDER BY img_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Real WAV/PCM codec (stdlib `wave` + struct) — the audio modality's
+# equivalent of the PNG path: encode deterministic PCM, decode it back,
+# oracle the waveform statistics in closed form.
+# ---------------------------------------------------------------------------
+
+_WAV_N_SAMPLES = 256
+_WAV_RATE = 8000
+
+
+def wav_encode(samples) -> bytes:
+    """Mono 16-bit little-endian PCM WAV from an int16 numpy array."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_RATE)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes):
+    """Decode a mono 16-bit PCM WAV back to int16 samples (validates
+    the RIFF/fmt headers via the stdlib parser)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if (w.getnchannels(), w.getsampwidth()) != (1, 2):
+            raise ValueError("decoder supports mono 16-bit PCM only")
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype="<i2")
+
+
+def q115_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode as a real pipeline stage: deterministic int16 PCM
+    clips (sample t of clip i is ((i*7 + t*13) % 2003) - 1001) are
+    written as genuine WAV containers, decoded back through the stdlib
+    RIFF parser inside mapInPandas, and summarized per clip (sample
+    count, mean, RMS, peak). The oracle restates the same statistics
+    from the closed-form sample function on an (id x t) grid — header
+    framing or byte-order bugs would shift every statistic. Like the
+    image path, only feature rows leave the executor."""
+    import numpy as np
+
+    def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(_WAV_N_SAMPLES, dtype=np.int64)
+        for pdf in it:
+            payloads = [
+                wav_encode(((i * 7 + t * 13) % 2003 - 1001).astype(np.int16))
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame({"clip_id": pdf["id"], "wav": payloads})
+
+    clips = spark.range(300).mapInPandas(encode_batches, "clip_id long, wav binary")
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"clip_id": [], "n_samples": [], "sum_amp": [], "rms": [], "peak": []}
+            for cid, wav in zip(pdf["clip_id"], pdf["wav"]):
+                s = wav_decode(bytes(wav)).astype(np.float64)
+                out["clip_id"].append(cid)
+                out["n_samples"].append(s.size)
+                # exact integer sum (a rounded mean of k/256 can land on a
+                # decimal .5 tie, where Python and SQL round differently)
+                out["sum_amp"].append(int(s.sum()))
+                out["rms"].append(round(float(np.sqrt((s * s).mean())), 6))
+                out["peak"].append(int(np.abs(s).max()))
+            yield pd.DataFrame(out)
+
+    return (
+        clips.mapInPandas(
+            decode_batches,
+            "clip_id long, n_samples int, sum_amp long, rms double, peak int",
+        )
+        .orderBy("clip_id")
+    )
+
+
+QUERIES["q115_audio_decode_stats"] = q115_audio_decode_stats
+ORACLE["q115_audio_decode_stats"] = f"""
+WITH g AS (
+  SELECT i.i AS clip_id, t.t AS t,
+         CAST((i.i*7 + t.t*13) % 2003 - 1001 AS DOUBLE) AS s
+  FROM (SELECT unnest(range(0, 300)) AS i) i,
+       (SELECT unnest(range(0, {_WAV_N_SAMPLES})) AS t) t
+)
+SELECT clip_id, CAST({_WAV_N_SAMPLES} AS INT) AS n_samples,
+  CAST(sum(s) AS BIGINT) AS sum_amp,
+  round(sqrt(avg(s * s)), 6) AS rms,
+  CAST(max(abs(s)) AS INT) AS peak
+FROM g GROUP BY clip_id ORDER BY clip_id
+"""

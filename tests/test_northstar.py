@@ -211,3 +211,13 @@ def test_png_roundtrip_exact():
     data[40] ^= 0xFF  # flip a byte inside a chunk
     with _pytest.raises(ValueError):
         png_decode(bytes(data))
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from nfl_predictions_spark.operators.multimodal import wav_decode, wav_encode
+
+    rng = np.random.RandomState(5)
+    s = rng.randint(-32768, 32768, size=777, dtype=np.int16)
+    assert np.array_equal(wav_decode(wav_encode(s)), s)
