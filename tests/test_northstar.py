@@ -221,3 +221,13 @@ def test_wav_roundtrip_exact():
     rng = np.random.RandomState(5)
     s = rng.randint(-32768, 32768, size=777, dtype=np.int16)
     assert np.array_equal(wav_decode(wav_encode(s)), s)
+
+
+def test_y4m_roundtrip_exact():
+    import numpy as np
+
+    from nfl_predictions_spark.operators.multimodal import y4m_decode, y4m_encode
+
+    rng = np.random.RandomState(9)
+    frames = rng.randint(0, 256, size=(5, 6, 4), dtype=np.uint8)
+    assert np.array_equal(y4m_decode(y4m_encode(frames)), frames)
