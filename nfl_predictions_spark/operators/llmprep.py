@@ -482,7 +482,14 @@ def q111_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans ONE shuffle for the dedup window, broadcasts the (tiny) eval
     shingle set and the contaminated-id set, and map-side-combines the
     final agg. At 100 TB nothing in this plan materializes an
-    intermediate corpus copy - the anti-join and filters stream."""
+    intermediate corpus copy - the anti-join and filters stream.
+
+    One deliberate tradeoff: the survivor subtree feeds two consumers
+    (its shingles and the final anti-join), so Spark recomputes it —
+    two corpus scans. Kept lazy here (the bench measures a real plan,
+    not a cached one); a production 100 TB run would checkpoint the
+    survivor set to storage between stages, which is what the
+    incremental q112 effectively does with its state files."""
     from nfl_predictions_spark.operators.dedup import _DECON_N, shingle_rows
     from nfl_predictions_spark.operators.text import _STOPWORDS
 
