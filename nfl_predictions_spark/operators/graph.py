@@ -176,3 +176,42 @@ def q95_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q95_pagerank"] = q95_pagerank
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB oracle: the 8 PageRank rounds UNROLLED as chained CTEs
+    (r0..r8) over the same co-purchase edge derivation. Both engines
+    run double-precision arithmetic; per-destination summation order
+    differs, but the ~1e-13 drift after 8 rounds is far inside the
+    4-decimal rounding of the output, so values hash-match."""
+    iters = "".join(
+        f""",
+r{k} AS (
+  SELECT n.id,
+         {1.0 - _PR_DAMPING} + {_PR_DAMPING} * COALESCE(s.inflow, 0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, sum(r{k - 1}.rank / d.deg) AS inflow
+    FROM edges e
+    JOIN r{k - 1} ON e.src = r{k - 1}.id
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON n.id = s.id
+)"""
+        for k in range(1, _PR_ITERS + 1)
+    )
+    return f"""
+WITH ep AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT s AS src, t AS dst FROM ep UNION ALL SELECT t, s FROM ep),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT id, 1.0 AS rank FROM nodes){iters}
+SELECT id, round(rank, 4) AS rank FROM r{_PR_ITERS}
+ORDER BY rank DESC, id LIMIT 20
+"""
+
+
+ORACLE["q95_pagerank"] = _pagerank_oracle()
