@@ -403,3 +403,70 @@ def q91_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_PASSAGE_N = 8  # duplicate-passage span length (tokens)
+
+
+@_q(
+    "q117_dup_passages",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(ts[i : i + {_PASSAGE_N - 1}], ' ')
+         for i in range(1, len(ts) - {_PASSAGE_N - 2})])) AS s
+      FROM toks WHERE len(ts) >= {_PASSAGE_N}
+    ), d AS (
+      SELECT s, count(*) AS n_docs, min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc
+      FROM sh GROUP BY s HAVING count(*) >= 2
+    ), r AS (
+      SELECT *, row_number() OVER (ORDER BY n_docs DESC, s) AS rn FROM d
+    )
+    SELECT s AS span, CAST(n_docs AS BIGINT) AS n_docs, first_doc, last_doc
+    FROM r WHERE rn <= 20 ORDER BY n_docs DESC, span
+    """,
+)
+def q117_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-passage detection — the span-level form
+    of exact-substring dedup (the public "Deduplicating Training Data
+    Makes Language Models Better" recipe, restated at fixed span
+    granularity instead of a suffix array): every {_PASSAGE_N}-token
+    span occurring in 2+ distinct documents, top 20 by document reach.
+
+    Dataflow: the codegen'd shifted-slice shingler (``shingle_rows``,
+    already per-doc-distinct so a doc repeating its own phrase counts
+    once) -> one groupBy(span) with map-side combine -> HAVING >= 2 ->
+    bounded top-k. At 100 TB the only wide stage is the span groupBy,
+    whose input is already collapsed per (doc, span); duplicated spans
+    concentrate mass, unique spans combine away to count 1 and are
+    dropped by the HAVING before the top-k. A suffix-array pass finds
+    variable-length repeats but is not expressible as a distributed
+    plan; fixed-span detection composes with q91's decontamination
+    shingler and shares its scan."""
+    from pyspark.sql import Window
+
+    sh = shingle_rows(table(spark, sf_dir, "documents"), n=_PASSAGE_N)
+    dup = (
+        sh.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.asc("s"))
+    return (
+        dup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            F.col("s").alias("span"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "first_doc",
+            "last_doc",
+        )
+        .orderBy(F.desc("n_docs"), "span")
+    )

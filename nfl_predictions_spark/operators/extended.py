@@ -803,3 +803,46 @@ def q101_malformed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("id").alias("id_sum"))
         .orderBy("is_bad")
     )
+
+
+_SAMPLE_K = 5
+
+
+@_q(
+    "q121_per_key_sample",
+    f"""
+    WITH h AS (
+      SELECT source, doc_id,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(concat('smpl', CAST(doc_id AS VARCHAR))), doc_id
+        ) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM h WHERE rn <= {_SAMPLE_K} ORDER BY source, rn
+    """,
+)
+def q121_per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key uniform sample (k={_SAMPLE_K} docs per
+    source): rows are ordered inside each key by a salted content hash
+    — md5('smpl' || doc_id) — and the first k taken. Functionally a
+    per-key reservoir sample, but with NO RNG state: membership is a
+    pure function of the key, so it is identical across reruns, cluster
+    sizes, and partitionings — the property an auditable corpus-QA
+    sample needs (rand()-based sampling changes membership whenever the
+    partitioning does). One keyed window; at 100 TB the rank-k filter
+    is a per-key bounded heap under AQE, never a global sort. The salt
+    prefix decorrelates this sample from q108's split buckets, which
+    hash the same documents."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("smpl"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("source", "doc_id", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= _SAMPLE_K)
+        .orderBy("source", "rn")
+    )

@@ -193,3 +193,55 @@ def q93_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+          CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+          round(min({c}), 6) AS min_v, round(max({c}), 6) AS max_v,
+          round(avg({c}), 4) AS mean_v
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@_q("q123_column_profile", _profile_oracle())
+def q123_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time data profiling: null count, exact distinct count,
+    min/max/mean for every numeric fact column, in ONE scan. The agg
+    computes all metrics for all columns in a single pass (one
+    map-side-combinable aggregate, no per-column re-scan) and a
+    ``stack`` unpivots the 1x(4*5) row into the long (col_name,
+    metrics) shape catalogs ingest. Multiple exact count-distincts in
+    one agg make Catalyst EXPAND the input (x4 here) — acceptable for a
+    profile pass and exact for the oracle; at 100 TB the drop-in scale
+    path swaps them for approx_count_distinct / HLL sketches (the
+    certified q80 pattern) and the plan loses the expand."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__n_null"),
+            F.count_distinct(col).alias(f"{c}__n_distinct"),
+            F.round(F.min(col), 6).alias(f"{c}__min"),
+            F.round(F.max(col), 6).alias(f"{c}__max"),
+            F.round(F.avg(col), 4).alias(f"{c}__mean"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_null, {c}__n_distinct, {c}__min, {c}__max, {c}__mean"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_null, n_distinct, min_v, max_v, mean_v)"
+    ).orderBy("col_name")
