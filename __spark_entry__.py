@@ -34,6 +34,7 @@ def _registry():
         "interval",
         "graph",
         "llmprep",
+        "warehouse",
     ):
         try:
             import importlib

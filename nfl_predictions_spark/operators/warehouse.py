@@ -1,0 +1,221 @@
+"""Warehouse-lifecycle operators: slowly-changing dimensions and
+data-layout clustering (engine-added; no reference counterpart — the
+reference's only "dimension" is the static play-type lookup in
+``assets/app_nfl.py``, cited for parity scope only).
+
+- q118_scd2_dimension — build a type-2 slowly-changing dimension from
+  an append-only change log: collapse consecutive identical attribute
+  values per key, stamp ``valid_from``/``valid_to`` validity intervals
+  and an ``is_current`` flag. The bread-and-butter warehouse op for
+  dimension history.
+- q119_zorder_layout — Z-order (Morton-curve) data-layout clustering:
+  interleave the bits of two dimension keys into one sort key so a
+  range-partitioned layout clusters BOTH dimensions at once, and
+  quantify the min/max span per storage bucket against a single-column
+  sort. This is the math behind multi-dimensional file skipping
+  (Delta/Iceberg OPTIMIZE ZORDER); here it is expressed as pure
+  Catalyst bit arithmetic so the layout decision itself is a query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q118 — SCD type-2 dimension build
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q118_scd2_dimension",
+    """
+    WITH e AS (
+      SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS seq,
+             o_orderstatus AS status,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ), ch AS (
+      SELECT custkey, ts, seq, status FROM e
+      WHERE prev IS NULL OR status <> prev
+    ), v AS (
+      SELECT custkey, status, ts AS valid_from,
+        lead(ts) OVER (PARTITION BY custkey ORDER BY ts, seq) AS valid_to,
+        row_number() OVER (PARTITION BY custkey ORDER BY ts, seq) AS version
+      FROM ch
+    )
+    SELECT custkey, CAST(version AS BIGINT) AS version, status,
+           valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM v ORDER BY custkey, version
+    """,
+)
+def q118_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from an append-only change log (the
+    orders table read as a per-customer status event stream): collapse
+    consecutive runs of the same status, then stamp each surviving
+    change with ``valid_from`` (its event time), ``valid_to`` (the next
+    change's event time, NULL while current) and ``is_current``.
+
+    All three windows share ONE partitioning (custkey) and ONE sort
+    (event time, order key as the deterministic tie-break), so Catalyst
+    plans a single shuffle + single sort and pipelines lag -> filter ->
+    lead/row_number. At 100 TB the dimension key is the shuffle key —
+    no global sort anywhere, and a daily incremental build would feed
+    only the affected custkeys through the same plan (the q112
+    state-merge pattern)."""
+    ev = Window.partitionBy("custkey").orderBy("ts", "seq")
+    e = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey").alias("seq"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .withColumn("prev", F.lag("status").over(ev))
+    )
+    ch = e.filter(F.col("prev").isNull() | (F.col("status") != F.col("prev")))
+    vw = Window.partitionBy("custkey").orderBy("ts", "seq")
+    return (
+        ch.select(
+            "custkey",
+            "status",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(vw).alias("valid_to"),
+            F.row_number().over(vw).cast("long").alias("version"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            "custkey", "version", "status", "valid_from", "valid_to", "is_current"
+        )
+        .orderBy("custkey", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — Z-order layout clustering
+# ---------------------------------------------------------------------------
+
+_ZBITS = 8  # bits per dimension; z in [0, 2^16)
+_ZBUCKETS = 16  # storage "files" the layout is range-split into
+
+
+def _interleave_spark(x: str, y: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i + 1})")
+        terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i})")
+    return " + ".join(terms)
+
+
+def _interleave_duck(x: str, y: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    z = _interleave_duck("xb", "yb")
+    return f"""
+    WITH m AS (
+      SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs FROM lineitem
+    ), g AS (
+      SELECT CAST(floor(l_partkey * {2**_ZBITS}.0 / (maxp + 1)) AS BIGINT) AS xb,
+             CAST(floor(l_suppkey * {2**_ZBITS}.0 / (maxs + 1)) AS BIGINT) AS yb
+      FROM lineitem CROSS JOIN m
+    ), z AS (
+      SELECT xb, yb,
+        CAST(floor(({z}) / {4**_ZBITS} * {_ZBUCKETS}.0) AS BIGINT) AS zbucket,
+        CAST(floor(xb / {2**_ZBITS} * {_ZBUCKETS}.0) AS BIGINT) AS xbucket
+      FROM g
+    ), both AS (
+      SELECT 'zorder' AS layout, zbucket AS bucket, xb, yb FROM z
+      UNION ALL
+      SELECT 'xsort' AS layout, xbucket AS bucket, xb, yb FROM z
+    )
+    SELECT layout, bucket, CAST(count(*) AS BIGINT) AS rows,
+           max(xb) - min(xb) AS x_span, max(yb) - min(yb) AS y_span
+    FROM both GROUP BY layout, bucket ORDER BY layout, bucket
+    """
+
+
+@_q("q119_zorder_layout", _zorder_oracle())
+def q119_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering: quantize (l_partkey, l_suppkey) to
+    {2**_ZBITS} buckets each, interleave their bits into a Morton code
+    (pure shift/mask expressions — codegen, no UDF), range-split the
+    table into {_ZBUCKETS} storage buckets by that code, and report
+    each bucket's min/max span in BOTH dimensions next to the same
+    stats for a plain single-column sort layout.
+
+    The spans ARE the file-skipping story: under 'xsort' a bucket pins
+    x to ~1/{_ZBUCKETS} of its range but spans ALL of y (y_span ~255 —
+    a y-predicate prunes nothing); under 'zorder' every bucket holds a
+    bounded square in (x, y), so min/max pruning works for predicates
+    on either dimension. A real table write is just
+    ``df.repartitionByRange({_ZBUCKETS}, zval).sortWithinPartitions(
+    zval).write.parquet(...)`` — the layout metric computed here is
+    what OPTIMIZE ZORDER decides with. One scan, one broadcast of the
+    two maxima, one small agg; scale-independent."""
+    li = table(spark, sf_dir, "lineitem")
+    m = F.broadcast(
+        li.agg(
+            F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
+        )
+    )
+    g = li.crossJoin(m).select(
+        F.floor(F.col("l_partkey") * (2**_ZBITS) / (F.col("maxp") + 1))
+        .cast("long")
+        .alias("xb"),
+        F.floor(F.col("l_suppkey") * (2**_ZBITS) / (F.col("maxs") + 1))
+        .cast("long")
+        .alias("yb"),
+    )
+    z = g.select(
+        "xb",
+        "yb",
+        F.floor(
+            F.expr(_interleave_spark("xb", "yb")) / (4**_ZBITS) * _ZBUCKETS
+        )
+        .cast("long")
+        .alias("zbucket"),
+        F.floor(F.col("xb") / (2**_ZBITS) * _ZBUCKETS)
+        .cast("long")
+        .alias("xbucket"),
+    )
+    both = z.select(
+        F.lit("zorder").alias("layout"), F.col("zbucket").alias("bucket"), "xb", "yb"
+    ).unionAll(
+        z.select(
+            F.lit("xsort").alias("layout"), F.col("xbucket").alias("bucket"), "xb", "yb"
+        )
+    )
+    return (
+        both.groupBy("layout", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            (F.max("xb") - F.min("xb")).alias("x_span"),
+            (F.max("yb") - F.min("yb")).alias("y_span"),
+        )
+        .orderBy("layout", "bucket")
+    )
