@@ -148,14 +148,14 @@ def _zorder_oracle() -> str:
         CAST(floor(({z}) / {4**_ZBITS} * {_ZBUCKETS}.0) AS BIGINT) AS zbucket,
         CAST(floor(xb / {2**_ZBITS} * {_ZBUCKETS}.0) AS BIGINT) AS xbucket
       FROM g
-    ), both AS (
+    ), layouts AS (
       SELECT 'zorder' AS layout, zbucket AS bucket, xb, yb FROM z
       UNION ALL
       SELECT 'xsort' AS layout, xbucket AS bucket, xb, yb FROM z
     )
-    SELECT layout, bucket, CAST(count(*) AS BIGINT) AS rows,
+    SELECT layout, bucket, CAST(count(*) AS BIGINT) AS n_rows,
            max(xb) - min(xb) AS x_span, max(yb) - min(yb) AS y_span
-    FROM both GROUP BY layout, bucket ORDER BY layout, bucket
+    FROM layouts GROUP BY layout, bucket ORDER BY layout, bucket
     """
 
 
@@ -213,7 +213,7 @@ def q119_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         both.groupBy("layout", "bucket")
         .agg(
-            F.count(F.lit(1)).alias("rows"),
+            F.count(F.lit(1)).alias("n_rows"),
             (F.max("xb") - F.min("xb")).alias("x_span"),
             (F.max("yb") - F.min("yb")).alias("y_span"),
         )
