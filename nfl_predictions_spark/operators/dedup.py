@@ -280,55 +280,82 @@ def q39_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup (rows-only: the 64-bit signature math is not worth
-# reproducing in SQL; invariants pinned in tests/test_dedup.py)
+# SimHash near-dup — 60-bit signature on a cross-engine md5-derived
+# shingle hash, so the FULL pipeline (shingle -> hash -> bit votes ->
+# signature -> band join -> popcount verify) is value-checked by DuckDB.
 # ---------------------------------------------------------------------------
+
+_SIM_BITS = 60  # 15 hex chars of md5 — exactly representable in both engines
+_SIM_BANDS = 6  # 6 bands x 10 bits; pigeonhole => exact recall, hamming <= 5
+_SIM_BAND_BITS = _SIM_BITS // _SIM_BANDS
+_SIM_MAX_HAMMING = _SIM_BANDS - 1
+
+
+def _h60_spark(col: str) -> Column:
+    """60-bit hash: the top 15 hex chars of md5, parsed base-16.
+    Chosen over xxhash64 because DuckDB reproduces it exactly (a
+    15-term strpos polynomial over the same md5 hex string)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _h60_duck(expr: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) "
+        f"* {16 ** (14 - i)}"
+        for i in range(15)
+    )
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word 3-gram shingles: for each bit, sum +/-1
-    weighted by whether the shingle's hash has that bit set; the sign of
-    the sum is the signature bit. One explode + one grouped aggregation."""
-    ex = shingle_rows(docs, id_col=id_col).withColumn("h", F.xxhash64("s"))
+    """60-bit SimHash over word 3-gram shingles: for each bit, sum +/-1
+    by whether the shingle's hash has that bit set; the sign of the sum
+    is the signature bit. One explode + one grouped aggregation — the
+    60 bit-votes are map-side partial aggregates, so the only shuffle
+    carries 60 small ints per doc."""
+    ex = shingle_rows(docs, id_col=id_col).withColumn("h", _h60_spark("s"))
     bit_sums = [
         F.sum(
             F.when(F.expr(f"(shiftrightunsigned(h, {b}) & 1) = 1"), 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(_SIM_BITS)
     ]
     agg = ex.groupBy(id_col).agg(*bit_sums)
     sig = None
-    for b in range(64):
+    for b in range(_SIM_BITS):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseOR(term)
     return agg.select(id_col, sig.alias("simhash"))
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
-    """Candidate pairs share >= 1 of 8 signature bytes (pigeonhole
-    guarantees exact recall for hamming <= 7), verified by popcount.
-    Short documents make SimHash noisy: near-identical ~100-shingle docs
-    land up to hamming ~7 apart, hence the default."""
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = _SIM_MAX_HAMMING) -> DataFrame:
+    """Candidate pairs share >= 1 of 6 ten-bit signature bands
+    (pigeonhole guarantees exact recall for hamming <= 5), verified by
+    popcount. 10-bit bands keep candidate volume ~4x below byte-banding
+    while the planted near-dups (hamming <= ~4 at 60 bits) stay inside
+    the guarantee."""
     sigs = simhash(docs)
-    bytes_arr = F.array(
+    bands_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("pos"),
-                F.expr(f"shiftrightunsigned(simhash, {8 * i}) & 255").alias("byte"),
+                F.expr(
+                    f"shiftrightunsigned(simhash, {_SIM_BAND_BITS * i})"
+                    f" & {2 ** _SIM_BAND_BITS - 1}"
+                ).alias("bv"),
             )
-            for i in range(8)
+            for i in range(_SIM_BANDS)
         ]
     )
-    banded = sigs.select("doc_id", "simhash", F.explode(bytes_arr).alias("bb")).select(
-        "doc_id", "simhash", F.col("bb.pos").alias("pos"), F.col("bb.byte").alias("byte")
+    banded = sigs.select("doc_id", "simhash", F.explode(bands_arr).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.pos").alias("pos"), F.col("bb.bv").alias("bv")
     )
     cands = (
         banded.alias("a")
         .join(
             banded.alias("b"),
             (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -339,7 +366,7 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
         )
         .distinct()
     )
-    hamming = F.expr("bit_count(s1 ^ s2)")
+    hamming = F.expr("bit_count(s1 ^ s2)").cast("long")
     return (
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
@@ -348,12 +375,47 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
     )
 
 
+def _simhash_oracle() -> str:
+    h60 = _h60_duck("s")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIM_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIM_BITS)
+    )
+    mask = 2 ** _SIM_BAND_BITS - 1
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM tok WHERE len(ts) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hs AS (SELECT doc_id, {h60} AS h FROM ex),
+    bs AS (SELECT doc_id, {bit_sums} FROM hs GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM bs),
+    band AS (
+      SELECT doc_id, simhash, p.pos,
+             (simhash >> ({_SIM_BAND_BITS} * p.pos)) & {mask} AS bv
+      FROM sig CROSS JOIN (
+        SELECT unnest(range({_SIM_BANDS})) AS pos
+      ) p
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.simhash AS s1, b.simhash AS s2
+      FROM band a JOIN band b
+        ON a.pos = b.pos AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(s1, s2)) <= {_SIM_MAX_HAMMING}
+    ORDER BY d1, d2
+    """
+
+
+@_q("q39c_simhash_pairs", _simhash_oracle())
 def q39c_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs)
-
-
-QUERIES["q39c_simhash_pairs"] = q39c_simhash_pairs
 
 
 _DECON_N = 8  # benchmark-contamination n-gram order

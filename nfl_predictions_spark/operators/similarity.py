@@ -97,10 +97,16 @@ def q41_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q41b_ann_topk_pandas", _ANN_ORACLE)
 def q41b_ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same top-k via an Arrow-batched pandas UDF: one numpy
     matrix-multiply per batch against the broadcast query matrix —
-    vectorized float64 math, ~10-100x the throughput of per-row UDFs."""
+    vectorized float64 math, ~10-100x the throughput of per-row UDFs.
+
+    Oracle: shares q41's DuckDB SQL. Cosines are rounded to 6 decimals
+    on both sides, which absorbs the summation-order difference between
+    numpy's blocked matmul and DuckDB's sequential fold; rank ties are
+    broken by cid on both sides."""
     import numpy as np
 
     emb = table(spark, sf_dir, "embeddings")
@@ -140,9 +146,6 @@ def q41b_ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
         .orderBy("qid", "rn")
     )
-
-
-QUERIES["q41b_ann_topk_pandas"] = q41b_ann_topk_pandas
 
 
 # ---------------------------------------------------------------------------
