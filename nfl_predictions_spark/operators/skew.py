@@ -176,3 +176,107 @@ def q52_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), dsum("o_totalprice").alias("sum_price"))
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — Bloom-filter semi-join (runtime-filter pattern, made explicit)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 16384  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_spark(key, seed: int):
+    """Bit position for (key, seed): 60-bit md5 hex prefix mod m — the
+    same cross-engine hash family the SimHash oracle uses."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"b{seed}"), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h % _BLOOM_M).alias(f"p{seed}")
+
+
+def _bloom_pos_duck(expr: str, seed: int) -> str:
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('b{seed}' || CAST({expr} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"(({poly}) % {_BLOOM_M})"
+
+
+def _bloom_oracle() -> str:
+    build = ", ".join(_bloom_pos_duck("c_custkey", s) for s in range(_BLOOM_K))
+    probe = " AND ".join(
+        f"list_contains(f.bits, {_bloom_pos_duck('o.o_custkey', s)})"
+        for s in range(_BLOOM_K)
+    )
+    return f"""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), pos AS (
+      SELECT unnest([{build}]) AS p FROM dim
+    ), filt AS (
+      SELECT list(DISTINCT p) AS bits FROM pos
+    ), probed AS (
+      SELECT o.o_custkey,
+             ({probe}) AS bloom_pass,
+             o.o_custkey IN (SELECT c_custkey FROM dim) AS exact_pass
+      FROM orders o CROSS JOIN filt f
+    )
+    SELECT CAST(count(*) FILTER (bloom_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(count(*) FILTER (exact_pass) AS BIGINT) AS n_exact,
+           CAST(count(*) FILTER (bloom_pass AND NOT exact_pass) AS BIGINT)
+             AS n_false_pos,
+           CAST(count(*) AS BIGINT) AS n_probed
+    FROM probed
+    """
+
+
+@_q("q120_bloom_semi_join", _bloom_oracle())
+def q120_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter semi-join — the runtime-filter pattern
+    Spark's own `runtime.bloomFilter` optimization injects, built from
+    first principles so the engine controls when it fires: hash each
+    build-side key (BUILDING-segment customers) to k={_BLOOM_K} bit
+    positions in an m={_BLOOM_M}-bit filter, collapse to ONE row holding
+    the set bits, broadcast it, and probe the fact table with k
+    array-membership tests — no shuffle of the fact side, ever.
+
+    Returns the filter's effectiveness report: rows passing the bloom
+    probe, the exact semi-join cardinality, and the false-positive
+    count (the gap the re-check join removes). The filter row stays
+    tiny (<= k * |dim| set bits out of m), which is why this pattern
+    ships a dimension predicate to 100 TB of fact scan for free. The
+    bit positions use the cross-engine md5 hash family, so DuckDB
+    reproduces the filter bit-for-bit."""
+    cust = table(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    pos = None
+    for s in range(_BLOOM_K):
+        part = dim.select(_bloom_pos_spark(F.col("c_custkey"), s).alias("p"))
+        pos = part if pos is None else pos.unionByName(part)
+    filt = pos.agg(F.collect_set("p").alias("bits"))
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    probed = orders.crossJoin(F.broadcast(filt))
+    bloom_pass = None
+    for s in range(_BLOOM_K):
+        term = F.array_contains(
+            "bits", _bloom_pos_spark(F.col("o_custkey"), s)
+        )
+        bloom_pass = term if bloom_pass is None else bloom_pass & term
+    exact = dim.select(F.col("c_custkey").alias("o_custkey")).distinct()
+    probed = probed.withColumn("bloom_pass", bloom_pass).join(
+        F.broadcast(exact.withColumn("exact_pass", F.lit(True))),
+        "o_custkey",
+        "left",
+    ).fillna({"exact_pass": False})
+    return probed.agg(
+        F.count(F.when(F.col("bloom_pass"), 1)).alias("n_bloom_pass"),
+        F.count(F.when(F.col("exact_pass"), 1)).alias("n_exact"),
+        F.count(F.when(F.col("bloom_pass") & ~F.col("exact_pass"), 1)).alias(
+            "n_false_pos"
+        ),
+        F.count(F.lit(1)).alias("n_probed"),
+    )

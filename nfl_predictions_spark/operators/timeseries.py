@@ -163,3 +163,176 @@ def q92_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "wma")
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — gap-based sessionization (batch analogue of the q33 session
+# window stream; engine-added, no reference counterpart)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@_q(
+    "q124_sessionize",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) > {_SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), sess AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 6) AS total_value,
+           ROUND(date_diff('microsecond', min(ts), max(ts)) / 1000000.0, 6)
+             AS duration_s
+    FROM sess GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+)
+def q124_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a user's events split into sessions
+    wherever >30 min passes between consecutive events, via the classic
+    lag -> new-session flag -> running-sum session index, then one
+    grouped aggregate per session.
+
+    Both windows and the final groupBy share ONE partitioning (user_id)
+    and one sort (ts, event_id tie-break), so Catalyst plans a single
+    shuffle + sort and pipelines lag -> flag -> running sum -> partial
+    agg. Gap comparison is integer microseconds (timestampdiff /
+    date_diff — TIMESTAMP_NTZ-safe) — exact and identical across
+    engines. At 100 TB the session key never leaves its user partition:
+    this is the shape that sessionizes a year of clickstream in one
+    pass."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    sess = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull() | (gap_us > _SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("is_new").over(run).cast("long"))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .withColumn(
+            "duration_s",
+            F.round(
+                F.expr(
+                    "timestampdiff(MICROSECOND, session_start, session_end)"
+                )
+                / 1_000_000.0,
+                6,
+            ),
+        )
+        .select(
+            "user_id",
+            "session_idx",
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+            "duration_s",
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126 — rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+_Z_LOOKBACK = 20  # trailing rows the baseline is estimated from
+_Z_MIN_N = 10  # minimum history before a score is emitted
+_Z_THRESHOLD = 2.5
+
+
+@_q(
+    "q126_rolling_zscore",
+    f"""
+    WITH scored AS (
+      SELECT user_id, ts, event_id, value,
+        avg(value) OVER w AS mu,
+        stddev_samp(value) OVER w AS sigma,
+        count(*) OVER w AS n_hist
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT user_id, event_id, ROUND(value, 6) AS value,
+           ROUND((value - mu) / sigma, 6) AS zscore
+    FROM scored
+    WHERE n_hist >= {_Z_MIN_N} AND sigma > 0
+      AND abs((value - mu) / sigma) > {_Z_THRESHOLD}
+    ORDER BY user_id, event_id
+    """,
+)
+def q126_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value scored
+    against the mean/stddev of its user's trailing {_Z_LOOKBACK} events
+    (current row excluded, so an outlier can't mask itself), emitting
+    rows whose |z| exceeds {_Z_THRESHOLD} once {_Z_MIN_N} history rows
+    exist.
+
+    One window shuffle on user_id serves all three frame aggregates;
+    the frame is row-bounded so state per key is O(lookback) — the
+    streaming analogue is q35's state-store shape. Both engines
+    evaluate the same trailing frame in the same (ts, event_id) order,
+    so mu/sigma agree to ~1e-12 and the 6-decimal rounding pins the
+    hash."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_LOOKBACK, -1)
+    )
+    scored = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("mu", F.avg("value").over(w))
+        .withColumn("sigma", F.stddev_samp("value").over(w))
+        .withColumn("n_hist", F.count(F.lit(1)).over(w))
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_hist") >= _Z_MIN_N)
+            & (F.col("sigma") > 0)
+            & (F.abs(z) > _Z_THRESHOLD)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy("user_id", "event_id")
+    )
