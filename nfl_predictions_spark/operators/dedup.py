@@ -16,10 +16,11 @@ Scale design (the part that matters at 100 TB):
   (q39b) exists as the small-scale oracle/baseline; LSH is what
   survives a 1000x scale-up because candidate generation never
   enumerates the cross product.
-- SimHash packs a document into one 64-bit signature; candidate pairs
-  share at least one of 8 signature bytes — by pigeonhole, any pair at
-  hamming <= 7 shares a byte, so recall is exact at the default
-  threshold; candidates are then verified by exact popcount.
+- SimHash packs a document into one 60-bit md5-derived signature split
+  into 6 ten-bit bands; candidate pairs share at least one band — by
+  pigeonhole, any pair at hamming <= 5 shares a band, so recall is
+  exact at the default threshold; candidates are then verified by
+  exact popcount.
 """
 
 from __future__ import annotations

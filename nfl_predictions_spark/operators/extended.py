@@ -672,7 +672,7 @@ def q45b_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q70_sink_roundtrip",
     "SELECT o_orderstatus, count(*) AS cnt, "
-    "ROUND(sum(CAST(o_totalprice AS DECIMAL(18,3))), 3) AS total "
+    "CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,3))), 3) AS DOUBLE) AS total "
     "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
 )
 def q70_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,9 +704,11 @@ def q70_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def summarize(df):
         return df.groupBy("o_orderstatus").agg(
             F.count("*").alias("cnt"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,3)")), 3
-            ).alias("total"),
+            # decimal partials for order-independent sums; DOUBLE on the
+            # wire (window output-type contract — see tests/test_type_contract.py)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,3)")), 3)
+            .cast("double")
+            .alias("total"),
         )
 
     p, c, j = (summarize(frames[k]) for k in ("p", "c", "j"))
@@ -759,7 +761,7 @@ def q71_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q101_malformed_csv",
     "SELECT CAST(i % 7 = 3 AS BOOLEAN) AS is_bad, count(*) AS cnt, "
-    "sum(CASE WHEN i % 7 = 3 THEN NULL ELSE i END) AS id_sum "
+    "CAST(sum(CASE WHEN i % 7 = 3 THEN NULL ELSE i END) AS BIGINT) AS id_sum "
     "FROM (SELECT unnest(range(0, 2000)) AS i) "
     "GROUP BY is_bad ORDER BY is_bad",
 )

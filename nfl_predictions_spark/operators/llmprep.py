@@ -292,8 +292,9 @@ _PREFIX_GROUP = 500  # docs per prefix group (tune to ~partition size at scale)
              THEN 1 ELSE 0 END AS straddles
       FROM o
     )
-    SELECT shard, CAST(count(*) AS BIGINT) AS docs,
-           sum(n_tok) AS tokens, CAST(sum(straddles) AS BIGINT) AS straddlers,
+    SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens,
+           CAST(sum(straddles) AS BIGINT) AS straddlers,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM s GROUP BY shard ORDER BY shard
     """,
@@ -462,7 +463,8 @@ sp AS (
           (ascii(substr(md5(text),1,1))*256 + ascii(substr(md5(text),2,1))) % 100 AS b
         FROM clean)
 )
-SELECT lang, split, CAST(count(*) AS BIGINT) AS docs, sum(n) AS tokens
+SELECT lang, split, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n) AS BIGINT) AS tokens
 FROM sp GROUP BY lang, split ORDER BY lang, split
 """
 
@@ -616,7 +618,7 @@ def quality_sql() -> str:
                      AND n_stop*1.0/n BETWEEN 0.05 AND 0.6
                      AND n_punct*1.0/len_text < 0.1 THEN 1 ELSE 0 END)
            AS BIGINT) AS rows_kept,
-      sum(n) AS tokens_in
+      CAST(sum(n) AS BIGINT) AS tokens_in
     FROM t
     """,
 )

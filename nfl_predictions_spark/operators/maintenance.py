@@ -44,7 +44,7 @@ def _tmp(sf_dir: str, leaf: str) -> str:
 @_q(
     "q81_catalog_table",
     "SELECT o_orderpriority, count(*) AS cnt, "
-    "ROUND(sum(CAST(o_totalprice AS DECIMAL(18,3))), 3) AS total "
+    "CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,3))), 3) AS DOUBLE) AS total "
     "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
 )
 def q81_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,9 +69,9 @@ def q81_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,3)")), 3).alias(
-                "total"
-            ),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,3)")), 3)
+            .cast("double")
+            .alias("total"),
         )
         .orderBy("o_orderpriority")
     )
@@ -112,7 +112,7 @@ def compact(spark: SparkSession, path: str, target_bytes: int = _COMPACT_TARGET_
 @_q(
     "q82_compaction",
     "SELECT event_type, count(*) AS cnt, "
-    "ROUND(sum(CAST(value AS DECIMAL(18,3))), 3) AS total, "
+    "CAST(ROUND(sum(CAST(value AS DECIMAL(18,3))), 3) AS DOUBLE) AS total, "
     "TRUE AS compacted FROM events "
     "GROUP BY event_type ORDER BY event_type",
 )
@@ -138,7 +138,9 @@ def q82_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum(F.col("value").cast("decimal(18,3)")), 3).alias("total"),
+            F.round(F.sum(F.col("value").cast("decimal(18,3)")), 3)
+            .cast("double")
+            .alias("total"),
         )
         .withColumn("compacted", F.lit(n_after < 64))
         .orderBy("event_type")

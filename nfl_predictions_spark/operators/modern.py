@@ -98,7 +98,7 @@ def q72_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q73_variant_json",
     "SELECT event_type, count(*) AS cnt, "
-    "sum(CAST(json_extract_string(props, 'k') AS INT)) AS k_sum, "
+    "CAST(sum(CAST(json_extract_string(props, 'k') AS INT)) AS BIGINT) AS k_sum, "
     "max(CAST(json_extract_string(props, 'k') AS INT)) AS k_max "
     "FROM events GROUP BY event_type ORDER BY event_type",
 )
@@ -235,7 +235,7 @@ def q76_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q77_xml_roundtrip",
     "SELECT p_brand, count(*) AS cnt, "
-    "ROUND(sum(CAST(p_retailprice AS DECIMAL(18,3))), 3) AS total "
+    "CAST(ROUND(sum(CAST(p_retailprice AS DECIMAL(18,3))), 3) AS DOUBLE) AS total "
     "FROM part GROUP BY p_brand ORDER BY p_brand",
 )
 def q77_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,9 +260,9 @@ def q77_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum(F.col("p_retailprice").cast("decimal(18,3)")), 3).alias(
-                "total"
-            ),
+            F.round(F.sum(F.col("p_retailprice").cast("decimal(18,3)")), 3)
+            .cast("double")
+            .alias("total"),
         )
         .orderBy("p_brand")
     )
@@ -305,7 +305,8 @@ def q78_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q85_pandas_api",
-    "SELECT o_orderstatus, count(*) AS cnt, sum(o_orderkey) AS key_sum, "
+    "SELECT o_orderstatus, count(*) AS cnt, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
     "max(o_totalprice) AS max_price FROM orders "
     "GROUP BY o_orderstatus ORDER BY o_orderstatus",
 )

@@ -547,6 +547,7 @@ WITH g AS (
        (SELECT unnest(range(0, {_VID_H})) AS y) y
   WHERE f.f % {_VID_SAMPLE_EVERY} = 0
 )
-SELECT clip_id, CAST(frame_idx AS INT) AS frame_idx, sum(v) AS luma_sum
+SELECT clip_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(sum(v) AS BIGINT) AS luma_sum
 FROM g GROUP BY clip_id, frame_idx ORDER BY clip_id, frame_idx
 """

@@ -67,8 +67,11 @@ p AS (
       / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(emb, emb))) AS cos
   FROM q, e
 ), r AS (
+  -- rank on the 6-decimal-rounded cosine (ties broken by cid): raw
+  -- cosines differ between engines by float noise, so ranking on the
+  -- emitted rounded value is the only cross-engine-stable ordering
   SELECT qid, cid, cos,
-    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
   FROM p
 )
 SELECT qid, cid, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
@@ -88,7 +91,9 @@ def q41_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
     scored = cands.crossJoin(F.broadcast(queries)).withColumn("cos_raw", cos)
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("cid")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _TOP_K)
@@ -139,7 +144,9 @@ def q41b_ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qid_map = F.array(*[F.lit(q) for q in qids])
     scored = scored.withColumn("qid", F.element_at(qid_map, F.col("qpos") + 1)).drop("qpos")
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("cid")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _TOP_K)
@@ -227,7 +234,7 @@ p AS (
   JOIN e ce ON ce.vec_id = cand.cid
 ), r AS (
   SELECT qid, cid, cos,
-    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
   FROM p
 )
 SELECT qid, cid, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
@@ -261,7 +268,9 @@ def q41c_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("cid")
+    )
     return (
         cands.withColumn("cos_raw", cos)
         .withColumn("rn", F.row_number().over(w).cast("long"))
@@ -425,7 +434,9 @@ def q41d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "qe", F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("cid")
+    )
     return (
         cands.withColumn("cos_raw", cos)
         .withColumn("rn", F.row_number().over(w).cast("long"))

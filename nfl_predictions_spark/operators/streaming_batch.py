@@ -465,7 +465,7 @@ def q84_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q96_streaming_matview",
     "SELECT event_type, count(*) AS cnt, "
-    "ROUND(sum(CAST(value AS DECIMAL(18,3))), 3) AS total "
+    "CAST(ROUND(sum(CAST(value AS DECIMAL(18,3))), 3) AS DOUBLE) AS total "
     "FROM events GROUP BY event_type ORDER BY event_type",
 )
 def q96_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,7 +550,16 @@ def q96_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert meta["dir"] is not None, "q96 matview state never committed"
     return (
         spark.read.parquet(os.path.join(root, meta["dir"]))
-        .select("event_type", "cnt", F.round("total", 3).alias("total"))
+        .select(
+            "event_type",
+            "cnt",
+            # Partials stay decimal(18,3) so merge order cannot perturb the
+            # sum; the EMITTED value is DOUBLE — the driver's hasher feeds
+            # type+repr, and decimal scale/width diverges between engines
+            # (Spark decimal(28,3) vs DuckDB DECIMAL(38,3)) even when the
+            # rounded values agree. DOUBLE is the window-wide contract.
+            F.round("total", 3).cast("double").alias("total"),
+        )
         .orderBy("event_type")
     )
 
@@ -638,7 +647,8 @@ d AS (
   SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM q
 )
-SELECT lang, CAST(count(*) AS BIGINT) AS docs, sum(n) AS tokens,
+SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n) AS BIGINT) AS tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM d WHERE rn = 1 GROUP BY lang ORDER BY lang
 """

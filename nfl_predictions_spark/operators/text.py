@@ -397,7 +397,8 @@ _VOCAB_K = 20
       GROUP BY doc_id, lang
     )
     SELECT lang, CAST(count(*) AS BIGINT) AS docs,
-           sum(n_tokens) AS tokens, sum(n_oov) AS oov,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(n_oov) AS BIGINT) AS oov,
            ROUND(sum(n_oov) / CAST(sum(n_tokens) AS DOUBLE), 6) AS oov_rate
     FROM per_doc GROUP BY lang ORDER BY lang
     """,

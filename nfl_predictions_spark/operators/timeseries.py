@@ -292,7 +292,7 @@ _Z_THRESHOLD = 2.5
            ROUND((value - mu) / sigma, 6) AS zscore
     FROM scored
     WHERE n_hist >= {_Z_MIN_N} AND sigma > 0
-      AND abs((value - mu) / sigma) > {_Z_THRESHOLD}
+      AND abs(ROUND((value - mu) / sigma, 6)) > {_Z_THRESHOLD}
     ORDER BY user_id, event_id
     """,
 )
@@ -307,8 +307,10 @@ def q126_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame is row-bounded so state per key is O(lookback) — the
     streaming analogue is q35's state-store shape. Both engines
     evaluate the same trailing frame in the same (ts, event_id) order,
-    so mu/sigma agree to ~1e-12 and the 6-decimal rounding pins the
-    hash."""
+    so mu/sigma agree to ~1e-12; the threshold decision is made on the
+    SAME 6-decimal-rounded z both engines emit, so a value sitting
+    within float noise of the threshold can't be included by one engine
+    and excluded by the other."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -321,7 +323,7 @@ def q126_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sigma", F.stddev_samp("value").over(w))
         .withColumn("n_hist", F.count(F.lit(1)).over(w))
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
     return (
         scored.filter(
             (F.col("n_hist") >= _Z_MIN_N)

@@ -5,7 +5,10 @@ from __future__ import annotations
 
 import pytest
 
-from oracle_check import compare  # tools/oracle_check.py, on sys.path via conftest
+from oracle_check import (  # tools/oracle_check.py, on sys.path via conftest
+    compare,
+    type_problems,
+)
 
 from tests.conftest import SF_SMOKE
 
@@ -26,10 +29,15 @@ def test_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_SMOKE)
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]
+    arrow_schema = duck.execute(ORACLES[name]).arrow().schema
     res = duck.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
     problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+    # Output-type contract: the driver hashes column representations, so
+    # both engines must emit the same whitelisted type per column — no
+    # DECIMAL, no DuckDB HUGEINT widening (the q96/q105 failure class).
+    problems += type_problems(df.schema, arrow_schema)
     assert not problems, f"{name}: {problems}"
 
 
