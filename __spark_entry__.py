@@ -57,64 +57,78 @@ def _registry():
         queries.update(getattr(mod, "QUERIES", {}))
         oracle.update(getattr(mod, "ORACLE", {}))
 
-    # The first entries double as the per-category conformance window: one
-    # canonical query per SURVEY.md §2B category (Q01..Q40) followed by the
-    # LLM-pipeline / time-series suite, so a prefix scan of the registry
-    # exercises the full declared surface. Remaining (b/c-variant and
-    # extended) entries follow in module order.
+    # The first ~50 entries are the driver's conformance window. Rounds 1-2
+    # proved the full §2B canonical set (Q01..Q40 green twice) plus the
+    # north-star suite; round 3 rotates the window onto the never-checked
+    # mass: 10 sentinels (one per proven family, so a regression anywhere
+    # still shows), the two round-2 hash-fix proofs (q96/q105), then the
+    # llmprep / curation / warehouse / skew / timeseries / text / multimodal
+    # / modern-SQL suites getting their first driver rows.
     window = [
-        # §2B Q01..Q40, one canonical entry each
-        "q01_scan_parquet",
-        "q02_scan_csv_schema",
-        "q03_project_alias",
-        "q04_filter_conjunctive",
-        "q05_limit_offset",
-        "q06_join_broadcast",
-        "q07_join_shuffle_agg",
-        "q08_join_left_outer",
-        "q09_join_semi",
-        "q10_join_anti",
-        "q11_join_theta",
+        # sentinels — one proven-green entry per family
         "q12_agg_pricing_summary",
-        "q13_agg_distinct",
-        "q14_agg_approx_distinct",
-        "q15_rollup",
         "q16_window_lag_default",
-        "q17_window_rank",
-        "q18_window_running_sum",
-        "q19_sort_multikey",
-        "q20_topk",
-        "q21_union_all_counts",
-        "q22_intersect",
-        "q23_string_scalars",
-        "q24_date_scalars",
-        "q25_math_conditional",
-        "q26_array_collect",
-        "q27_json",
-        "q28_cast_matrix",
-        "q29_udf_parity",
-        "q30_grouped_normalize",
+        "q06_join_broadcast",
         "q31_stream_tumbling",
-        "q32_stream_sliding",
-        "q33_stream_session",
-        "q34_stream_watermark",
-        "q35_stream_dedup",
-        "q36_stream_route_counts",
-        "q37_ml_best_play",
         "q38_dedup_exact",
         "q39_minhash_lsh_pairs",
         "q40_token_stats",
-        # LLM-pipeline north-star + time-series suite
-        "q96_streaming_matview",
-        "q91_decontamination",
         "q41_ann_topk",
-        "q41c_ann_lsh",
-        "q42_embedding_near_dup",
-        "q90_chunk_documents",
+        "q37_ml_best_play",
+        # Q37's deterministic prefix (StringIndexer + VectorAssembler),
+        # first driver row with a full value oracle
+        "q37c_ml_index_assemble",
+        # round-2 hash-fail fixes — prove the output-type contract
+        "q96_streaming_matview",
         "q105_vocab_oov",
-        "q63_asof_join",
-        "q65_range_join",
-        "q66_connected_components",
+        # LLM data-prep suite (first driver rows)
+        "q106_repetition_stats",
+        "q107_pii_redaction",
+        "q108_hash_split",
+        "q109_token_shards",
+        "q110_unigram_logprob",
+        "q111_corpus_pipeline",
+        "q112_streaming_corpus_ingest",
+        "q113_pipeline_observability",
+        # curation / profiling
+        "q117_dup_passages",
+        "q121_per_key_sample",
+        "q123_column_profile",
+        # warehouse layout
+        "q118_scd2_dimension",
+        "q119_zorder_layout",
+        # skew / runtime-filter patterns
+        "q120_bloom_semi_join",
+        "q51_salted_agg",
+        "q52_bucketed_join",
+        # time-series
+        "q124_sessionize",
+        "q126_rolling_zscore",
+        "q129_max_concurrency",
+        # text-analysis variants
+        "q40b_quality_score",
+        "q40c_lang_id",
+        "q40d_fingerprint",
+        "q40e_top_terms",
+        # simhash near-dup
+        "q39c_simhash_pairs",
+        # multimodal codecs (oracle-backed)
+        "q97_image_header_parse",
+        "q114_image_decode_stats",
+        "q115_audio_decode_stats",
+        "q116_video_decode_stats",
+        # modern SQL surface
+        "q72_recursive_cte",
+        "q73_variant_json",
+        "q74_sql_udf",
+        "q75_lateral_join",
+        "q76_listagg",
+        "q86_approx_top_k",
+        "q88_group_by_all",
+        "q89_nullsafe_join",
+        # iterative graph + sketch rollup
+        "q95_pagerank",
+        "q80_hll_sketch_rollup",
     ]
     ordered: dict[str, Callable] = {}
     for name in window:

@@ -65,6 +65,44 @@ class ScoringService:
     def score_batch(self, requests: DataFrame) -> DataFrame:
         return score_best_play(self.pass_model, self.run_model, requests)
 
+    # -- HTTP binding (reference-parity smoke surface) ----------------------
+    def serve_http(self, host: str = "127.0.0.1", port: int = 0):
+        """Bind the ``/api`` contract to a localhost HTTP listener —
+        the end-to-end shape of the reference's serving app (single-
+        threaded Flask on :4444, ``assets/app_nfl.py:282-343``), with
+        stdlib ``http.server`` so the engine core stays framework-free.
+        Returns the bound ``HTTPServer``; the caller owns
+        ``serve_forever``/``shutdown``. Malformed or incomplete requests
+        get a 400 (the reference's bare ``except`` swallowed them — a
+        documented defect we do not reproduce)."""
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        service = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                if self.path != "/api":
+                    self.send_error(404, "unknown route")
+                    return
+                n = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n).decode("utf-8")
+                try:
+                    out = service.score_json(body).encode("utf-8")
+                    code = 200
+                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    out = json.dumps({"error": str(e)}).encode("utf-8")
+                    code = 400
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+            def log_message(self, *args):  # keep test output clean
+                pass
+
+        return HTTPServer((host, port), _Handler)
+
     # -- /index cursor ------------------------------------------------------
     def next_play(self, cursor: int) -> dict | None:
         """Nth play of the ordered plays table (reference get_next_play,

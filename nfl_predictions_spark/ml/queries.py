@@ -1,8 +1,11 @@
 """Driver-facing ML queries (SURVEY.md §2B Q37).
 
-GBT predictions are not SQL-expressible, so these entries have no
+GBT predictions are not SQL-expressible, so q37/q37b/q87 have no
 DuckDB oracle (the driver records the weaker rows-only check); the
-semantic and golden tests live in tests/test_ml.py.
+semantic and golden tests live in tests/test_ml.py. The pipeline's
+deterministic prefix — StringIndexer label assignment and the
+assembled feature vector — IS SQL-expressible, and q37c checks it
+value-for-value against DuckDB on the driver's events table.
 """
 
 from __future__ import annotations
@@ -138,6 +141,82 @@ def q37b_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q37b_ml_eval"] = q37b_ml_eval
+
+
+def q37c_ml_index_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ML pipeline's deterministic prefix, value-checked against SQL:
+    a REAL ``StringIndexer`` (handleInvalid=error, frequencyDesc — the
+    exact config of the reference's saved stage, assets/static/assets/
+    nfl_model_pass/stages/0_StringIndexer_*/metadata/part-00000:1) fit
+    on a lag-derived categorical (the PlayType_lag shape of §2A#27,
+    built from events exactly like q16), then a REAL ``VectorAssembler``
+    (§2A#18). The emitted columns pin everything SQL can express:
+
+    - ``lag_idx``: the fitted label index. Spark's frequencyDesc orders
+      labels by count desc then alphabetically for ties — reproduced in
+      the oracle as ``row_number() OVER (ORDER BY c DESC, lbl) - 1``.
+    - ``vec_checksum``: a position-weighted sum of the assembled vector
+      (1*value + 2*lag_idx + 3*user_id). Identical IEEE doubles on
+      identical inputs, so a wrong slot order or dropped feature shows
+      as a value mismatch, not just a row-count blip.
+
+    The GBT remainder stays rows-only by necessity (q37); this entry
+    turns the rest of the Q37 pipeline from 'trust the tests' into a
+    driver-checkable green row. Scale: indexer fit = one map-side-
+    combined count of a low-cardinality column; transform = broadcast
+    label map, shuffle-free."""
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import Window
+
+    from nfl_predictions_spark.sources.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", F.col("value").cast("double")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn(
+        "lag_label", F.lag("event_type", 1, "FirstEvent").over(w)
+    ).withColumn("user_d", F.col("user_id").cast("double"))
+    indexer = StringIndexer(
+        inputCol="lag_label",
+        outputCol="lag_idx",
+        handleInvalid="error",
+        stringOrderType="frequencyDesc",
+    ).fit(lagged)
+    assembled = VectorAssembler(
+        inputCols=["value", "lag_idx", "user_d"], outputCol="features"
+    ).transform(indexer.transform(lagged))
+    arr = vector_to_array("features")
+    return assembled.select(
+        "event_id",
+        "lag_label",
+        F.col("lag_idx").cast("double").alias("lag_idx"),
+        F.round(
+            arr[0] * 1 + arr[1] * 2 + arr[2] * 3, 6
+        ).alias("vec_checksum"),
+    ).orderBy("event_id")
+
+
+QUERIES["q37c_ml_index_assemble"] = q37c_ml_index_assemble
+ORACLE["q37c_ml_index_assemble"] = """
+WITH lagd AS (
+  SELECT event_id, user_id, value,
+    COALESCE(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             'FirstEvent') AS lag_label
+  FROM events
+), freq AS (
+  SELECT lag_label AS lbl, count(*) AS c FROM lagd GROUP BY lbl
+), ranked AS (
+  SELECT lbl,
+    CAST(row_number() OVER (ORDER BY c DESC, lbl) - 1 AS DOUBLE) AS lag_idx
+  FROM freq
+)
+SELECT l.event_id, l.lag_label, r.lag_idx,
+       ROUND(l.value * 1 + r.lag_idx * 2 + l.user_id * 3, 6) AS vec_checksum
+FROM lagd l JOIN ranked r ON l.lag_label = r.lbl
+ORDER BY l.event_id
+"""
 
 
 def q87_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:

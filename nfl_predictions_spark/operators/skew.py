@@ -182,11 +182,20 @@ def q52_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q120 — Bloom-filter semi-join (runtime-filter pattern, made explicit)
 # ---------------------------------------------------------------------------
 
-_BLOOM_M = 16384  # bits
+_BLOOM_BITS_PER_KEY = 10  # m = ~10 bits/key, k=3 => ~1.7% FPR at any sf
 _BLOOM_K = 3  # hash functions
+_BLOOM_WORD = 32  # bits packed per array word (fits BIGINT positive range)
 
 
-def _bloom_pos_spark(key, seed: int):
+def _bloom_m(n_build: int) -> int:
+    """Filter size in bits for a build side of n keys: ~{_BLOOM_BITS_PER_KEY}
+    bits/key rounded up to whole {_BLOOM_WORD}-bit words. Pure integer
+    arithmetic so Spark and DuckDB derive the identical m."""
+    n_words = (_BLOOM_BITS_PER_KEY * max(n_build, 1) + _BLOOM_WORD - 1) // _BLOOM_WORD
+    return n_words * _BLOOM_WORD
+
+
+def _bloom_pos_spark(key, seed: int, m: int):
     """Bit position for (key, seed): 60-bit md5 hex prefix mod m — the
     same cross-engine hash family the SimHash oracle uses."""
     h = F.conv(
@@ -194,7 +203,7 @@ def _bloom_pos_spark(key, seed: int):
         16,
         10,
     ).cast("long")
-    return (h % _BLOOM_M).alias(f"p{seed}")
+    return (h % m).alias(f"p{seed}")
 
 
 def _bloom_pos_duck(expr: str, seed: int) -> str:
@@ -202,27 +211,44 @@ def _bloom_pos_duck(expr: str, seed: int) -> str:
         f"(strpos('0123456789abcdef', substr(md5('b{seed}' || CAST({expr} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
         for i in range(15)
     )
-    return f"(({poly}) % {_BLOOM_M})"
+    return f"(({poly}) % mm.m)"
 
 
 def _bloom_oracle() -> str:
     build = ", ".join(_bloom_pos_duck("c_custkey", s) for s in range(_BLOOM_K))
+    pcols = ", ".join(f"{_bloom_pos_duck('o.o_custkey', s)} AS p{s}" for s in range(_BLOOM_K))
     probe = " AND ".join(
-        f"list_contains(f.bits, {_bloom_pos_duck('o.o_custkey', s)})"
+        f"((f.words[p{s} // {_BLOOM_WORD} + 1] >> (p{s} % {_BLOOM_WORD})) & 1) = 1"
         for s in range(_BLOOM_K)
     )
     return f"""
     WITH dim AS (
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), mm AS (
+      SELECT (({_BLOOM_BITS_PER_KEY} * greatest(count(*), 1) + {_BLOOM_WORD - 1})
+              // {_BLOOM_WORD}) AS n_words,
+             (({_BLOOM_BITS_PER_KEY} * greatest(count(*), 1) + {_BLOOM_WORD - 1})
+              // {_BLOOM_WORD}) * {_BLOOM_WORD} AS m
+      FROM dim
     ), pos AS (
-      SELECT unnest([{build}]) AS p FROM dim
+      SELECT unnest([{build}]) AS p FROM dim, mm
+    ), setw AS (
+      SELECT p // {_BLOOM_WORD} AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % {_BLOOM_WORD} AS INT)) AS word
+      FROM (SELECT DISTINCT p FROM pos) GROUP BY w
+    ), dense AS (
+      SELECT gs.i AS w, COALESCE(setw.word, 0) AS word
+      FROM (SELECT unnest(range(0, (SELECT n_words FROM mm))) AS i) gs
+      LEFT JOIN setw ON setw.w = gs.i
     ), filt AS (
-      SELECT list(DISTINCT p) AS bits FROM pos
-    ), probed AS (
-      SELECT o.o_custkey,
-             ({probe}) AS bloom_pass,
+      SELECT list(word ORDER BY w) AS words FROM dense
+    ), hashed AS (
+      SELECT o.o_custkey, {pcols},
              o.o_custkey IN (SELECT c_custkey FROM dim) AS exact_pass
-      FROM orders o CROSS JOIN filt f
+      FROM orders o CROSS JOIN mm
+    ), probed AS (
+      SELECT h.o_custkey, ({probe}) AS bloom_pass, h.exact_pass
+      FROM hashed h CROSS JOIN filt f
     )
     SELECT CAST(count(*) FILTER (bloom_pass) AS BIGINT) AS n_bloom_pass,
            CAST(count(*) FILTER (exact_pass) AS BIGINT) AS n_exact,
@@ -239,31 +265,59 @@ def q120_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's own `runtime.bloomFilter` optimization injects, built from
     first principles so the engine controls when it fires: hash each
     build-side key (BUILDING-segment customers) to k={_BLOOM_K} bit
-    positions in an m={_BLOOM_M}-bit filter, collapse to ONE row holding
-    the set bits, broadcast it, and probe the fact table with k
-    array-membership tests — no shuffle of the fact side, ever.
+    positions in a filter sized to the BUILD CARDINALITY
+    (~{_BLOOM_BITS_PER_KEY} bits/key => ~1.7% FPR at any scale factor —
+    a fixed m would saturate one decade up), pack the bits into
+    {_BLOOM_WORD}-bit words in ONE dense broadcast array, and probe the
+    fact table with k constant-time shift-and-mask word tests — no
+    shuffle of the fact side, no O(set-bits) scan per row.
 
     Returns the filter's effectiveness report: rows passing the bloom
     probe, the exact semi-join cardinality, and the false-positive
-    count (the gap the re-check join removes). The filter row stays
-    tiny (<= k * |dim| set bits out of m), which is why this pattern
-    ships a dimension predicate to 100 TB of fact scan for free. The
-    bit positions use the cross-engine md5 hash family, so DuckDB
-    reproduces the filter bit-for-bit."""
+    count (the gap the re-check join removes). The packed filter is
+    m/8 bytes (~1.25 bytes/key), which is why this pattern ships a
+    dimension predicate to 100 TB of fact scan for free. The bit
+    positions use the cross-engine md5 hash family and m derives from
+    count(*) by pure integer arithmetic, so DuckDB reproduces the
+    filter bit-for-bit. The one driver-side action is the build-side
+    count() that sizes m — the same scalar Spark's own runtime filter
+    plans as a subquery."""
     cust = table(spark, sf_dir, "customer")
     dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    m = _bloom_m(dim.count())
+    n_words = m // _BLOOM_WORD
     pos = None
     for s in range(_BLOOM_K):
-        part = dim.select(_bloom_pos_spark(F.col("c_custkey"), s).alias("p"))
+        part = dim.select(_bloom_pos_spark(F.col("c_custkey"), s, m).alias("p"))
         pos = part if pos is None else pos.unionByName(part)
-    filt = pos.agg(F.collect_set("p").alias("bits"))
+    setw = (
+        pos.distinct()
+        .select(
+            (F.col("p") / _BLOOM_WORD).cast("long").alias("w"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    filt = (
+        spark.range(n_words)
+        .select(F.col("id").alias("w"))
+        .join(setw, "w", "left")
+        .fillna({"word": 0})
+        .agg(F.array_sort(F.collect_list(F.struct("w", "word"))).alias("sw"))
+        .select(F.expr("transform(sw, x -> x.word)").alias("words"))
+    )
 
     orders = table(spark, sf_dir, "orders").select("o_custkey")
     probed = orders.crossJoin(F.broadcast(filt))
     bloom_pass = None
     for s in range(_BLOOM_K):
-        term = F.array_contains(
-            "bits", _bloom_pos_spark(F.col("o_custkey"), s)
+        probed = probed.withColumn(
+            f"p{s}", _bloom_pos_spark(F.col("o_custkey"), s, m)
+        )
+        term = F.expr(
+            f"(shiftright(element_at(words, CAST(p{s} / {_BLOOM_WORD} AS INT) + 1), "
+            f"CAST(p{s} % {_BLOOM_WORD} AS INT)) & 1) = 1"
         )
         bloom_pass = term if bloom_pass is None else bloom_pass & term
     exact = dim.select(F.col("c_custkey").alias("o_custkey")).distinct()

@@ -42,6 +42,52 @@ def test_next_play_cursor(service):
     assert service.next_play(10**6) is None  # past the end
 
 
+def test_http_golden_replay(service):
+    """End-to-end serving smoke (SURVEY §3 entry points 1-2): bind the
+    service to a localhost HTTP listener and replay the reference's
+    golden curl request (assets/app_nfl.py:286) over a real socket.
+    The JSON wire contract must be exactly {best_play, passing_yards,
+    running_yards} (assets/app_nfl.py:316); HTTP answers must agree
+    with direct in-process scoring; missing fields and unknown routes
+    must fail loudly (400/404), unlike the reference's silent excepts."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from nfl_predictions_spark.ml.score import GOLDEN_REQUEST
+
+    srv = service.serve_http()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path,
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return json.loads(resp.read())
+
+        out = post("/api", GOLDEN_REQUEST)
+        assert set(out) == {"best_play", "passing_yards", "running_yards"}
+        assert out["best_play"] in ("Passing Play", "Running Play")
+        assert out == json.loads(service.score_json(json.dumps(GOLDEN_REQUEST)))
+
+        bad = {k: v for k, v in GOLDEN_REQUEST.items() if k != "qtr"}
+        with pytest.raises(urllib.error.HTTPError) as e400:
+            post("/api", bad)
+        assert e400.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e404:
+            post("/nope", GOLDEN_REQUEST)
+        assert e404.value.code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_batch_matches_single(service, spark):
     """Batch scoring and single-record scoring agree row for row."""
     from pyspark.sql import functions as F
@@ -111,6 +157,19 @@ def test_salted_join_matches_plain(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_bloom_filter_effectiveness(spark):
+    """The size-adaptive packed bloom filter must actually filter: every
+    true semi-join row passes, and false positives stay near the ~1.7%
+    design FPR (10 bits/key, k=3) rather than the ~97% a saturated
+    fixed-size filter would show."""
+    from nfl_predictions_spark.operators.skew import q120_bloom_semi_join
+
+    row = q120_bloom_semi_join(spark, SF_SMOKE).collect()[0]
+    assert row.n_bloom_pass >= row.n_exact  # no false negatives, ever
+    assert row.n_false_pos == row.n_bloom_pass - row.n_exact
+    assert row.n_false_pos <= 0.05 * row.n_probed  # filter not saturated
 
 
 def test_dynamic_partition_pruning(spark):
