@@ -47,6 +47,9 @@ HEADLINE = [
     "q108_hash_split",
     "q109_token_shards",
     "q111_corpus_pipeline",
+    "q130_sequence_packing",
+    "q132_bm25_retrieval",
+    "q133_containment_decontam",
     # extended + scale patterns
     "q63_asof_join",
     "q44_pivot",

@@ -533,3 +533,82 @@ def q117_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_docs"), "span")
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — containment-based decontamination
+# ---------------------------------------------------------------------------
+
+_CONT_N = 5  # shingle length for containment
+_CONT_T = 0.3  # flag training docs covering >= this fraction of an eval doc
+
+
+@_q(
+    "q133_containment_decontam",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(ts[i : i + {_CONT_N - 1}], ' ')
+         for i in range(1, len(ts) - {_CONT_N - 2})])) AS s
+      FROM toks WHERE len(ts) >= {_CONT_N}
+    ), ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
+       evn AS (SELECT eval_id, count(*) AS n_ev FROM ev GROUP BY eval_id),
+       tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+       hits AS (
+         SELECT tr.doc_id, ev.eval_id, count(*) AS n_shared
+         FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id, ev.eval_id
+       )
+    SELECT h.doc_id, h.eval_id,
+           CAST(h.n_shared AS BIGINT) AS n_shared,
+           CAST(e.n_ev AS BIGINT) AS n_eval_shingles,
+           ROUND(h.n_shared * 1.0 / e.n_ev, 6) AS containment
+    FROM hits h JOIN evn e USING (eval_id)
+    WHERE h.n_shared * 1.0 / e.n_ev >= {_CONT_T}
+    ORDER BY doc_id, eval_id
+    """,
+)
+def q133_containment_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based decontamination — the graded form of q91's
+    binary n-gram leak check (the public Bag-of-Words-containment /
+    "contaminated if a large fraction of the eval example appears"
+    criterion used by LLM training-set audits): for each (train, eval)
+    document pair, the fraction of the EVAL doc's distinct
+    {_CONT_N}-gram shingles also present in the training doc. Pairs at
+    containment >= {_CONT_T} are flagged — this catches paraphrased or
+    partially-copied eval items that share many short spans but no
+    single exact {{8}}-gram (q91's blind spot), at the cost of a
+    shorter, more collision-prone shingle.
+
+    Scale shape: identical to q91 — the eval side is always tiny next
+    to the corpus, so its shingles BROADCAST; the per-pair group keys
+    are (train_doc, eval_doc) hits only (pairs sharing nothing are
+    never materialized); the containment denominator joins back from a
+    broadcast-sized per-eval-doc count. The threshold compares the
+    same integer ratio both engines compute, so there is no float
+    boundary to flake on."""
+    sh = shingle_rows(table(spark, sf_dir, "documents"), n=_CONT_N)
+    is_eval = F.col("doc_id") % 50 == 0
+    ev = sh.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), F.col("s").alias("es")
+    )
+    evn = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    tr = sh.filter(~is_eval)
+    hits = (
+        tr.join(F.broadcast(ev), tr.s == ev.es)
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(F.broadcast(evn), "eval_id")
+        .filter(F.col("n_shared") / F.col("n_ev") >= _CONT_T)
+        .select(
+            "doc_id",
+            "eval_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_ev").cast("long").alias("n_eval_shingles"),
+            F.round(F.col("n_shared") / F.col("n_ev"), 6).alias("containment"),
+        )
+        .orderBy("doc_id", "eval_id")
+    )

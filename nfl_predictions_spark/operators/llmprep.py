@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nfl_predictions_spark.sources.tables import table
+from nfl_predictions_spark.sources.tables import spread, table
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -86,11 +86,13 @@ def q106_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array arithmetic inside codegen (split / slice / arrays_zip
     / array_distinct) followed by one map-side-combinable aggregate —
     per-doc cost is O(tokens), the shuffle carries only (lang, 4
-    doubles), so the plan is scan-bound at any corpus size."""
+    doubles), so the plan is scan-bound at any corpus size. The scan is
+    ``spread`` first: a single-row-group file is one task, and the
+    per-row array CPU must fan out before it, not after."""
     toks = F.split(F.col("text"), " ")
     m = F.size("ts") - 1
     docs = (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .select("doc_id", "lang", toks.alias("ts"))
         .withColumn(
             "bg",
@@ -274,6 +276,30 @@ _SHARD_TOKENS = 4096
 _PREFIX_GROUP = 500  # docs per prefix group (tune to ~partition size at scale)
 
 
+def _token_offsets(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, start_off): each document's global token offset in
+    doc_id order, via the scalable two-phase prefix sum (per-group
+    subtotals -> tiny-table prefix window -> keyed within-group window).
+    Shared by q109 (sharding) and q130 (sequence packing) so both cut
+    the corpus at identical offsets."""
+    d = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    g = d.withColumn("grp", F.floor(F.col("doc_id") / _PREFIX_GROUP))
+    wg = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        g.groupBy("grp")
+        .agg(F.sum("n_tok").alias("g_tok"))
+        .withColumn("g_base", F.coalesce(F.sum("g_tok").over(wg), F.lit(0)))
+        .select("grp", "g_base")
+    )
+    ww = Window.partitionBy("grp").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return g.join(F.broadcast(bases), "grp").withColumn(
+        "start_off",
+        F.col("g_base") + F.coalesce(F.sum("n_tok").over(ww), F.lit(0)),
+    )
+
+
 @_q(
     "q109_token_shards",
     f"""
@@ -317,28 +343,8 @@ def q109_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group-count-sized table; nothing serializes the corpus through
     one task. The oracle states the same semantics as the naive global
     window, proving the decomposition exact."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
-    )
-    g = docs.withColumn("grp", F.floor(F.col("doc_id") / _PREFIX_GROUP))
-    # Phase 1+2: per-group subtotals, prefix over the tiny group table.
-    wg = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
-    bases = (
-        g.groupBy("grp")
-        .agg(F.sum("n_tok").alias("g_tok"))
-        .withColumn("g_base", F.coalesce(F.sum("g_tok").over(wg), F.lit(0)))
-        .select("grp", "g_base")
-    )
-    # Phase 3: within-group running sum on the corpus, keyed window.
-    ww = Window.partitionBy("grp").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     s = (
-        g.join(F.broadcast(bases), "grp")
-        .withColumn(
-            "start_off",
-            F.col("g_base") + F.coalesce(F.sum("n_tok").over(ww), F.lit(0)),
-        )
+        _token_offsets(table(spark, sf_dir, "documents"))
         .withColumn("shard", F.floor(F.col("start_off") / _SHARD_TOKENS))
         .withColumn(
             "straddles",
@@ -356,6 +362,106 @@ def q109_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("straddles").cast("long").alias("straddlers"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q130 — greedy sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 512  # tokens per training sequence
+
+
+@_q(
+    "q130_sequence_packing",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ), o AS (
+      SELECT doc_id, n,
+        COALESCE(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM t
+    ), s AS (
+      SELECT doc_id, n, start_off // {_SHARD_TOKENS} AS shard,
+        row_number() OVER (PARTITION BY start_off // {_SHARD_TOKENS}
+                           ORDER BY doc_id) AS rn
+      FROM o
+    ), packed AS (
+      SELECT shard, rn, doc_id, n, 0 AS seq, n AS fill FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.n,
+        CASE WHEN p.fill + s.n <= {_PACK_CAP} THEN p.seq ELSE p.seq + 1 END,
+        CASE WHEN p.fill + s.n <= {_PACK_CAP} THEN p.fill + s.n ELSE s.n END
+      FROM packed p JOIN s ON s.shard = p.shard AND s.rn = p.rn + 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(max(seq) + 1 AS BIGINT) AS n_seqs,
+           CAST(sum(n) AS BIGINT) AS tokens,
+           ROUND(sum(n) * 1.0 / ((max(seq) + 1) * {_PACK_CAP}), 6) AS fill_ratio
+    FROM packed GROUP BY shard ORDER BY shard
+    """,
+)
+def q130_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing — the step after q109's sharding that
+    actually fills training sequences: documents in doc_id order are
+    first-fit packed into {_PACK_CAP}-token sequences (a new sequence
+    starts when the next document would overflow; an oversized document
+    gets a sequence of its own). Reported per shard: sequence count,
+    packed tokens, and fill ratio — the padding-waste metric a training
+    team watches.
+
+    Greedy packing is inherently sequential (each cut depends on the
+    running fill), which is exactly what a distributed plan must NOT
+    serialize globally. The scalable decomposition: q109's two-phase
+    prefix sum assigns each doc a {_SHARD_TOKENS}-token SHARD (packing
+    state resets at shard boundaries by construction), then
+    ``applyInPandas`` runs the sequential fold per shard — thousands of
+    independent bounded groups at 100 TB, none larger than a few
+    hundred docs. The oracle replays the same greedy fold as a
+    recursive CTE, proving the per-shard decomposition exact."""
+    import pandas as pd
+
+    docs = _token_offsets(spread(table(spark, sf_dir, "documents")))
+    sharded = docs.withColumn(
+        "shard", F.floor(F.col("start_off") / _SHARD_TOKENS)
+    ).select("shard", "doc_id", "n_tok")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        seq = 0
+        fill = 0
+        first = True
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if first:
+                fill = n
+                first = False
+            elif fill + n <= _PACK_CAP:
+                fill += n
+            else:
+                seq += 1
+                fill = n
+        n_seqs = seq + 1
+        tokens = int(pdf["n_tok"].sum())
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "docs": [len(pdf)],
+                "n_seqs": [n_seqs],
+                "tokens": [tokens],
+                "fill_ratio": [round(tokens / (n_seqs * _PACK_CAP), 6)],
+            }
+        )
+
+    return (
+        sharded.groupBy("shard")
+        .applyInPandas(
+            pack,
+            "shard long, docs long, n_seqs long, tokens long, fill_ratio double",
         )
         .orderBy("shard")
     )

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nfl_predictions_spark.sources.tables import table
+from nfl_predictions_spark.sources.tables import spread, table
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -88,7 +88,11 @@ def q41_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    cands = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    # spread: the per-row dot-product folds are interpreted CPU, and a
+    # single-row-group corpus file would run them all in ONE task
+    cands = spread(emb).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
     cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
     scored = cands.crossJoin(F.broadcast(queries)).withColumn("cos_raw", cos)
     w = Window.partitionBy("qid").orderBy(
@@ -136,7 +140,7 @@ def q41b_ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         S = Xn @ Qn_.T  # (batch, n_queries)
         return pd.Series(list(S))
 
-    scored = emb.select(
+    scored = spread(emb).select(
         F.col("vec_id").alias("cid"), cos_all("embedding").alias("cos_vec")
     ).select(
         "cid",
@@ -248,7 +252,7 @@ def q41c_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in any of the 8 hash tables; exact cosine rescoring inside the
     candidate set only. Recall vs the exact baseline is measured in
     tests (union of 8 tables keeps it high while each join stays tiny)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"))
     sigs = lsh_signatures(emb)
     tables = F.array(
         *[
@@ -379,7 +383,9 @@ def embedding_near_dup(
     """,
 )
 def q42_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
+    )
     return embedding_near_dup(emb).orderBy("d1", "d2")
 
 
@@ -397,7 +403,7 @@ def q41d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     nlist, nprobe = 16, 4
-    emb = table(spark, sf_dir, "embeddings").withColumn(
+    emb = spread(table(spark, sf_dir, "embeddings")).withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
     model = KMeans(k=nlist, seed=42, maxIter=10).fit(emb.select("features"))
@@ -460,7 +466,7 @@ def q94_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     only wide op on the corpus is the per-(vector, candidate) partial
     aggregation — at 100 TB this is a scan plus a map-side-combined agg,
     no vector ever shuffles whole."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     ex = emb.select("vec_id", "label", F.posexplode("e").alias("pos", "x"))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nfl_predictions_spark.sources.tables import table
+from nfl_predictions_spark.sources.tables import spread, table
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -48,11 +48,17 @@ _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
     """,
 )
 def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace and BPE-ish-regex token counts per document."""
+    """Whitespace and BPE-ish-regex token counts per document.
+
+    The regex count is pure per-row CPU, so the scan is ``spread`` to
+    cluster width: a single-row-group parquet file scans as ONE task,
+    and at 10x bench scale that one task serialized ~15 s of regex work
+    that parallelizes to under a second (measured; no-op on inputs that
+    already scan wide)."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     return (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             n.alias("n_tokens"),
@@ -444,4 +450,121 @@ def q105_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP_K = 10
+#: Fixed literal query set (terms from the corpus vocabulary) — the
+#: retrieval queries a curation pipeline runs to pull topic slices.
+_BM25_QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["window", "agg", "stream"]),
+    (2, ["scan", "filter"]),
+]
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"""
+    WITH q(qid, term) AS (VALUES {vals}),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM tok
+      WHERE t IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    sc AS (
+      SELECT q.qid, tf.doc_id,
+        sum(
+          ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+          * tf.tf * ({_BM25_K1} + 1)
+          / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+        ) AS score
+      FROM q
+      JOIN tf ON tf.t = q.term
+      JOIN df ON df.t = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY q.qid, tf.doc_id
+    ), r AS (
+      SELECT qid, doc_id, round(score, 6) AS bm25,
+        row_number() OVER (PARTITION BY qid
+                           ORDER BY round(score, 6) DESC, doc_id) AS rn
+      FROM sc
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, doc_id, bm25, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {_BM25_TOP_K} ORDER BY qid, rn
+    """
+
+
+@_q("q132_bm25_retrieval", _bm25_oracle())
+def q132_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus — the lexical search a
+    curation pipeline uses to pull topic slices, mine hard negatives,
+    or audit what a training set contains (Okapi BM25, k1={_BM25_K1},
+    b={_BM25_B}, the standard public formulation). Top-{_BM25_TOP_K}
+    documents per query, ranked on the 6-decimal-rounded score with
+    doc_id tie-break (the cross-engine-stable ordering).
+
+    Scale shape: the query-term table is literal-sized and BROADCASTS
+    into the token stream, so term frequencies are one map-side-
+    combined agg over a shuffle keyed by (doc, term) — the corpus
+    shuffles only its matching tokens, never full documents; df/N/avgdl
+    are tiny aggregates that broadcast back. No inverted index is
+    materialized: at 100 TB a repeated-query deployment would persist
+    the (term -> doc, tf) table bucketed by term, which is exactly the
+    ``tf`` stage of this plan."""
+    from pyspark.sql import Window
+
+    terms_df = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "qid long, term string",
+    )
+    docs = spread(table(spark, sf_dir, "documents"))
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf = (
+        tok.join(
+            F.broadcast(terms_df.select("term").distinct()),
+            tok.t == F.col("term"),
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    sc = (
+        terms_df.join(tf, terms_df.term == tf.t)
+        .join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _BM25_TOP_K)
+        .select("qid", "doc_id", F.round("score", 6).alias("bm25"), "rn")
+        .orderBy("qid", "rn")
     )
