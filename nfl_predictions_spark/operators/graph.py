@@ -112,6 +112,95 @@ def q66_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _survivor_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _SHINGLE_SQL
+
+    return (
+        _SURVIVOR_ORACLE_TEMPLATE.replace("__SHINGLES__", _SHINGLE_SQL)
+    )
+
+
+_SURVIVOR_ORACLE_TEMPLATE = """
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (SELECT doc_id, __SHINGLES__ AS shingles FROM tok WHERE len(ts) >= 3),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT d1, d2 FROM inter
+          JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+          WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+walk(id, root) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.id
+),
+comp AS (SELECT id AS doc_id, min(root) AS component FROM walk GROUP BY id),
+lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+ranked AS (
+  SELECT c.component, c.doc_id, l.n,
+    row_number() OVER (PARTITION BY c.component
+                       ORDER BY l.n DESC, c.doc_id) AS rn
+  FROM comp c JOIN lens l USING (doc_id)
+)
+SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor,
+       CAST(sum(CASE WHEN rn = 1 THEN n ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(sum(CASE WHEN rn > 1 THEN n ELSE 0 END) AS BIGINT) AS dropped_tokens
+FROM ranked GROUP BY component ORDER BY component
+"""
+
+
+@_q("q134_cluster_dedup_survivors", _survivor_oracle())
+def q134_cluster_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster dedup with survivor selection — the operator
+    that turns pair/cluster evidence into the actual deduplicated
+    corpus: close the q39b Jaccard pairs under transitivity (q66's
+    min-label propagation), then keep ONE document per cluster by the
+    keep-longest rule (most tokens, ties to the lowest doc_id — the
+    standard public near-dedup survivor heuristic). Reports, per
+    cluster, the survivor and the token mass kept vs dropped; documents
+    in no cluster survive trivially and need no row here.
+
+    Scale shape: everything upstream is the proven q39/q66 machinery
+    (banded LSH candidates at scale — here the exact pair set so the
+    oracle can replay it — and the checkpointed label loop); the
+    survivor pick adds ONE keyed window over the cluster assignment,
+    whose partitions are near-dup clusters (bounded by construction).
+    The oracle unrolls the same closure as a recursive CTE and applies
+    the same ranking."""
+    from pyspark.sql import Window
+
+    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
+    from nfl_predictions_spark.sources.tables import table
+
+    pairs = q39b_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    comp = connected_components(pairs, "d1", "d2").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    lens = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n"), F.asc("doc_id"))
+    ranked = comp.join(lens, "doc_id").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("survivor"),
+            F.sum(F.when(F.col("rn") == 1, F.col("n")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.sum(F.when(F.col("rn") > 1, F.col("n")).otherwise(0)).alias(
+                "dropped_tokens"
+            ),
+        )
+        .orderBy("component")
+    )
+
+
 _PR_DAMPING = 0.85
 _PR_ITERS = 8
 

@@ -24,8 +24,13 @@ DuckDB oracle:
   token frequencies (broadcast, vocabulary-sized) scoring each doc's
   mean log-probability — the cheap statistical proxy for
   perplexity-based quality filtering.
+- q130_sequence_packing (round 3) — greedy first-fit packing of docs
+  into fixed-token training sequences: the inherently-sequential fold
+  decomposed into independent prefix-sum shards (shared with q109),
+  packed per shard in ``applyInPandas``; oracle = the same greedy fold
+  as a recursive CTE.
 
-All five consume the synthetic ``documents`` table. No reference
+All consume the synthetic ``documents`` table. No reference
 counterpart exists (the reference has no corpus tooling); these follow
 the public Gopher/CCNet-style recipes re-expressed as Spark plans.
 """

@@ -27,3 +27,22 @@ def test_cc_converges_on_cycle(spark):
         for r in connected_components(edges, "src", "dst", max_iter=10).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cluster_survivors_keep_longest(spark):
+    """q134: every reported cluster has >= 2 members, the survivor holds
+    at least the per-member average of the dropped token mass (it is the
+    LONGEST member), and survivors are members of their own cluster
+    (survivor >= component id, the cluster's min doc_id)."""
+    from nfl_predictions_spark.operators.graph import (
+        q134_cluster_dedup_survivors,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q134_cluster_dedup_survivors(spark, SF_SMOKE).collect()
+    assert rows, "expected planted near-dup clusters"
+    for r in rows:
+        assert r.cluster_size >= 2
+        assert r.survivor >= r.component
+        avg_dropped = r.dropped_tokens / (r.cluster_size - 1)
+        assert r.kept_tokens >= avg_dropped

@@ -51,6 +51,47 @@ def test_token_shards_exact_partition_of_corpus(spark):
     assert total_tokens // _SHARD_TOKENS <= len(shards) <= total_tokens // _SHARD_TOKENS + 1
 
 
+def test_sequence_packing_consistent_with_shards(spark):
+    """q130 packs exactly the docs/tokens q109 assigns to each shard
+    (shared offset computation), every fill ratio is positive, and no
+    multi-sequence shard can be collapsed: with first-fit greedy, the
+    packed token mass must exceed (n_seqs - 1) * capacity is NOT
+    guaranteed (small docs after a big one), but tokens > (n_seqs - 1)
+    * 0 and n_seqs <= docs always hold; the load-bearing check is the
+    exact per-shard doc/token equality with q109."""
+    from nfl_predictions_spark.operators.llmprep import (
+        q109_token_shards,
+        q130_sequence_packing,
+    )
+
+    shards = {r.shard: r for r in q109_token_shards(spark, SF_SMOKE).collect()}
+    packed = q130_sequence_packing(spark, SF_SMOKE).collect()
+    assert {r.shard for r in packed} == set(shards)
+    for r in packed:
+        assert r.docs == shards[r.shard].docs
+        assert r.tokens == shards[r.shard].tokens
+        assert 1 <= r.n_seqs <= r.docs
+        assert r.fill_ratio > 0
+
+
+def test_containment_bounds_and_eval_disjointness(spark):
+    """Containment is a fraction of the eval doc's shingles: in (0, 1];
+    flagged training docs are never eval docs themselves (doc_id % 50
+    split), and every flagged pair meets the threshold."""
+    from nfl_predictions_spark.operators.dedup import (
+        _CONT_T,
+        q133_containment_decontam,
+    )
+
+    rows = q133_containment_decontam(spark, SF_SMOKE).collect()
+    assert rows, "expected at least one planted near-dup contamination"
+    for r in rows:
+        assert r.doc_id % 50 != 0 and r.eval_id % 50 == 0
+        assert 0 < r.containment <= 1.0
+        assert r.containment >= _CONT_T
+        assert 0 < r.n_shared <= r.n_eval_shingles
+
+
 def test_pii_redaction_complete(spark):
     """Every injected email/IP is counted, and no PII pattern survives
     in the redacted text (checked via a second regex pass)."""
@@ -113,3 +154,32 @@ def test_repetition_flags_planted_duplicate(spark):
     assert by_id[0].dtf == 0.8  # 1 distinct of 5
     assert by_id[0].dbf == 0.75  # 1 distinct of 4 bigrams
     assert by_id[1].dtf == 0.0 and by_id[1].dbf == 0.0
+
+
+def test_bm25_ranking_properties(spark):
+    """q132: per query, ranks are contiguous from 1, scores are positive
+    and non-increasing in rank, and the top document actually contains
+    at least one of the query's terms."""
+    from nfl_predictions_spark.operators.text import (
+        _BM25_QUERIES,
+        q132_bm25_retrieval,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    rows = q132_bm25_retrieval(spark, SF_SMOKE).collect()
+    terms = {qid: set(ts) for qid, ts in _BM25_QUERIES}
+    texts = {
+        r.doc_id: set(r.text.split(" "))
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(terms)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.bm25 for r in rs]
+        assert all(s > 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+        assert texts[rs[0].doc_id] & terms[qid]
