@@ -48,6 +48,7 @@ HEADLINE = [
     "q109_token_shards",
     "q111_corpus_pipeline",
     "q130_sequence_packing",
+    "q131_importance_sample",
     "q132_bm25_retrieval",
     "q133_containment_decontam",
     # extended + scale patterns

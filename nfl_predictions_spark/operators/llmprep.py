@@ -473,6 +473,79 @@ def q130_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q131 — deterministic importance resampling
+# ---------------------------------------------------------------------------
+
+_IS_HALF = 40  # tokens at which the keep-weight reaches 0.5
+
+
+@_q(
+    "q131_importance_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+        len(string_split(text, ' ')) AS n,
+        (({" + ".join(
+            f"(strpos('0123456789abcdef', substr(md5('ws' || text), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+            for i in range(15)
+        )}) % 1000000) AS bucket,
+        len(string_split(text, ' ')) * 1.0
+          / (len(string_split(text, ' ')) + {_IS_HALF}) AS wgt
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+      CAST(sum(CASE WHEN bucket < CAST(floor(wgt * 1000000) AS BIGINT)
+               THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      CAST(sum(CASE WHEN bucket < CAST(floor(wgt * 1000000) AS BIGINT)
+               THEN n ELSE 0 END) AS BIGINT) AS kept_tokens,
+      ROUND(avg(wgt), 6) AS mean_weight
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+)
+def q131_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance resampling — the weighted form of q59's
+    uniform hash sample and the mechanism behind quality-proportional
+    corpus selection (the public DSIR/importance-resampling recipe):
+    each document is kept with probability equal to a per-doc weight,
+    decided by comparing a content-hash bucket against the weight — no
+    RNG state, reproducible on any cluster, stable under repartitioning,
+    and the SAME decision for the same document on every run (the
+    property an incremental corpus build needs).
+
+    The weight here is the saturating length weight n/(n+{_IS_HALF})
+    (longer docs proportionally likelier kept); any per-doc quality
+    score — q110's unigram logprob, q40b's gate, a model score — plugs
+    into the same comparison. The keep decision compares the hash
+    bucket to floor(weight * 1e6): pure rational arithmetic on
+    identical inputs, so both engines make bit-identical decisions —
+    no float-boundary flake. One scan, one map-side-combined agg; at
+    100 TB the sample never materializes a shuffle of the corpus."""
+    n = F.size(F.split("text", " "))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ws"), F.col("text"))), 1, 15), 16, 10
+        ).cast("long")
+        % 1000000
+    )
+    wgt = n / (n + F.lit(_IS_HALF))
+    keep = bucket < F.floor(wgt * 1000000).cast("long")
+    return (
+        spread(table(spark, sf_dir, "documents"))
+        .select("lang", n.alias("n"), keep.alias("keep"), wgt.alias("wgt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sum(F.when(F.col("keep"), F.col("n")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.round(F.avg("wgt"), 6).alias("mean_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q110 — unigram-LM quality score
 # ---------------------------------------------------------------------------
 

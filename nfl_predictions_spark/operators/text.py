@@ -516,33 +516,35 @@ def q132_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents per query, ranked on the 6-decimal-rounded score with
     doc_id tie-break (the cross-engine-stable ordering).
 
-    Scale shape: the query-term table is literal-sized and BROADCASTS
-    into the token stream, so term frequencies are one map-side-
-    combined agg over a shuffle keyed by (doc, term) — the corpus
-    shuffles only its matching tokens, never full documents; df/N/avgdl
-    are tiny aggregates that broadcast back. No inverted index is
-    materialized: at 100 TB a repeated-query deployment would persist
-    the (term -> doc, tf) table bucketed by term, which is exactly the
-    ``tf`` stage of this plan."""
+    Scale shape: the query terms are literals, so the term match is a
+    FILTER pushed into the token explode — no join, and the corpus
+    shuffles only its matching (doc, term) tokens, never full
+    documents. Document length rides the explode (one column), so tf,
+    dl, and df all come out of ONE tokenized scan (df reuses tf's
+    shuffle via ReusedExchange); N/avgdl are a tiny second aggregate
+    that broadcasts. No inverted index is materialized: at 100 TB a
+    repeated-query deployment would persist the (term -> doc, tf)
+    table bucketed by term, which is exactly the ``tf`` stage of this
+    plan."""
     from pyspark.sql import Window
 
     terms_df = spark.createDataFrame(
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
         "qid long, term string",
     )
-    docs = spread(table(spark, sf_dir, "documents"))
-    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
-    stats = dl.agg(
+    all_terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    withdl = docs.select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = withdl.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     )
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     tf = (
-        tok.join(
-            F.broadcast(terms_df.select("term").distinct()),
-            tok.t == F.col("term"),
-        )
+        withdl.select("doc_id", "dl", F.explode("toks").alias("t"))
+        .filter(F.col("t").isin(all_terms))
         .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -554,7 +556,6 @@ def q132_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = (
         terms_df.join(tf, terms_df.term == tf.t)
         .join(F.broadcast(df_), "t")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("qid", "doc_id")
         .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"))
