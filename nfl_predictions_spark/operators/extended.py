@@ -848,3 +848,78 @@ def q121_per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SAMPLE_K)
         .orderBy("source", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q137 — per-group OLS regression from closed-form aggregates
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q137_grouped_ols",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+        CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity AS DECIMAL(9,2))
+                 * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy,
+        CAST(sum(CAST(l_quantity AS DECIMAL(9,2))
+                 * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        AS intercept,
+      round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM a ORDER BY l_returnflag
+    """,
+)
+def q137_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares — regress l_extendedprice on
+    l_quantity within each return flag, entirely from closed-form
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²): the
+    embarrassingly-aggregable form of regression that a SQL engine can
+    run at any scale as ONE map-side-combinable pass, no iterative
+    solver and no per-group materialization. This is the same
+    decomposition MLlib's summarizers use internally; expressing it as
+    an aggregate keeps it in whole-stage codegen.
+
+    Cross-engine determinism: each sufficient statistic is summed in
+    exact DECIMAL (inputs are 2-decimal money/quantity values) — exact, order-independent — then cast once to
+    DOUBLE, and slope/intercept/r² are derived with the identical
+    arithmetic expression on both sides, so the doubles agree
+    bit-for-bit before the 6-decimal presentation rounding. At 100 TB
+    the whole query is scan + one hash agg on a 3-value key; the skew
+    ceiling is the per-flag partial, which AQE splits if a flag
+    dominates."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(9,2)")
+    y = F.col("l_extendedprice").cast("decimal(14,2)")
+    a = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return a.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -569,3 +569,162 @@ def q132_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "doc_id", F.round("score", 6).alias("bm25"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — hybrid retrieval: BM25 + dense cosine fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. SIGIR'09)
+_RRF_TOP_K = 10
+#: dense-side query vectors: the embeddings whose vec_id equals the
+#: BM25 query id — the aligned id space TESTDATA guarantees.
+_RRF_QIDS = sorted({qid for qid, _ in _BM25_QUERIES})
+
+
+def _rrf_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    qids = ", ".join(str(q) for q in _RRF_QIDS)
+    return f"""
+    WITH q(qid, term) AS (VALUES {vals}),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM tok
+      WHERE t IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    sc AS (
+      SELECT q.qid, tf.doc_id,
+        sum(
+          ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+          * tf.tf * ({_BM25_K1} + 1)
+          / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+        ) AS score
+      FROM q
+      JOIN tf ON tf.t = q.term
+      JOIN df ON df.t = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY q.qid, tf.doc_id
+    ),
+    btop AS (
+      SELECT qid, doc_id, rn FROM (
+        SELECT qid, doc_id,
+          row_number() OVER (PARTITION BY qid
+                             ORDER BY round(score, 6) DESC, doc_id) AS rn
+        FROM sc
+      ) WHERE rn <= {_RRF_TOP_K}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    qe AS (SELECT vec_id AS qid, emb AS v FROM e WHERE vec_id IN ({qids})),
+    cosj AS (
+      SELECT qe.qid, e.vec_id AS doc_id,
+        list_dot_product(v, emb)
+          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(emb, emb))) AS c
+      FROM qe, e
+    ),
+    dtop AS (
+      SELECT qid, doc_id, rn FROM (
+        SELECT qid, doc_id,
+          row_number() OVER (PARTITION BY qid
+                             ORDER BY round(c, 6) DESC, doc_id) AS rn
+        FROM cosj
+      ) WHERE rn <= {_RRF_TOP_K}
+    ),
+    fused AS (
+      SELECT COALESCE(b.qid, d.qid) AS qid,
+             COALESCE(b.doc_id, d.doc_id) AS doc_id,
+             COALESCE(1.0 / ({_RRF_K} + b.rn), 0)
+               + COALESCE(1.0 / ({_RRF_K} + d.rn), 0) AS rrf
+      FROM btop b FULL OUTER JOIN dtop d
+        ON b.qid = d.qid AND b.doc_id = d.doc_id
+    ),
+    rr AS (
+      SELECT qid, doc_id, round(rrf, 6) AS rrf,
+        row_number() OVER (PARTITION BY qid
+                           ORDER BY round(rrf, 6) DESC, doc_id) AS rn
+      FROM fused
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS doc_id,
+           rrf, CAST(rn AS BIGINT) AS rn
+    FROM rr WHERE rn <= {_RRF_TOP_K} ORDER BY qid, rn
+    """
+
+
+@_q("q136_hybrid_rrf", _rrf_oracle())
+def q136_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — BM25 lexical ranks and dense cosine ranks
+    fused by Reciprocal Rank Fusion (score = sum over systems of
+    1/(k + rank), k={_RRF_K}; Cormack et al., the standard public
+    formulation): the retrieval shape modern curation and RAG
+    pipelines actually run, where neither lexical nor dense alone is
+    trusted. Query ids are shared across both systems (BM25 terms from
+    _BM25_QUERIES; the dense query vector is the embedding at vec_id =
+    qid). Each system contributes its top-{_RRF_TOP_K}; a document in
+    only one list gets that list's term only.
+
+    Scale shape: both rank lists are per-query top-k — tiny — so the
+    fusion join is broadcast-sized regardless of corpus scale; all the
+    heavy lifting stays in the two underlying scans (q132's single
+    tokenized scan, q41's broadcast-query cosine scan). RRF terms are
+    reciprocals of small integers — bit-identical across engines — and
+    ranking uses the 6-decimal-rounded score with doc_id tie-break,
+    the house cross-engine-stable ordering."""
+    from pyspark.sql import Window
+
+    bm = q132_bm25_retrieval(spark, sf_dir).select(
+        "qid", "doc_id", F.col("rn").alias("brn")
+    )
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qv = emb.filter(F.col("vec_id").isin(_RRF_QIDS)).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("v")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    ne = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("emb"), F.col("emb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("c", 6)), F.asc("doc_id")
+    )
+    dtop = (
+        emb.crossJoin(F.broadcast(qv))
+        .select("qid", F.col("vec_id").alias("doc_id"), (dot / (nv * ne)).alias("c"))
+        .withColumn("drn", F.row_number().over(wq))
+        .filter(F.col("drn") <= _RRF_TOP_K)
+        .select("qid", "doc_id", "drn")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("brn")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("drn")), F.lit(0.0))
+    wr = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("rrf_raw", 6)), F.asc("doc_id")
+    )
+    return (
+        bm.join(dtop, ["qid", "doc_id"], "full_outer")
+        .withColumn("rrf_raw", rrf)
+        .withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= _RRF_TOP_K)
+        .select("qid", "doc_id", F.round("rrf_raw", 6).alias("rrf"), "rn")
+        .orderBy("qid", "rn")
+    )

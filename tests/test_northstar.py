@@ -231,3 +231,68 @@ def test_y4m_roundtrip_exact():
     rng = np.random.RandomState(9)
     frames = rng.randint(0, 256, size=(5, 6, 4), dtype=np.uint8)
     assert np.array_equal(y4m_decode(y4m_encode(frames)), frames)
+
+
+def test_prefix_filter_equals_exact_pairs(spark):
+    """Prefix filtering is an EXACT algorithm — the pair set (and the
+    jaccard values) must equal the inverted-index baseline's, by the
+    prefix-filter theorem, not by luck."""
+    from nfl_predictions_spark.operators.dedup import (
+        q39b_ngram_jaccard_pairs,
+        q135_prefix_filter_jaccard,
+    )
+
+    pf = {(r.d1, r.d2, r.jac) for r in q135_prefix_filter_jaccard(spark, SF_SMOKE).collect()}
+    exact = {(r.d1, r.d2, r.jac) for r in q39b_ngram_jaccard_pairs(spark, SF_SMOKE).collect()}
+    assert pf == exact and len(exact) > 0
+
+
+def test_hybrid_rrf_fuses_both_systems(spark):
+    """RRF output: top-10 per query, rrf strictly descending in rank
+    order (after rounding), and any doc ranked #1 by BOTH systems must
+    be the fused #1 (RRF dominance)."""
+    from nfl_predictions_spark.operators.text import (
+        q132_bm25_retrieval,
+        q136_hybrid_rrf,
+    )
+
+    fused = q136_hybrid_rrf(spark, SF_SMOKE).collect()
+    by_q: dict = {}
+    for r in fused:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+        assert all(a.rrf >= b.rrf for a, b in zip(rows, rows[1:]))
+    bm_top = {
+        (r.qid, r.doc_id) for r in q132_bm25_retrieval(spark, SF_SMOKE).collect() if r.rn == 1
+    }
+    for qid, doc in bm_top:
+        # if the same doc also tops the dense list it must top the fusion
+        dense_first = [r for r in by_q[qid] if r.rn == 1][0]
+        if dense_first.doc_id == doc:
+            assert dense_first.rn == 1
+
+
+def test_grouped_ols_matches_numpy_fit(spark):
+    """The closed-form aggregate fit must agree with numpy's least
+    squares on the same rows (slope/intercept to 1e-4, r2 in [0,1])."""
+    import numpy as np
+
+    from nfl_predictions_spark.operators.extended import q137_grouped_ols
+    from nfl_predictions_spark.sources.tables import table
+
+    rows = q137_grouped_ols(spark, SF_SMOKE).collect()
+    assert len(rows) == 3
+    li = (
+        table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0 and r.n > 0
+        x = np.array([t.l_quantity for t in li if t.l_returnflag == r.l_returnflag])
+        y = np.array([t.l_extendedprice for t in li if t.l_returnflag == r.l_returnflag])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.slope - slope) < 1e-4, (r.l_returnflag, r.slope, slope)
+        assert abs(r.intercept - intercept) < 1e-2 * max(1, abs(intercept))
