@@ -304,3 +304,104 @@ ORDER BY rank DESC, id LIMIT 20
 
 
 ORACLE["q95_pagerank"] = _pagerank_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q139 — triangle count / clustering coefficient of the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _SHINGLE_SQL
+
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM tok WHERE len(ts) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    e AS (SELECT d1, d2 FROM inter
+          JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+          WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e x JOIN e y ON y.d1 = x.d2 JOIN e z ON z.d1 = x.d1 AND z.d2 = y.d2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT d1 AS node FROM e UNION ALL SELECT d2 FROM e
+      ) GROUP BY node
+    ),
+    w AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg)
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           w.n_wedges,
+           round(CASE WHEN w.n_wedges > 0
+                 THEN 3.0 * tri.n_triangles / w.n_wedges ELSE 0.0 END, 6)
+             AS clustering_coeff
+    FROM tri CROSS JOIN w
+    """
+
+
+@_q("q139_triangle_count", _triangle_oracle())
+def q139_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and global clustering coefficient of the near-dup
+    graph (q39b's Jaccard >= 0.8 edges) — the standard density check on
+    a duplicate-cluster graph: a transitively-closed cluster of true
+    duplicates is near-clique (coefficient -> 1), while a chain of
+    borderline pairs is wedge-heavy (-> 0), so this one number says
+    whether cluster-level dedup (q134) is safe to collapse clusters.
+
+    Algorithm: edges oriented low->high id, so each triangle a<b<c is
+    counted exactly once by the two-hop join x(a,b) ⋈ y(b,c) ⋈ z(a,c)
+    — the MapReduce-classic enumeration (Suri & Vassilvitskii WWW'11
+    without the high-degree split; at 100 TB, add their degree-ordered
+    orientation so hubs never fan out). Wedges come from a per-node
+    degree agg, Σ d(d-1)/2 — exact integer math. The (small) edge list
+    is localCheckpointed once and reused by all three join legs instead
+    of re-deriving the shingle pipeline three times."""
+    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
+
+    e = (
+        q39b_ngram_jaccard_pairs(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    tri = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("y.d1") == F.col("x.d2"))
+        .join(
+            e.alias("z"),
+            (F.col("z.d1") == F.col("x.d1")) & (F.col("z.d2") == F.col("y.d2")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("d1").alias("node"))
+        .unionAll(e.select(F.col("d2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2))
+        .cast("long")
+        .alias("n_wedges")
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges.crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

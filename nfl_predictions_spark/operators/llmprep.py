@@ -846,3 +846,101 @@ def q113_pipeline_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rows_in"], m["rows_kept"], m["tokens_in"])],
         "rows_in long, rows_kept long, tokens_in long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q138 — bigram language-model quality score
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q138_bigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bg AS (
+      SELECT doc_id, unnest({_BIGRAM_SQL}) AS b
+      FROM tok WHERE len(ts) >= 2
+    ), split AS (
+      SELECT doc_id, string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2
+      FROM bg
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM split GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM split GROUP BY w1
+    ), vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(ts) AS t FROM tok)
+    ), scored AS (
+      SELECT s.doc_id,
+        avg(ln((c12.c12 + 1.0) / (c1.c1 + vocab.v))) AS mean_lp
+      FROM split s
+      JOIN c12 ON c12.w1 = s.w1 AND c12.w2 = s.w2
+      JOIN c1 ON c1.w1 = s.w1
+      CROSS JOIN vocab
+      GROUP BY s.doc_id
+    ), ranked AS (
+      SELECT doc_id, round(mean_lp, 6) AS mean_bigram_lp,
+             row_number() OVER (ORDER BY mean_lp DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, mean_bigram_lp, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20 ORDER BY rn
+    """,
+)
+def q138_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — one order
+    up from q110's unigram proxy and one step closer to the KenLM-style
+    perplexity filters CCNet-class pipelines use: P(w2|w1) = (c(w1,w2)
+    + 1) / (c(w1,·) + V), each document scored by the mean log-prob of
+    its bigram occurrences, top 20 most-fluent docs returned.
+
+    Scale shape: bigrams come from the SAME shifted-slice zip the
+    shingler uses (no window sort, no lambda); the conditional model is
+    two hash aggs over the bigram rows (c12 reuses the exploded scan,
+    c1 reuses c12's shuffle). The model table is vocab²-bounded — here
+    broadcast; at web scale it exceeds broadcast range, and the join
+    key (w1, w2) is exactly the pre-partitioned layout a production
+    run would bucket the model table by. The smoothed probability is
+    pure rational arithmetic on counts, identical in both engines;
+    mean_lp is an avg of doubles rounded to 6 (the q110 precedent)."""
+    docs = table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .withColumn("m", F.size("tk") - 1)
+        .filter(F.col("m") >= 1)
+    )
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.col("m")).alias("w1"),
+                F.slice("tk", 2, F.col("m")).alias("w2"),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    scored = (
+        pairs.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.avg(
+                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+            ).alias("mean_lp")
+        )
+    )
+    w = Window.orderBy(F.desc("mean_lp"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "doc_id", F.round("mean_lp", 6).alias("mean_bigram_lp"), "rn"
+        )
+        .orderBy("rn")
+    )

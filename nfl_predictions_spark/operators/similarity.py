@@ -517,3 +517,131 @@ WITH ex AS (
 SELECT label, cand AS pred, count(*) AS cnt FROM pick WHERE rn = 1
 GROUP BY label, pred ORDER BY label, pred
 """
+
+
+# ---------------------------------------------------------------------------
+# q41e — IVF with a deterministic medoid coarse quantizer (full oracle)
+# ---------------------------------------------------------------------------
+
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+
+#: shared squared-L2 form: three sequential dot-product folds combined
+#: with the identical expression on both engines, so assignment
+#: distances agree bit-for-bit (same trick as the q41 cosine parity).
+_D2_DUCK = (
+    "list_dot_product({x}, {x}) - 2 * list_dot_product({x}, {c})"
+    " + list_dot_product({c}, {c})"
+)
+
+_IVF_MEDOID_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+m AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {_IVF_NLIST}),
+a AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, m.cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_D2_DUCK.format(x='e.emb', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM e, m
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {_N_QUERIES}),
+probe AS (
+  SELECT qid, qe, cell FROM (
+    SELECT q.qid, q.qe, m.cell,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        round({_D2_DUCK.format(x='q.qe', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM q, m
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+p AS (
+  SELECT probe.qid, a.vec_id AS cid,
+    list_dot_product(qe, e.emb)
+      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e.emb, e.emb)))
+      AS cos
+  FROM probe JOIN a USING (cell) JOIN e ON e.vec_id = a.vec_id
+),
+r AS (
+  SELECT qid, cid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
+  FROM p
+)
+SELECT qid, cid, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {_TOP_K} ORDER BY qid, rn
+"""
+
+
+@_q("q41e_ann_ivf_medoid", _IVF_MEDOID_ORACLE)
+def q41e_ann_ivf_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC coarse quantizer: the {_IVF_NLIST}
+    cells are anchored on sampled data points (medoids = the vectors at
+    vec_id < {_IVF_NLIST}) instead of KMeans centroids — the classic
+    random-sample quantizer that trades a few recall points for a
+    training-free, fully reproducible index. Unlike q41d (KMeans,
+    rows-only driver check because centroids depend on the input
+    split), every stage here is SQL-expressible, so this variant gives
+    the IVF *structure* — assign / probe nprobe={_IVF_NPROBE} cells /
+    exact rescore inside — a full value-level oracle.
+
+    Scale shape: the medoid table broadcasts; cell assignment is a
+    map-side struct-min aggregate (min over (rounded d2, cell) — the
+    deterministic argmin, no window over the corpus); the probe side is
+    {_N_QUERIES} queries x {_IVF_NLIST} cells — tiny — and candidates
+    meet through a broadcast join on the cell id, which at 100 TB is
+    the partition key so a probe touches nprobe partitions. Distances
+    use the 3-fold dot-product identity so both engines agree
+    bit-for-bit before rounding."""
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    med = emb.filter(F.col("vec_id") < _IVF_NLIST).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+
+    def d2(x: str, c: str) -> Column:
+        return (
+            _dot(F.col(x), F.col(x))
+            - 2 * _dot(F.col(x), F.col(c))
+            + _dot(F.col(c), F.col(c))
+        )
+
+    assign = (
+        emb.crossJoin(F.broadcast(med))
+        .select(
+            "vec_id",
+            F.struct(F.round(d2("emb", "c"), 6).alias("d"), F.col("cell")).alias(
+                "dc"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", F.col("best.cell").alias("cell"))
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.asc(F.round(d2("qe", "c"), 6)), F.asc("cell")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(med))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("qid", "qe", "cell")
+    )
+    cands = (
+        assign.join(F.broadcast(probe), "cell")
+        .join(emb, "vec_id")
+        .select("qid", "qe", F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (
+        _norm(F.col("qe")) * _norm(F.col("ce"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("cos_raw", 6)), F.asc("cid"))
+    return (
+        cands.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
+        .orderBy("qid", "rn")
+    )

@@ -296,3 +296,82 @@ def test_grouped_ols_matches_numpy_fit(spark):
         slope, intercept = np.polyfit(x, y, 1)
         assert abs(r.slope - slope) < 1e-4, (r.l_returnflag, r.slope, slope)
         assert abs(r.intercept - intercept) < 1e-2 * max(1, abs(intercept))
+
+
+def test_ivf_medoid_recall_and_self_hit(spark):
+    """Medoid-quantized IVF: decisively better than the 4/16
+    cell-fraction baseline, and every query finds its own vector (it
+    probes its home cell first)."""
+    from nfl_predictions_spark.operators.similarity import (
+        q41_ann_topk,
+        q41e_ann_ivf_medoid,
+    )
+
+    exact = {(r.qid, r.cid) for r in q41_ann_topk(spark, SF_SMOKE).collect()}
+    approx = {(r.qid, r.cid) for r in q41e_ann_ivf_medoid(spark, SF_SMOKE).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"medoid IVF recall {recall:.2f}"
+    for qid in {q for q, _ in exact}:
+        assert (qid, qid) in approx
+
+
+def test_triangle_count_matches_python_enumeration(spark):
+    """Triangle/wedge counts must equal a brute-force enumeration of
+    the same edge set."""
+    from itertools import combinations
+
+    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
+    from nfl_predictions_spark.operators.graph import q139_triangle_count
+
+    edges = {(r.d1, r.d2) for r in q39b_ngram_jaccard_pairs(spark, SF_SMOKE).collect()}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if a < b < c
+    )
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    row = q139_triangle_count(spark, SF_SMOKE).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == tri
+    assert row.n_wedges == wedges
+
+
+def test_bigram_logprob_matches_python_model(spark):
+    """The distributed bigram model must reproduce an in-memory add-one
+    bigram LM computed from the same documents."""
+    import math
+
+    from nfl_predictions_spark.operators.llmprep import q138_bigram_logprob
+    from nfl_predictions_spark.sources.tables import table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    c12: dict = {}
+    c1: dict = {}
+    vocab = set()
+    for ts in docs.values():
+        vocab.update(ts)
+        for w1, w2 in zip(ts, ts[1:]):
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+    v = len(vocab)
+    means = {}
+    for d, ts in docs.items():
+        lps = [
+            math.log((c12[(w1, w2)] + 1.0) / (c1[w1] + v))
+            for w1, w2 in zip(ts, ts[1:])
+        ]
+        if lps:
+            means[d] = sum(lps) / len(lps)
+    top = sorted(means.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = q138_bigram_logprob(spark, SF_SMOKE).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (_, m) in zip(got, top):
+        assert abs(r.mean_bigram_lp - m) < 1e-5
