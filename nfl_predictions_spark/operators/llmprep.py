@@ -944,3 +944,79 @@ def q138_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WS_K = 50  # sample size
+
+
+@_q(
+    "q140_weighted_sample",
+    f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+        ((({" + ".join(
+            f"(strpos('0123456789abcdef', substr(md5('aes' || text), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+            for i in range(15)
+        )}) % 1000000) + 0.5) / 1000000.0 AS u
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, n_chars, round(ln(u) / n_chars, 6) AS k FROM u
+    ), ranked AS (
+      SELECT doc_id, n_chars, k,
+        row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, k AS aes_key,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_WS_K} ORDER BY rn
+    """,
+)
+def q140_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the Efraimidis–Spirakis
+    A-ES scheme (key = u^(1/w), equivalently ln(u)/w; take the top-k
+    keys), with the uniform u derived from a content md5 instead of RNG
+    state: fully deterministic, repartition-stable, and mergeable — the
+    top-k of per-partition top-ks IS the global sample, which is what
+    makes this the distributed-correct weighted sampler (vs rejection
+    or roulette schemes that need a global pass per draw). Weight =
+    n_chars: longer documents proportionally likelier sampled; any
+    quality score plugs in.
+
+    Scale shape: one scan computing (u, key) map-side + a top-k — at
+    100 TB this is partial top-k per partition then a {_WS_K}-row
+    merge, no global sort, no shuffle of the corpus. u is quantized to
+    the same 1e-6 grid as q131's buckets (exact rational arithmetic);
+    the only cross-engine float op is ln(), absorbed by the house
+    round-6 + doc_id tie-break ranking rule."""
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("aes"), F.col("text"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+        + 0.5
+    ) / 1000000.0
+    k = F.round(F.log(u) / F.col("n_chars"), 6)
+    w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", "n_chars", k.alias("k"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _WS_K)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.col("k").alias("aes_key"),
+            "rn",
+        )
+        .orderBy("rn")
+    )

@@ -728,3 +728,90 @@ def q136_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "doc_id", F.round("rrf_raw", 6).alias("rrf"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — Zipf's-law fit of the corpus term-frequency distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_MIN_FREQ = 2  # drop hapax noise from the tail
+
+
+@_q(
+    "q141_zipf_fit",
+    f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t
+             HAVING count(*) >= {_ZIPF_MIN_FREQ}),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS r FROM freq
+    ), pts AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM ranked
+    ), a AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+      round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        AS log_intercept,
+      round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM a
+    """,
+)
+def q141_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit — OLS of ln(frequency) on ln(rank) over the term
+    distribution (terms with frequency >= {_ZIPF_MIN_FREQ}): the
+    corpus-statistics diagnostic that tells a curation pipeline whether
+    a text source looks like natural language (slope near -1) or like
+    templated/generated content (flat head or cliff tail). Composes two
+    engine primitives end-to-end: the token-frequency aggregate (q40's
+    scan) and the closed-form OLS-from-sufficient-statistics shape
+    (q137), here over log-transformed points.
+
+    Scale shape: one tokenize + hash agg for frequencies; the rank is
+    a window over the VOCABULARY (not the corpus) — bounded rows, and
+    at web scale the standard move is rank-by-partial-counts after a
+    frequency-threshold pushdown, which the HAVING models. The OLS sums
+    are order-dependent doubles summed over ~1e3-1e5 vocabulary points;
+    both engines sum in float64 and the derived slope is rounded to 6
+    (the q110/q132 precedent for log-derived aggregates)."""
+    tok = (
+        spread(table(spark, sf_dir, "documents"))
+        .select(F.explode(F.split("text", " ")).alias("t"))
+    )
+    freq = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _ZIPF_MIN_FREQ)
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.desc("c"), F.asc("t"))
+    pts = freq.withColumn("r", F.row_number().over(wr)).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    a = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return a.select(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("log_intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

@@ -338,3 +338,66 @@ def q126_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — last-touch attribution
+# ---------------------------------------------------------------------------
+
+_TOUCH_TYPES = ("click", "view")
+
+
+@_q(
+    "q142_last_touch_attribution",
+    f"""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+        last_value(CASE WHEN event_type IN {_TOUCH_TYPES} THEN event_type END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, '(none)') AS touch_type,
+      CAST(count(*) AS BIGINT) AS purchases,
+      round(sum(CAST(value AS DECIMAL(18,6))), 6) :: DOUBLE AS attributed_value
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY touch_type ORDER BY touch_type
+    """,
+)
+def q142_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — every purchase is credited to the most
+    recent preceding marketing touch (click/view) by the same user:
+    the classic event-analytics operator that needs ordered per-entity
+    state, expressed as one IGNORE NULLS last_value window instead of
+    a self-join (the self-join form explodes on users with many
+    events; the window form is a single per-user sort that the
+    sessionizer q124 already pays).
+
+    Determinism: window order is (ts, event_id) — a total order.
+    Attributed revenue sums in exact DECIMAL then rounds once to
+    DOUBLE on the wire (the q96 lesson). At 100 TB this is one
+    shuffle on user_id shared with every other per-user window op, a
+    candidate for a bucketed event layout."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin(*_TOUCH_TYPES), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("(none)")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )

@@ -70,3 +70,86 @@ def test_column_profile_shape_and_sanity(spark):
         assert r.n_null == 0
         assert r.n_distinct > 0
         assert r.min_v <= r.mean_v <= r.max_v
+
+
+def test_weighted_sample_matches_python_aes(spark):
+    """The distributed A-ES top-k must equal an in-memory replay of the
+    same md5-uniform + ln(u)/w keys."""
+    import hashlib
+    import math
+
+    from nfl_predictions_spark.operators.llmprep import _WS_K, q140_weighted_sample
+    from nfl_predictions_spark.sources.tables import table
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text", "n_chars").collect()
+    keyed = []
+    for r in docs:
+        bucket = int(hashlib.md5(("aes" + r.text).encode()).hexdigest()[:15], 16) % 1000000
+        u = (bucket + 0.5) / 1000000.0
+        keyed.append((round(math.log(u) / r.n_chars, 6), r.doc_id))
+    top = sorted(keyed, key=lambda kv: (-kv[0], kv[1]))[:_WS_K]
+    got = q140_weighted_sample(spark, SF_SMOKE).collect()
+    assert [(r.aes_key, r.doc_id) for r in got] == top
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Longer docs must be over-represented relative to a uniform draw:
+    the sampled mean weight exceeds the corpus mean weight."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.llmprep import q140_weighted_sample
+    from nfl_predictions_spark.sources.tables import table
+
+    sample_mean = (
+        q140_weighted_sample(spark, SF_SMOKE).agg(F.avg("weight")).collect()[0][0]
+    )
+    corpus_mean = (
+        table(spark, SF_SMOKE, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
+
+
+def test_zipf_slope_is_negative_powerlaw(spark):
+    """Natural-ish token frequencies: slope decisively negative, good
+    log-log fit."""
+    from nfl_predictions_spark.operators.text import q141_zipf_fit
+
+    row = q141_zipf_fit(spark, SF_SMOKE).collect()[0]
+    assert row.zipf_slope < -0.1
+    assert 0.0 <= row.r2 <= 1.0
+    assert row.n_terms > 10
+
+
+def test_last_touch_attribution_accounts_every_purchase(spark):
+    """Attribution buckets partition the purchase set exactly, and an
+    in-memory replay of one user's history agrees."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.timeseries import (
+        q142_last_touch_attribution,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    out = q142_last_touch_attribution(spark, SF_SMOKE).collect()
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.purchases for r in out) == n_purch
+    # replay the busiest purchaser
+    uid = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").count().orderBy(F.desc("count"), "user_id")
+        .collect()[0].user_id
+    )
+    hist = sorted(
+        ev.filter(F.col("user_id") == uid).collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    last = None
+    expect: dict = {}
+    for r in hist:
+        if r.event_type == "purchase":
+            expect[last or "(none)"] = expect.get(last or "(none)", 0) + 1
+        if r.event_type in ("click", "view"):
+            last = r.event_type
+    got_types = {r.touch_type for r in out}
+    assert set(expect) <= got_types | {"(none)"}
