@@ -405,3 +405,95 @@ def q139_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — BFS shortest-hop levels from the minimum node
+# ---------------------------------------------------------------------------
+
+
+def bfs_levels(
+    edges: DataFrame, src: str, dst: str, seed, max_iter: int = 15
+) -> DataFrame:
+    """Hop distance from ``seed`` to every reachable node over the
+    undirected ``edges``: returns (id, level) with level = shortest hop
+    count. Frontier-expansion BFS: each round joins only the CURRENT
+    frontier (not all visited nodes) against the edge list, anti-joins
+    out already-visited nodes, and stops when the frontier empties —
+    per-round cost is O(frontier boundary), total cost O(E) across all
+    rounds, the same work a giant-component sweep costs on any engine.
+    Rounds = seed eccentricity <= ``max_iter``; lineage is cut per round
+    with localCheckpoint or the plan would deepen linearly."""
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    bi = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(int(seed), 0)], "id long, level int")
+    frontier = visited
+    for lvl in range(1, max_iter + 1):
+        nxt = (
+            bi.join(frontier.select(F.col("id").alias("a")), "a")
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def _bfs_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _SHINGLE_SQL
+
+    return _BFS_ORACLE_TEMPLATE.replace("__SHINGLES__", _SHINGLE_SQL)
+
+
+_BFS_ORACLE_TEMPLATE = """
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (SELECT doc_id, __SHINGLES__ AS shingles FROM tok WHERE len(ts) >= 3),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT d1, d2 FROM inter
+          JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+          WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+walk(id, lvl) AS (
+  SELECT min(a), 0 FROM edges
+  UNION
+  SELECT e.b, w.lvl + 1 FROM walk w JOIN edges e ON e.a = w.id
+  WHERE w.lvl < 15
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lvl) AS INT) AS level
+FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+
+@_q("q145_bfs_levels", _bfs_oracle())
+def q145_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop BFS levels from the minimum doc_id over the exact
+    near-dup graph (q39b's Jaccard>=0.8 edge set): how far does a
+    duplicate cluster extend from its canonical representative? The
+    per-hop frontier join is the primitive under any distributed graph
+    traversal (label propagation, q95's PageRank push, k-hop
+    neighborhoods). Driver touches ONE scalar (the seed id); levels
+    never leave the cluster."""
+    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
+
+    pairs = q39b_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    pairs = pairs.localCheckpoint(eager=True)  # q39b subtree reused every round
+    seed = pairs.agg(F.min(F.least("d1", "d2"))).first()[0]
+    return (
+        bfs_levels(pairs, "d1", "d2", seed)
+        .select(F.col("id").alias("doc_id"), "level")
+        .orderBy("doc_id")
+    )

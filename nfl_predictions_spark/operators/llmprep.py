@@ -1020,3 +1020,189 @@ def q140_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — train/val distribution drift (hash-split token distributions)
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = (
+    "(ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 100"
+)
+
+
+@_q(
+    "q146_split_drift",
+    f"""
+    WITH b AS (
+      SELECT CASE WHEN {_BUCKET_SQL} < 90 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 95 THEN 'val' ELSE 'test' END AS split,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), h AS (
+      SELECT term,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_tr,
+             sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS c_va
+      FROM b WHERE split IN ('train', 'val') GROUP BY term
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(c_tr) AS BIGINT) AS n_tr,
+             CAST(sum(c_va) AS BIGINT) AS n_va
+      FROM h
+    ), contrib AS (
+      SELECT v, n_tr, n_va,
+        (c_tr + 1.0) / (n_tr + v) AS p,
+        (c_va + 1.0) / (n_va + v) AS q
+      FROM h CROSS JOIN tot
+    )
+    SELECT any_value(v) AS n_terms, any_value(n_tr) AS train_tokens,
+           any_value(n_va) AS val_tokens,
+      CAST(round(sum(CAST(round(abs(p - q) / 2, 14) AS DECIMAL(20,14))), 6)
+           AS DOUBLE) AS tv_distance,
+      CAST(round(sum(CAST(round((p-q)*(p-q)/(p+q), 14) AS DECIMAL(20,14))), 6)
+           AS DOUBLE) AS chi2,
+      CAST(round(sum(CAST(round(sqrt(p * q), 14) AS DECIMAL(20,14))), 6)
+           AS DOUBLE) AS bhattacharyya
+    FROM contrib
+    """,
+)
+def q146_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the train and val hash-splits (q108's
+    deterministic md5 buckets): total-variation distance, chi-square
+    distance, and the Bhattacharyya coefficient over add-one-smoothed
+    token distributions. The guard a corpus pipeline runs after any
+    split change — a content-hash split SHOULD be distributionally
+    neutral, and this measures it.
+
+    Numeric contract: the three divergences use only IEEE-exact-or-
+    correctly-rounded ops (+,-,*,/,sqrt) so per-term contributions are
+    bit-identical across engines (KL's ln() is NOT — libm last-ulp
+    differs — which is why TV/chi2/BC are the emitted metrics); each
+    contribution is rounded to 14 dp and summed in DECIMAL so the total
+    is order-independent, then rounded once to DOUBLE on the wire.
+
+    Scale: one shuffle on term (map-side combined), a 1-row broadcast
+    of the totals, one vocabulary-sized final agg. No driver loops."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    bucket = (
+        F.ascii(F.substring(F.md5("text"), 1, 1)) * 256
+        + F.ascii(F.substring(F.md5("text"), 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    h = (
+        docs.select(split.alias("split"), F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("split").isin("train", "val"))
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("c_tr"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("c_va"),
+        )
+    )
+    tot = h.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("c_tr").alias("n_tr"),
+        F.sum("c_va").alias("n_va"),
+    )
+    p = (F.col("c_tr") + 1.0) / (F.col("n_tr") + F.col("v"))
+    q = (F.col("c_va") + 1.0) / (F.col("n_va") + F.col("v"))
+
+    def _dsum(expr):
+        return F.round(
+            F.sum(F.round(expr, 14).cast("decimal(20,14)")), 6
+        ).cast("double")
+
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .select("v", "n_tr", "n_va", p.alias("p"), q.alias("q"))
+        .agg(
+            F.any_value(F.col("v")).alias("n_terms"),
+            F.any_value(F.col("n_tr")).alias("train_tokens"),
+            F.any_value(F.col("n_va")).alias("val_tokens"),
+            _dsum(F.abs(F.col("p") - F.col("q")) / 2).alias("tv_distance"),
+            _dsum(
+                (F.col("p") - F.col("q")) * (F.col("p") - F.col("q"))
+                / (F.col("p") + F.col("q"))
+            ).alias("chi2"),
+            _dsum(F.sqrt(F.col("p") * F.col("q"))).alias("bhattacharyya"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q147 — rank-based top-decile quality filter
+# ---------------------------------------------------------------------------
+
+
+from nfl_predictions_spark.operators.text import _SW_LIST_SQL as _SW147
+
+
+@_q(
+    "q147_quality_topk_filter",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        round(
+          len(list_filter(string_split(text, ' '),
+                          x -> list_contains({_SW147}, x)))
+            * 1.0 / len(string_split(text, ' '))
+          - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+            * 1.0 / length(text), 6) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT s.*, row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM s
+    ), top AS (
+      SELECT * FROM ranked WHERE rn <= (n + 9) // 10
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs,
+      CAST(round(sum(CAST(score AS DECIMAL(18,6))) / count(*), 6) AS DOUBLE)
+        AS avg_score,
+      CAST(min(score) AS DOUBLE) AS min_score
+    FROM top GROUP BY lang ORDER BY lang
+    """,
+)
+def q147_quality_topk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top 10% of documents by heuristic quality score
+    (stopword density minus punctuation density — q40b's signals fused
+    into one rank key) and profile what survives per language. The
+    "keep the best X%" curation step every pretraining recipe has.
+
+    Threshold-by-RANK, not by interpolated percentile: k = ceil(N/10)
+    in integer arithmetic, cut at the k-th (score, doc_id) — exact,
+    deterministic, and no float-boundary flake (percentile_cont's
+    interpolation can differ by 1 ulp between engines). Spark executes
+    ``orderBy(...).limit(k)`` as TakeOrdered: per-partition top-k then
+    a k-sized merge — no global sort, no single-partition window, scale-
+    safe for any k that fits one executor. The survivor aggregate sums
+    6-dp scores in exact DECIMAL (order-independent), emits DOUBLE."""
+    from nfl_predictions_spark.operators.text import _STOPWORDS
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+    )
+    score = F.round(
+        n_stop / F.size(toks) - n_punct / F.length("text"), 6
+    )
+    scored = docs.select("doc_id", "lang", score.alias("score"))
+    k = (scored.count() + 9) // 10  # one count job sizes the top-k cut
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(int(k))
+    return (
+        top.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")) / F.count(F.lit(1)), 6
+            )
+            .cast("double")
+            .alias("avg_score"),
+            F.min("score").cast("double").alias("min_score"),
+        )
+        .orderBy("lang")
+    )

@@ -401,3 +401,137 @@ def q142_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — weekly cohort retention
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q143_cohort_retention",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+    ), f AS (
+      SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id, week FROM ev
+    ), j AS (
+      SELECT f.cohort_week,
+             date_diff('day', f.cohort_week, a.week) // 7 AS week_offset,
+             a.user_id
+      FROM a JOIN f ON a.user_id = f.user_id
+    ), r AS (
+      SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      FROM j GROUP BY 1, 2
+    ), s AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1
+    )
+    SELECT r.cohort_week, r.week_offset, r.active_users, s.cohort_size,
+           round(r.active_users * 1.0 / s.cohort_size, 6) AS retention
+    FROM r JOIN s ON r.cohort_week = s.cohort_week
+    ORDER BY r.cohort_week, r.week_offset
+    """,
+)
+def q143_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — users grouped by first-activity week,
+    retention = share of the cohort active again N weeks later. The
+    classic product-analytics triangle (the reference's season-long play
+    log is the same shape: team first-seen week vs weeks with plays).
+
+    Scale design: ONE shuffle on user_id does all the per-user work —
+    ``groupBy(user_id).agg(min(week), collect_set(week))`` — because the
+    per-user week set is bounded by span/grain (5 weeks here, ~52 for a
+    year), not by event count; the exploded (cohort_week, offset) agg and
+    the cohort-size join are vocabulary-sized. The naive form (distinct +
+    separate first-week agg + user-level join) pays three wide stages on
+    the raw events; this pays one.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"),
+        F.collect_set("week").alias("weeks"),
+    )
+    hit = per_user.select(
+        "user_id",
+        "cohort_week",
+        F.explode("weeks").alias("week"),
+    ).withColumn(
+        "week_offset", (F.datediff("week", "cohort_week") / 7).cast("long")
+    )
+    r = hit.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")  # weeks is a set => distinct users
+    )
+    sizes = per_user.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        r.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q144 — Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q144_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS transitions
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, transitions,
+           round(transitions * 1.0 /
+                 sum(transitions) OVER (PARTITION BY prev_type), 6) AS p
+    FROM c ORDER BY prev_type, next_type
+    """,
+)
+def q144_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current event type). The reference's play
+    sequencing (its ``/api`` picks the next play from the previous
+    down's state, assets/app_nfl.py:296-316) is exactly a learned
+    transition structure; here it is estimated corpus-wide.
+
+    Scale design: one per-user window sort (shared shuffle key with
+    q124/q142), then the transition counts collapse to
+    |event_types|^2 rows — the normalizing window runs on a
+    vocabulary-sized frame, not on events. Window order (ts, event_id)
+    is total, so lag() is deterministic."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    c = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "transitions",
+        F.round(F.col("transitions") / F.sum("transitions").over(wp), 6).alias("p"),
+    ).orderBy("prev_type", "next_type")

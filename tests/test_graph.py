@@ -46,3 +46,29 @@ def test_cluster_survivors_keep_longest(spark):
         assert r.survivor >= r.component
         avg_dropped = r.dropped_tokens / (r.cluster_size - 1)
         assert r.kept_tokens >= avg_dropped
+
+
+def test_bfs_levels_chain_and_unreachable(spark):
+    """Hop levels on a known chain; the disconnected island never
+    appears; a converging path takes the SHORTEST route."""
+    from nfl_predictions_spark.operators.graph import bfs_levels
+
+    # 1-2-3-4 chain plus shortcut 1-3, island 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (10, 11)], "src long, dst long"
+    )
+    got = {r["id"]: r["level"] for r in bfs_levels(edges, "src", "dst", 1).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_levels_respects_max_iter(spark):
+    from nfl_predictions_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["level"]
+        for r in bfs_levels(edges, "src", "dst", 1, max_iter=3).collect()
+    }
+    assert max(got.values()) == 3 and got == {1: 0, 2: 1, 3: 2, 4: 3}

