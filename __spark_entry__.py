@@ -35,6 +35,7 @@ def _registry():
         "graph",
         "llmprep",
         "warehouse",
+        "stats",
     ):
         try:
             import importlib

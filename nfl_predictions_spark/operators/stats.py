@@ -1,0 +1,261 @@
+"""Distributed statistical tests — the profile-then-decide layer.
+
+A data pipeline that splits, samples, and curates needs significance
+machinery to tell real distribution differences from noise: is language
+independent of source? did the value distribution move between two event
+classes? how bad is a user's worst losing streak? (The reference makes
+its pass/run call by comparing two model means per play,
+``assets/app_nfl.py:310-316`` — a raw two-group mean comparison; q149 is
+that comparison with the variance term done properly.)
+
+Numeric contract (shared with q146): every emitted statistic uses only
+IEEE-exact-or-correctly-rounded scalar ops (+,-,*,/,sqrt) on values both
+engines compute bit-identically, partial sums go through exact DECIMAL
+so aggregation order cannot move the result, and the wire types are
+BIGINT/DOUBLE only. No transcendentals (ln/erf) — p-values are left to
+the caller's CDF table; the statistic is the deterministic part.
+
+Scale design: all three are one map-side-combinable aggregation over the
+fact table (chi2/t-test collapse to a |categories|-sized or 1-row frame;
+CUSUM is one per-key window on the shared user_id sort), so the plans
+survive 100× data with the same shuffle count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q148 — chi-square test of independence (lang × source)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q148_contingency_chi2",
+    """
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT CAST(sum(obs) AS BIGINT) AS n,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_src
+      FROM o
+    ), m AS (
+      -- full row x column grid: ABSENT cells still contribute (0-e)^2/e
+      SELECT rt.lang, ct.source, coalesce(o.obs, 0) AS obs,
+             rt.row_tot * ct.col_tot * 1.0 / tot.n AS expected
+      FROM (SELECT lang, sum(obs) AS row_tot FROM o GROUP BY lang) rt
+      CROSS JOIN (SELECT source, sum(obs) AS col_tot FROM o GROUP BY source) ct
+      LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source
+      CROSS JOIN tot
+    )
+    SELECT any_value(tot.n) AS n,
+           CAST((any_value(tot.n_lang) - 1) * (any_value(tot.n_src) - 1) AS BIGINT)
+             AS dof,
+           CAST(round(sum(CAST(round((obs - expected) * (obs - expected) / expected,
+                                     12) AS DECIMAL(24,12))), 6) AS DOUBLE)
+             AS chi2
+    FROM m CROSS JOIN tot
+    """,
+)
+def q148_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test on the lang × source
+    contingency table: is document language associated with its source?
+    One groupBy builds the (|lang|·|source|)-row table; margins come from
+    re-aggregating THAT tiny frame (never the fact table again), so the
+    fact table is scanned once at any scale. Contributions are rounded
+    to 12 dp and summed in DECIMAL — order-independent."""
+    o = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    tot = o.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("lang").alias("n_lang"),
+        F.countDistinct("source").alias("n_src"),
+    )
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    # full row x column grid: absent cells still contribute (0-e)^2/e
+    m = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(F.broadcast(o), ["lang", "source"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("expected", F.col("row_tot") * F.col("col_tot") / F.col("n"))
+    )
+    contrib = (F.col("obs") - F.col("expected")) * (
+        F.col("obs") - F.col("expected")
+    ) / F.col("expected")
+    return m.agg(
+        F.any_value("n").alias("n"),
+        ((F.any_value("n_lang") - 1) * (F.any_value("n_src") - 1)).alias("dof"),
+        F.round(F.sum(F.round(contrib, 12).cast("decimal(24,12)")), 6)
+        .cast("double")
+        .alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q149 — Welch's t-statistic between two event classes
+# ---------------------------------------------------------------------------
+
+_T_GROUP_A = "purchase"
+_T_GROUP_B = "click"
+
+
+@_q(
+    "q149_welch_ttest",
+    f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS s,
+             sum(CAST(round(value * value, 6) AS DECIMAL(24,6))) AS ss
+      FROM events WHERE event_type IN ('{_T_GROUP_A}', '{_T_GROUP_B}')
+      GROUP BY event_type
+    ), m AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / n AS mean,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               / (n - 1) AS var
+      FROM g
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+           round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6)
+             AS t_stat
+    FROM (SELECT * FROM m WHERE event_type = '{_T_GROUP_A}') a
+    CROSS JOIN (SELECT * FROM m WHERE event_type = '{_T_GROUP_B}') b
+    """,
+)
+def q149_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-statistic comparing `purchase` vs
+    `click` event values — the reference's two-model mean comparison
+    (assets/app_nfl.py:310-316) with a proper variance term. One
+    filtered scan, one 2-row aggregate; moments sum in exact DECIMAL
+    (6-dp values, 6-dp squares — both engines square IEEE-identically),
+    the statistic is rational-plus-sqrt, rounded once on the wire."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_T_GROUP_A, _T_GROUP_B))
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("s"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 6).cast("decimal(24,6)")
+        ).alias("ss"),
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.filter(F.col("event_type") == _T_GROUP_A).alias("a")
+    b = m.filter(F.col("event_type") == _T_GROUP_B).alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round("a.mean", 6).alias("mean_a"),
+        F.round("b.mean", 6).alias("mean_b"),
+        F.round(
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")),
+            6,
+        ).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q150 — per-user CUSUM / maximum drawdown
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q150_cusum_drawdown",
+    """
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum
+      FROM events
+    ), p AS (
+      SELECT user_id, cum,
+             max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM c
+    ), t AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS final_total
+      FROM events GROUP BY user_id
+    )
+    SELECT p.user_id,
+           CAST(max(p.peak - p.cum) AS DOUBLE) AS max_drawdown,
+           CAST(max(p.cum) AS DOUBLE) AS peak_total,
+           any_value(t.final_total) AS final_total
+    FROM p JOIN t ON p.user_id = t.user_id
+    GROUP BY p.user_id ORDER BY p.user_id
+    """,
+)
+def q150_cusum_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM with maximum drawdown: running total of event
+    value in (ts, event_id) order; drawdown = running peak minus current
+    total; reported per user as the worst dip, the peak, and the final
+    total. The change-point primitive (CUSUM drift detection,
+    losing-streak analytics) as one per-user window pass on the SAME
+    user_id sort every other sequence operator shares. Cumulative sums
+    run in exact DECIMAL — every intermediate is order-of-evaluation-
+    proof — and the wire is DOUBLE."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.round("value", 6).cast("decimal(18,6)")
+    c = ev.select("user_id", "ts", "event_id", F.sum(dec).over(w).alias("cum"))
+    p = c.select(
+        "user_id",
+        "cum",
+        F.max("cum")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("peak"),
+    )
+    t = ev.groupBy("user_id").agg(
+        F.sum(dec).cast("double").alias("final_total")
+    )
+    return (
+        p.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak") - F.col("cum")).cast("double").alias("max_drawdown"),
+            F.max("cum").cast("double").alias("peak_total"),
+        )
+        .join(t, "user_id")
+        .select("user_id", "max_drawdown", "peak_total", "final_total")
+        .orderBy("user_id")
+    )

@@ -1,0 +1,78 @@
+"""Statistical-test operators (operators/stats.py)."""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_SMOKE
+
+
+def test_chi2_matches_scipy_free_formula(spark):
+    """Cross-check the chi-square statistic against a direct Python
+    computation on the collected contingency table."""
+    from nfl_predictions_spark.operators.stats import q148_contingency_chi2
+
+    r = q148_contingency_chi2(spark, SF_SMOKE).collect()[0]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    from collections import Counter
+
+    obs = Counter((d.lang, d.source) for d in docs)
+    row = Counter(d.lang for d in docs)
+    col = Counter(d.source for d in docs)
+    n = len(docs)
+    chi2 = sum(
+        (obs.get((l, s), 0) - row[l] * col[s] / n) ** 2 / (row[l] * col[s] / n)
+        for l in row
+        for s in col
+    )
+    assert r.n == n
+    assert r.dof == (len(row) - 1) * (len(col) - 1)
+    assert abs(r.chi2 - chi2) < 1e-4
+
+
+def test_welch_t_matches_python(spark):
+    from nfl_predictions_spark.operators.stats import q149_welch_ttest
+
+    r = q149_welch_ttest(spark, SF_SMOKE).collect()[0]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    a = [round(e.value, 6) for e in ev if e.event_type == "purchase"]
+    b = [round(e.value, 6) for e in ev if e.event_type == "click"]
+
+    def mv(x):
+        m = sum(x) / len(x)
+        return m, sum((v - m) ** 2 for v in x) / (len(x) - 1)
+
+    ma, va = mv(a)
+    mb, vb = mv(b)
+    t = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert abs(r.t_stat - t) < 1e-3
+
+
+def test_cusum_drawdown_invariants(spark):
+    """Drawdown is non-negative, peak >= final total, and peak equals
+    the max prefix sum computed directly in Python for a sample user."""
+    from nfl_predictions_spark.operators.stats import q150_cusum_drawdown
+
+    rows = q150_cusum_drawdown(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.max_drawdown >= 0
+        assert r.peak_total >= r.final_total - 1e-9
+    uid = rows[0].user_id
+    ev = sorted(
+        (
+            e
+            for e in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+            if e.user_id == uid
+        ),
+        key=lambda e: (e.ts, e.event_id),
+    )
+    cum, peak, dd = 0.0, -1e18, 0.0
+    for e in ev:
+        cum += round(e.value, 6)
+        peak = max(peak, cum)
+        dd = max(dd, peak - cum)
+    assert abs(rows[0].peak_total - peak) < 1e-6
+    assert abs(rows[0].max_drawdown - dd) < 1e-6
+    assert abs(rows[0].final_total - cum) < 1e-6
