@@ -259,3 +259,145 @@ def q150_cusum_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "max_drawdown", "peak_total", "final_total")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 — exact per-group median by rank (no interpolation)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q152_exact_grouped_median",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    )
+    SELECT event_type, CAST(any_value(cnt) AS BIGINT) AS n,
+           round(avg(value), 6) AS median
+    FROM r
+    WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q152_exact_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median selected by RANK, not interpolation: the
+    middle element (odd n) or the IEEE-exact mean of the two middle
+    elements (even n — one add, one halving, both correctly rounded, so
+    engines agree bit-for-bit; percentile_cont's lower+(hi-lo)*frac can
+    differ in the last ulp). One per-group sort — the same shuffle any
+    exact quantile costs; at 100 TB groups parallelize across the
+    cluster and skewed groups fall back to q45b's t-digest path."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    mid1 = F.floor((F.col("cnt") + 1) / 2)
+    mid2 = F.floor((F.col("cnt") + 2) / 2)
+    return (
+        r.filter((F.col("rn") == mid1) | (F.col("rn") == mid2))
+        .groupBy("event_type")
+        .agg(
+            F.any_value("cnt").alias("n"),
+            F.round(F.avg("value"), 6).alias("median"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153 — robust outliers via median absolute deviation
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q153_mad_outliers",
+    """
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ), med AS (
+      SELECT event_type, avg(value) AS median
+      FROM r WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      GROUP BY event_type
+    ), dev AS (
+      SELECT r.event_type, abs(r.value - med.median) AS ad,
+             row_number() OVER (PARTITION BY r.event_type
+                                ORDER BY abs(r.value - med.median), r.event_id)
+               AS rn,
+             count(*) OVER (PARTITION BY r.event_type) AS cnt
+      FROM r JOIN med ON r.event_type = med.event_type
+    ), mad AS (
+      SELECT event_type, avg(ad) AS mad
+      FROM dev WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(any_value(m2.median), 6) AS median,
+           round(any_value(mad.mad), 6) AS mad,
+           CAST(sum(CASE WHEN round(d.ad, 6) > round(3 * mad.mad, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN mad ON d.event_type = mad.event_type
+    JOIN med m2 ON d.event_type = m2.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def q153_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier census: median absolute deviation with a
+    3x-MAD fence — the outlier detector that, unlike mean/stddev, is not
+    itself dragged by the outliers it hunts. Two rank-exact medians
+    (value, then |value - median|) on per-group sorts, then one counting
+    pass; the fence comparison happens on the SAME 6-dp-rounded values
+    in both engines so a boundary deviation cannot flip membership.
+    Everything is +,-,abs on identical doubles — bit-deterministic."""
+    ev = table(spark, sf_dir, "events")
+
+    def _rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        r = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("cnt"),
+        )
+        mid1 = F.floor((F.col("cnt") + 1) / 2)
+        mid2 = F.floor((F.col("cnt") + 2) / 2)
+        return (
+            r.filter((F.col("rn") == mid1) | (F.col("rn") == mid2))
+            .groupBy("event_type")
+            .agg(F.avg(col).alias(out))
+        )
+
+    med = _rank_median(ev, "value", "median")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("median")).alias("ad"),
+    )
+    mad = _rank_median(dev, "ad", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("median"), 6).alias("median"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.round("ad", 6) > F.round(3 * F.col("mad"), 6), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

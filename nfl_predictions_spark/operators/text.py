@@ -815,3 +815,84 @@ def q141_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — frequent term-pair mining (apriori-pruned co-occurrence)
+# ---------------------------------------------------------------------------
+
+_PAIR_MINSUP = 0.25  # fraction of docs a term/pair must appear in
+
+
+@_q(
+    "q151_frequent_pairs",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    sup1 AS (
+      SELECT term, count(*) AS df FROM dt GROUP BY term
+    ), freq AS (
+      SELECT term, df FROM sup1 CROSS JOIN n WHERE df >= n_docs * {_PAIR_MINSUP}
+    ), fdt AS (
+      SELECT dt.doc_id, dt.term, freq.df FROM dt JOIN freq ON dt.term = freq.term
+    ), pairs AS (
+      SELECT a.term AS t1, b.term AS t2,
+             any_value(a.df) AS df1, any_value(b.df) AS df2,
+             count(*) AS pair_docs
+      FROM fdt a JOIN fdt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    )
+    SELECT t1, t2, CAST(pair_docs AS BIGINT) AS pair_docs,
+           round(pair_docs * 1.0 * n_docs / (df1 * df2), 6) AS lift
+    FROM pairs CROSS JOIN n
+    WHERE pair_docs >= n_docs * {_PAIR_MINSUP}
+    ORDER BY pair_docs DESC, t1, t2 LIMIT 20
+    """,
+)
+def q151_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent term-pair mining with apriori pruning — the
+    market-basket / co-occurrence primitive over document term sets.
+    Candidate pairs are generated ONLY from terms that are individually
+    frequent (support >= 25% of docs): the downward-closure property
+    means no frequent pair is lost, and the per-doc self-join blows up
+    on the (bounded) frequent vocabulary instead of the full one. At
+    100 TB: singleton pass is one map-side-combined agg; the frequent
+    set is broadcast; the pair join is per-doc-local (equi-join on
+    doc_id) so it never shuffles the corpus twice. Lift is rational
+    arithmetic; top-20 with (count, t1, t2) total order."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    dt = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    n_docs = docs.count()
+    minsup = n_docs * _PAIR_MINSUP
+    sup1 = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    freq = sup1.filter(F.col("df") >= minsup)
+    fdt = dt.join(F.broadcast(freq), "term")
+    a = fdt.select(F.col("doc_id"), F.col("term").alias("t1"), F.col("df").alias("df1"))
+    b = fdt.select(F.col("doc_id"), F.col("term").alias("t2"), F.col("df").alias("df2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.any_value("df1").alias("df1"),
+            F.any_value("df2").alias("df2"),
+            F.count(F.lit(1)).alias("pair_docs"),
+        )
+        .filter(F.col("pair_docs") >= minsup)
+    )
+    return (
+        pairs.select(
+            "t1",
+            "t2",
+            "pair_docs",
+            F.round(
+                F.col("pair_docs") * float(n_docs) / (F.col("df1") * F.col("df2")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_docs"), "t1", "t2")
+        .limit(20)
+    )

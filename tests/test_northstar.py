@@ -375,3 +375,32 @@ def test_bigram_logprob_matches_python_model(spark):
     assert [r.doc_id for r in got] == [d for d, _ in top]
     for r, (_, m) in zip(got, top):
         assert abs(r.mean_bigram_lp - m) < 1e-5
+
+
+def test_frequent_pairs_apriori_sound(spark):
+    """Every reported pair's support clears min-sup, both members are
+    individually frequent (downward closure), and the top pair matches a
+    brute-force Python count."""
+    from nfl_predictions_spark.operators.text import (
+        _PAIR_MINSUP,
+        q151_frequent_pairs,
+    )
+    from tests.conftest import SF_SMOKE
+    from collections import Counter
+    from itertools import combinations
+
+    rows = q151_frequent_pairs(spark, SF_SMOKE).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    n_docs = len(docs)
+    sets = [set(d.text.split(" ")) for d in docs]
+    df = Counter(t for s in sets for t in s)
+    pair_df = Counter(
+        p for s in sets for p in combinations(sorted(s), 2)
+    )
+    minsup = n_docs * _PAIR_MINSUP
+    for r in rows:
+        assert r.pair_docs >= minsup
+        assert df[r.t1] >= minsup and df[r.t2] >= minsup
+        assert pair_df[(r.t1, r.t2)] == r.pair_docs
+    assert rows[0].pair_docs == max(pair_df.values())

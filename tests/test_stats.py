@@ -76,3 +76,38 @@ def test_cusum_drawdown_invariants(spark):
     assert abs(rows[0].peak_total - peak) < 1e-6
     assert abs(rows[0].max_drawdown - dd) < 1e-6
     assert abs(rows[0].final_total - cum) < 1e-6
+
+
+def test_exact_median_matches_python(spark):
+    from nfl_predictions_spark.operators.stats import q152_exact_grouped_median
+    import statistics
+
+    rows = q152_exact_grouped_median(spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    by_type = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e.value)
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        assert r.n == len(by_type[r.event_type])
+        assert abs(r.median - statistics.median(by_type[r.event_type])) < 1e-6
+
+
+def test_mad_outliers_match_python(spark):
+    from nfl_predictions_spark.operators.stats import q153_mad_outliers
+    import statistics
+
+    rows = q153_mad_outliers(spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    by_type = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e.value)
+    for r in rows:
+        vals = by_type[r.event_type]
+        med = statistics.median(vals)
+        ads = [abs(v - med) for v in vals]
+        mad = statistics.median(ads)
+        n_out = sum(1 for a in ads if round(a, 6) > round(3 * mad, 6))
+        assert abs(r.median - med) < 1e-6
+        assert abs(r.mad - mad) < 1e-6
+        assert r.n_outliers == n_out
