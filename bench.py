@@ -57,6 +57,11 @@ HEADLINE = [
     "q45_percentiles",
     "q51_salted_agg",
     "q52_bucketed_join",
+    # event analytics + statistics (round 3)
+    "q143_cohort_retention",
+    "q146_split_drift",
+    "q150_cusum_drawdown",
+    "q151_frequent_pairs",
 ]
 
 

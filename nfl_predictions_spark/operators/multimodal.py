@@ -551,3 +551,62 @@ SELECT clip_id, CAST(frame_idx AS INT) AS frame_idx,
        CAST(sum(v) AS BIGINT) AS luma_sum
 FROM g GROUP BY clip_id, frame_idx ORDER BY clip_id, frame_idx
 """
+
+
+_RESIZE_STRIDE = 2  # 8x8 -> 4x4 nearest-neighbor downscale
+
+
+def q154_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE as a pipeline stage: decode the PNG (stdlib
+    inflate + defilter), nearest-neighbor downscale by an integer
+    stride (top-left sample per cell — the deterministic policy), and
+    emit the resized dimensions + channel means. The oracle recomputes
+    the identical statistic from the closed-form pixel function on the
+    STRIDED grid, so a single misplaced sample diverges. Same scale
+    shape as q114: shuffle-free mapInPandas, pixels never leave the
+    executor, only (id, stats) rows come back."""
+    import numpy as np
+
+    imgs = synthetic_png_images(spark, 400)
+    s = _RESIZE_STRIDE
+
+    def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"img_id": [], "out_w": [], "out_h": [],
+                   "r_mean": [], "g_mean": [], "b_mean": []}
+            for img_id, png in zip(pdf["img_id"], pdf["png"]):
+                a = png_decode(bytes(png))
+                small = a[::s, ::s, :]  # nearest-neighbor: top-left sample
+                out["img_id"].append(img_id)
+                out["out_h"].append(small.shape[0])
+                out["out_w"].append(small.shape[1])
+                for ci, c in enumerate(("r_mean", "g_mean", "b_mean")):
+                    out[c].append(round(float(small[:, :, ci].mean()), 6))
+            yield pd.DataFrame(out)
+
+    return (
+        imgs.mapInPandas(
+            resize_batches,
+            "img_id long, out_w int, out_h int, "
+            "r_mean double, g_mean double, b_mean double",
+        )
+        .orderBy("img_id")
+    )
+
+
+QUERIES["q154_image_resize_stats"] = q154_image_resize_stats
+ORACLE["q154_image_resize_stats"] = f"""
+WITH g AS (
+  SELECT i.i AS img_id, x.x AS x, y.y AS y
+  FROM (SELECT unnest(range(0, 400)) AS i) i,
+       (SELECT unnest(range(0, {_IMG_W}, {_RESIZE_STRIDE})) AS x) x,
+       (SELECT unnest(range(0, {_IMG_H}, {_RESIZE_STRIDE})) AS y) y
+)
+SELECT img_id,
+  CAST({_IMG_W} / {_RESIZE_STRIDE} AS INT) AS out_w,
+  CAST({_IMG_H} / {_RESIZE_STRIDE} AS INT) AS out_h,
+  round(avg((img_id*31 + x*7 + y*13) % 256), 6) AS r_mean,
+  round(avg((img_id*17 + x*5 + y*3) % 256), 6) AS g_mean,
+  round(avg((img_id*29 + x*11 + y*19) % 256), 6) AS b_mean
+FROM g GROUP BY img_id ORDER BY img_id
+"""

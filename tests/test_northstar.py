@@ -404,3 +404,25 @@ def test_frequent_pairs_apriori_sound(spark):
         assert df[r.t1] >= minsup and df[r.t2] >= minsup
         assert pair_df[(r.t1, r.t2)] == r.pair_docs
     assert rows[0].pair_docs == max(pair_df.values())
+
+
+def test_image_resize_nearest_neighbor_exact(spark):
+    """The resized channel means equal the closed-form pixel function
+    sampled on the strided grid — one misplaced sample would diverge."""
+    from nfl_predictions_spark.operators.multimodal import (
+        _IMG_H,
+        _IMG_W,
+        _RESIZE_STRIDE,
+        q154_image_resize_stats,
+    )
+
+    rows = q154_image_resize_stats(spark, SF_SMOKE).limit(5).collect()
+    s = _RESIZE_STRIDE
+    for r in rows:
+        assert (r.out_w, r.out_h) == (_IMG_W // s, _IMG_H // s)
+        pix = [
+            (r.img_id * 31 + x * 7 + y * 13) % 256
+            for x in range(0, _IMG_W, s)
+            for y in range(0, _IMG_H, s)
+        ]
+        assert abs(r.r_mean - sum(pix) / len(pix)) < 1e-6

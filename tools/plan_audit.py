@@ -30,6 +30,19 @@ ALLOW = {
         "q46_scalar_subquery",
         "q41d_ann_ivf",  # query x centroid table: nlist x dim broadcast, intended
         "q110_unigram_logprob",  # 1-row corpus-total broadcast, intended
+        # crossJoin(broadcast(<bounded-tiny frame>)) — the scalar/global-
+        # stats distribution pattern; the loop side is 1 row (aggregate
+        # totals) or vocabulary/query-k sized, never data-sized:
+        "q119_zorder_layout",  # 1-row global min/max bounds
+        "q120_bloom_semi_join",  # 1-row packed bloom bit words
+        "q41e_ann_ivf_medoid",  # query x medoid table (nlist rows)
+        "q132_bm25_retrieval",  # 1-row corpus stats (N, avgdl)
+        "q136_hybrid_rrf",  # 1-row corpus stats via the BM25 subtree
+        "q138_bigram_logprob",  # 1-row vocab totals
+        "q139_triangle_count",  # three 1-row census aggregates
+        "q146_split_drift",  # 1-row split totals
+        "q148_contingency_chi2",  # 1-row n/n_lang/n_src totals
+        "q149_welch_ttest",  # 2 one-row group-moment frames
     },
 }
 
