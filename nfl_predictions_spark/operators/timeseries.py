@@ -535,3 +535,75 @@ def q144_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transitions",
         F.round(F.col("transitions") / F.sum("transitions").over(wp), 6).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+# ---------------------------------------------------------------------------
+# q155 — trailing-window distinct users (exact + sketch scale path)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q155_sliding_distinct",
+    """
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM daily)
+    SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS users_7d
+    FROM days d JOIN daily a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+)
+def q155_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) that a plain window frame cannot express (distinct
+    does not decompose over frames). Exact strategy: collapse events to
+    distinct (day, user) FIRST (one shuffle, map-side combined), then
+    expand each row into the <=7 window days it serves via a
+    calendar-sized broadcast range join, then one distinct-count
+    shuffle. Work is O(active-pairs x window), never O(events x
+    window). At 100 TB the same plan holds (the days frame stays
+    calendar-sized); when exactness can be traded, q155b unions
+    per-day HLL sketches over the trailing frame instead — constant
+    state per day, no second distinct shuffle."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    return (
+        daily.join(
+            F.broadcast(days.select(F.col("day").alias("asof"))),
+            (F.col("day") <= F.col("asof"))
+            & (F.col("day") >= F.date_sub(F.col("asof"), 6)),
+        )
+        .groupBy(F.col("asof").alias("day"))
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .orderBy("day")
+    )
+
+
+def q155b_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path for q155: one HLL sketch per day (constant size),
+    trailing-window union + estimate. The per-day sketch agg is the
+    only pass over the data; the window union runs on the
+    calendar-sized frame. Certified against the exact path in tests
+    (DataSketches HLL at default lgK is well inside 5% here)."""
+    ev = table(spark, sf_dir, "events")
+    sk = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        sk.select(
+            "day",
+            F.hll_sketch_estimate(F.expr("hll_union_agg(sk)").over(w)).alias(
+                "users_7d_est"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["q155b_sliding_distinct_hll"] = q155b_sliding_distinct_hll

@@ -123,3 +123,30 @@ def test_event_transitions_rows_sum_to_one(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_sliding_distinct_exact_and_sketch_agree(spark):
+    """Exact trailing-7d distinct matches brute-force Python; the HLL
+    window-union path lands within 5% of exact on every day."""
+    from nfl_predictions_spark.operators.timeseries import (
+        q155_sliding_distinct,
+        q155b_sliding_distinct_hll,
+    )
+    from tests.conftest import SF_SMOKE
+    import datetime
+
+    exact = {r.day: r.users_7d for r in q155_sliding_distinct(spark, SF_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    daily = {(e.ts.date(), e.user_id) for e in ev}
+    for day, got in exact.items():
+        want = len(
+            {u for (d, u) in daily if day - datetime.timedelta(days=6) <= d <= day}
+        )
+        assert got == want
+    est = {
+        r.day: r.users_7d_est
+        for r in q155b_sliding_distinct_hll(spark, SF_SMOKE).collect()
+    }
+    assert set(est) == set(exact)
+    for day in exact:
+        assert abs(est[day] - exact[day]) <= max(1, 0.05 * exact[day])
