@@ -466,19 +466,25 @@ def q143_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = hit.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("active_users")  # weeks is a set => distinct users
     )
-    sizes = per_user.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
+    # cohort_size == the offset-0 active count (everyone is active in
+    # their own first week), taken from the SAME aggregate via a window
+    # over the vocabulary-sized frame — one scan + one user_id shuffle
+    # total; a separate sizes-aggregate branch would re-scan the fact
+    # table (filter pushdown specializes the subtree, defeating reuse).
+    wc = Window.partitionBy("cohort_week")
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("active_users"))
+    ).over(wc)
     return (
-        r.join(F.broadcast(sizes), "cohort_week")
-        .select(
+        r.select(
             "cohort_week",
             "week_offset",
             "active_users",
-            "cohort_size",
-            F.round(F.col("active_users") / F.col("cohort_size"), 6).alias(
-                "retention"
-            ),
+            size.alias("cohort_size"),
+        )
+        .withColumn(
+            "retention",
+            F.round(F.col("active_users") / F.col("cohort_size"), 6),
         )
         .orderBy("cohort_week", "week_offset")
     )
