@@ -36,6 +36,9 @@ def _registry():
         "llmprep",
         "warehouse",
         "stats",
+        "macro",
+        "tokenizer",
+        "frontier",
     ):
         try:
             import importlib

@@ -1,0 +1,158 @@
+"""Distributed tokenizer training — BPE merge-rule induction.
+
+A training-data pipeline doesn't just *count* tokens (q109/q40); it
+*learns* the tokenizer. Byte-pair encoding training is the canonical
+algorithm: start from characters, repeatedly merge the most frequent
+adjacent symbol pair. This module runs the first K merge rounds of BPE
+over the `documents` corpus as a distributed computation and emits the
+learned merge table — which IS the tokenizer model (the merges file of
+GPT-2/SentencePiece-BPE vocabularies).
+
+Engine-added surface (the reference has no text stack); complements
+q105 (fixed top-K vocab) and q138 (n-gram LM scoring) with the missing
+"train the vocabulary itself" step.
+
+Scale design (100 TB posture):
+- The corpus is scanned ONCE, into a word-frequency table — the classic
+  BPE-trainer decomposition (merges depend only on word freqs, not on
+  document order). That table is vocabulary-sized (millions of rows at
+  worst), orders of magnitude smaller than the corpus; it is
+  localCheckpointed so no round ever re-reads the corpus.
+- Each merge round is one vocabulary-sized distributed job: explode
+  adjacent symbol pairs weighted by word frequency, map-side-combined
+  groupBy, take the argmax row. Only that ONE row (the merge rule) is
+  collected per round — bounded driver traffic, exactly the merge table
+  a real BPE trainer materializes.
+- Applying a merge is a single literal `replace` over the symbol
+  strings — whole-stage-codegen expression work, no shuffle.
+
+Symbol-string encoding (what makes greedy merging a plain `replace`):
+a word's segmentation is kept as its symbols joined by TWO spaces and
+wrapped in single spaces: "abab" -> " a  b  a  b ". Replacing the
+literal " a  b " with " ab " then implements exactly BPE's greedy
+left-to-right non-overlapping merge: each separator donates one space
+to each neighbour, so back-to-back occurrences still match
+(" a  b  a  b " -> " ab  ab ") while overlapping ones don't
+(" a  a  a " -> " aa  a "), matching the classic merge semantics.
+Both Spark's and DuckDB's literal `replace` scan left-to-right
+non-overlapping, so the DuckDB oracle (the same K rounds unrolled as
+CTE stages) reproduces the merge table exactly, including tie-breaks
+(count DESC, then lexicographic pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nfl_predictions_spark.sources.tables import table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+_ROUNDS = 5
+
+
+def _bpe_oracle(rounds: int = _ROUNDS) -> str:
+    sql = r"""
+    WITH wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ), w0 AS (
+      SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s, f
+      FROM wf
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""", p{r} AS (
+      -- parallel unnest zips the two shifted slices into adjacent pairs
+      SELECT lhs, rhs, CAST(sum(f) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_slice(arr, 1, len(arr) - 1)) AS lhs,
+               unnest(list_slice(arr, 2, len(arr))) AS rhs, f
+        FROM (SELECT string_split(trim(s), '  ') AS arr, f FROM w{r - 1}) t
+      )
+      GROUP BY 1, 2
+    ), b{r} AS (
+      SELECT lhs, rhs, c FROM p{r} ORDER BY c DESC, lhs, rhs LIMIT 1
+    ), w{r} AS (
+      SELECT replace(s, ' ' || lhs || '  ' || rhs || ' ',
+                     ' ' || lhs || rhs || ' ') AS s, f
+      FROM w{r - 1} CROSS JOIN b{r}
+    )"""
+    parts = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged,"
+        f" c AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    sql += f" SELECT * FROM ({parts}) ORDER BY step"
+    return sql
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q("q160_bpe_merges", _bpe_oracle())
+def q160_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {_ROUNDS} BPE merge rules learned from the corpus.
+
+    One corpus scan -> word-freq table (localCheckpointed, vocab-sized);
+    then per round: pair-count agg (distributed, map-side combined) ->
+    collect the single argmax row -> literal replace. Output is the
+    merge table (step, lhs, rhs, merged, pair_count).
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    # symbol string: chars joined by double spaces, wrapped in singles
+    cur = words.select(
+        F.concat(
+            F.lit(" "),
+            F.rtrim(F.regexp_replace("w", "(.)", "$1  ")),
+            F.lit(" "),
+        ).alias("s"),
+        "f",
+    ).localCheckpoint(eager=True)  # cut the corpus scan out of the loop
+
+    merges = []
+    for step in range(1, _ROUNDS + 1):
+        arr = F.split(F.trim(F.col("s")), "  ")
+        best = (
+            cur.select(arr.alias("arr"), "f")
+            .filter(F.size("arr") >= 2)
+            .select("arr", "f", F.expr("explode(sequence(1, size(arr)-1))").alias("i"))
+            .select(
+                F.expr("element_at(arr, i)").alias("lhs"),
+                F.expr("element_at(arr, i + 1)").alias("rhs"),
+                "f",
+            )
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("f").alias("c"))
+            .orderBy(F.desc("c"), "lhs", "rhs")
+            .limit(1)
+            .collect()[0]  # ONE row per round: the learned merge rule
+        )
+        merges.append((step, best["lhs"], best["rhs"], best["lhs"] + best["rhs"], int(best["c"])))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {best['lhs']}  {best['rhs']} "),
+                F.lit(f" {best['lhs']}{best['rhs']} "),
+            ).alias("s"),
+            "f",
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "step long, lhs string, rhs string, merged string, pair_count long"
+    ).orderBy("step")
