@@ -62,6 +62,11 @@ HEADLINE = [
     "q146_split_drift",
     "q150_cusum_drawdown",
     "q151_frequent_pairs",
+    # TPC-H macro tier: composed multi-join warehouse plans (round 3)
+    "q156_tpch_q3",
+    "q157_tpch_q5",
+    "q158_tpch_q10",
+    "q159_tpch_q18",
 ]
 
 

@@ -53,7 +53,9 @@ ORACLE: dict[str, str] = {}
 _ROUNDS = 5
 
 
-def _bpe_oracle(rounds: int = _ROUNDS) -> str:
+def _bpe_cte_prefix(rounds: int = _ROUNDS) -> str:
+    """Shared WITH-clause prefix: word freqs, initial symbol strings,
+    and the unrolled merge rounds p{r}/b{r}/w{r}."""
     sql = r"""
     WITH wf AS (
       SELECT w, CAST(count(*) AS BIGINT) AS f
@@ -80,12 +82,39 @@ def _bpe_oracle(rounds: int = _ROUNDS) -> str:
                      ' ' || lhs || rhs || ' ') AS s, f
       FROM w{r - 1} CROSS JOIN b{r}
     )"""
+    return sql
+
+
+def _bpe_oracle(rounds: int = _ROUNDS) -> str:
     parts = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged,"
         f" c AS pair_count FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    sql += f" SELECT * FROM ({parts}) ORDER BY step"
+    return _bpe_cte_prefix(rounds) + f" SELECT * FROM ({parts}) ORDER BY step"
+
+
+def _bpe_tokenize_oracle(rounds: int = _ROUNDS) -> str:
+    """Per-document token counts after applying the learned merges: the
+    same b{r} rules cross-joined in as scalar replace arguments."""
+    sql = _bpe_cte_prefix(rounds)
+    sql += r""", d0 AS (
+      SELECT doc_id,
+             ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""", d{r} AS (
+      SELECT doc_id, replace(s, ' ' || lhs || '  ' || rhs || ' ',
+                             ' ' || lhs || rhs || ' ') AS s
+      FROM d{r - 1} CROSS JOIN b{r}
+    )"""
+    sql += f"""
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS n_tokens_bpe
+    FROM d{rounds} GROUP BY doc_id ORDER BY doc_id"""
     return sql
 
 
@@ -99,14 +128,21 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
-@_q("q160_bpe_merges", _bpe_oracle())
-def q160_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First {_ROUNDS} BPE merge rules learned from the corpus.
+def _encode_sym(col) -> F.Column:
+    """Word -> symbol string: chars joined by double spaces, wrapped in
+    single spaces ("abab" -> " a  b  a  b ")."""
+    return F.concat(
+        F.lit(" "), F.rtrim(F.regexp_replace(col, "(.)", "$1  ")), F.lit(" ")
+    )
+
+
+def learn_merges(spark: SparkSession, sf_dir: str, rounds: int = _ROUNDS) -> list[tuple]:
+    """Run the distributed BPE trainer; returns the merge table as
+    [(step, lhs, rhs, merged, pair_count)] — the tokenizer model.
 
     One corpus scan -> word-freq table (localCheckpointed, vocab-sized);
     then per round: pair-count agg (distributed, map-side combined) ->
-    collect the single argmax row -> literal replace. Output is the
-    merge table (step, lhs, rhs, merged, pair_count).
+    collect the single argmax row -> literal replace.
     """
     docs = table(spark, sf_dir, "documents")
     words = (
@@ -115,18 +151,12 @@ def q160_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("f"))
     )
-    # symbol string: chars joined by double spaces, wrapped in singles
     cur = words.select(
-        F.concat(
-            F.lit(" "),
-            F.rtrim(F.regexp_replace("w", "(.)", "$1  ")),
-            F.lit(" "),
-        ).alias("s"),
-        "f",
+        _encode_sym(F.col("w")).alias("s"), "f"
     ).localCheckpoint(eager=True)  # cut the corpus scan out of the loop
 
     merges = []
-    for step in range(1, _ROUNDS + 1):
+    for step in range(1, rounds + 1):
         arr = F.split(F.trim(F.col("s")), "  ")
         best = (
             cur.select(arr.alias("arr"), "f")
@@ -152,7 +182,45 @@ def q160_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "f",
         ).localCheckpoint(eager=True)
+    return merges
 
+
+@_q("q160_bpe_merges", _bpe_oracle())
+def q160_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table (step, lhs, rhs, merged, pair_count)
+    — the merges file of a GPT-2/SentencePiece-BPE vocabulary."""
+    merges = learn_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step long, lhs string, rhs string, merged string, pair_count long"
     ).orderBy("step")
+
+
+@_q("q162_bpe_tokenize", _bpe_tokenize_oracle())
+def q162_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges to the whole corpus and count BPE
+    tokens per document — the tokenize step that feeds q109's
+    token-offset sharding with *model-based* (not whitespace) counts.
+
+    Scale: training happens on the vocab-sized table (learn_merges);
+    application is corpus-scale but embarrassingly parallel — one
+    explode + {_ROUNDS} literal whole-stage-codegen `replace`s + one
+    keyed groupBy. The merge rules ride into the executors as literals
+    (a real tokenizer ships its merges file the same way)."""
+    merges = learn_merges(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    s = _encode_sym(F.col("w"))
+    for _, lhs, rhs, merged, _c in merges:
+        s = F.replace(s, F.lit(f" {lhs}  {rhs} "), F.lit(f" {merged} "))
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", F.size(F.split(F.trim(s), "  ")).alias("n_tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_tokens_bpe"),
+        )
+        .orderBy("doc_id")
+    )

@@ -15,6 +15,7 @@ NAMES = [
     "q159_tpch_q18",
     "q160_bpe_merges",
     "q161_skyline",
+    "q162_bpe_tokenize",
 ]
 
 
@@ -92,6 +93,28 @@ def test_bpe_matches_reference_python_bpe(spark):
         for r in q160_bpe_merges(spark, SF_SMOKE).collect()
     ]
     assert got == expected
+
+
+def test_bpe_tokenize_bounds(spark):
+    """Per-doc BPE token counts sit between word count (every word >= 1
+    token) and character count (merges only ever shrink), and 5 merge
+    rounds must have compressed SOME document below its char count."""
+    from nfl_predictions_spark.operators.tokenizer import q162_bpe_tokenize
+
+    rows = q162_bpe_tokenize(spark, SF_SMOKE).collect()
+    docs = {
+        d.doc_id: [w for w in d.text.lower().split(" ") if w]
+        for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    compressed = False
+    for r in rows:
+        words = docs[r.doc_id]
+        chars = sum(len(w) for w in words)
+        assert r.n_words == len(words)
+        assert len(words) <= r.n_tokens_bpe <= chars
+        compressed = compressed or r.n_tokens_bpe < chars
+    assert compressed
 
 
 def test_skyline_dominance_definition(spark):

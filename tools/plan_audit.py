@@ -38,6 +38,7 @@ ALLOW = {
         "q41e_ann_ivf_medoid",  # query x medoid table (nlist rows)
         "q132_bm25_retrieval",  # 1-row corpus stats (N, avgdl)
         "q136_hybrid_rrf",  # 1-row corpus stats via the BM25 subtree
+        "q155_sliding_distinct",  # calendar-sized broadcast range join
         "q138_bigram_logprob",  # 1-row vocab totals
         "q139_triangle_count",  # three 1-row census aggregates
         "q146_split_drift",  # 1-row split totals
