@@ -401,3 +401,186 @@ def q153_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — distributed covariance matrix (the PCA front half)
+# ---------------------------------------------------------------------------
+
+#: Decimal type for exact cross-moment sums. float32*float32 products fit
+#: a double exactly (48-bit significand), so the only rounding is the
+#: scale-15 decimal quantization — identical in both engines except on
+#: exact decimal ties, which require the product to be an odd multiple of
+#: 2^-16 (measured expectation ~1e-3 ties over the full sf0.01 run).
+_COV_DEC = "decimal(30,15)"
+
+
+def _cov_oracle() -> str:
+    return """
+    WITH x AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS xi
+      FROM embeddings
+    ), d AS (
+      SELECT i, sum(CAST(xi AS DECIMAL(30,15))) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY i
+    ), p AS (
+      SELECT a.i AS i, b.i AS j,
+             sum(CAST(a.xi * b.xi AS DECIMAL(30,15))) AS s_ij
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT p.i AS i, p.j AS j,
+           ROUND((CAST(p.s_ij AS DOUBLE)
+                  - CAST(da.s AS DOUBLE) * CAST(db.s AS DOUBLE) / da.n)
+                 / (da.n - 1), 6) + 0.0 AS cov
+    FROM p JOIN d da ON p.i = da.i JOIN d db ON p.j = db.i
+    ORDER BY i, j
+    """
+
+
+@_q("q163_cov_matrix", _cov_oracle())
+def q163_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance matrix of the embedding columns — the
+    sufficient-statistic half of PCA as one relational plan.
+
+    Shape: posexplode each vector to (vec_id, i, x_i), self-join on
+    vec_id with i <= j (upper triangle), and reduce each (i, j) cell to
+    an exact DECIMAL cross-moment sum; per-dimension sums are a second
+    64-row aggregate broadcast back in. cov(i,j) is then pure IEEE
+    double arithmetic on engine-identical inputs, so the oracle is
+    hash-exact, not tolerance-based.
+
+    Scale: the join blows each row up d^2/2-fold, which is the honest
+    cost of an *oracle-exact* covariance; the production path (q163b)
+    computes the same Gram matrix map-side via Arrow at O(n*d) shuffle
+    bytes. Both end in a |d^2|-row frame — covariance never returns
+    data-sized output.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xi")
+    ).select(
+        "vec_id",
+        F.col("i").cast("long").alias("i"),
+        F.col("xi").cast("double").alias("xi"),
+    )
+    d = x.groupBy("i").agg(
+        F.sum(F.col("xi").cast(_COV_DEC)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a, b = x.alias("a"), x.alias("b")
+    p = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("b.i")))
+        .select(
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            (F.col("a.xi") * F.col("b.xi")).cast(_COV_DEC).alias("prod"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("prod").alias("s_ij"))
+    )
+    da = F.broadcast(d.select(F.col("i"), F.col("s").alias("s_i"), F.col("n")))
+    db = F.broadcast(d.select(F.col("i").alias("j"), F.col("s").alias("s_j")))
+    return (
+        p.join(da, "i")
+        .join(db, "j")
+        .select(
+            "i",
+            "j",
+            # + 0.0 collapses IEEE negative zero: ROUND of a tiny
+            # negative covariance yields -0.0 in one engine and 0.0 in
+            # the other, and the comparator is repr-exact.
+            (
+                F.round(
+                    (
+                        F.col("s_ij").cast("double")
+                        - F.col("s_i").cast("double")
+                        * F.col("s_j").cast("double")
+                        / F.col("n")
+                    )
+                    / (F.col("n") - 1),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def q163b_pca_eigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA eigen-spectrum — the production-path covariance (map-side
+    Arrow Gram accumulation) plus the driver-side eigensolve.
+
+    Each input partition streams through mapInPandas once and emits its
+    partial Gram matrix as d*(d+1)/2 rows plus a per-dimension sum row
+    block — O(d^2) rows per partition regardless of partition size, the
+    canonical 100 TB shape (shuffle bytes are d^2 * partitions, never
+    O(n)). A 2080-row groupBy merges partials; the d x d matrix is then
+    bounded driver state (d^2 doubles, independent of n) for
+    numpy.linalg.eigh. Rows-only entry: eigensolves are not
+    SQL-expressible; tests certify the spectrum against q163's
+    oracle-exact covariance at small sf.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        s = None
+        g = None
+        n = 0
+        for pdf in batches:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if X.size == 0:
+                continue
+            n += X.shape[0]
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            g = X.T @ X if g is None else g + X.T @ X
+        if n == 0:
+            return
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        # One frame per partition: the Gram upper triangle, the per-dim
+        # sum block (j = -1), and a single count row (i = j = -1).
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(d), [-1]]),
+                "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+                "val": np.concatenate([g[iu, ju], s, [float(n)]]),
+            }
+        )
+
+    partials = emb.mapInPandas(gram, schema="i long, j long, val double")
+    rows = (
+        partials.groupBy("i", "j").agg(F.sum("val").alias("val")).collect()
+    )
+
+    dim = max(r["i"] for r in rows) + 1
+    g = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n_total = 0
+    for r in rows:
+        if r["i"] == -1:
+            n_total = int(r["val"])
+        elif r["j"] == -1:
+            s[r["i"]] = r["val"]
+        else:
+            g[r["i"], r["j"]] = r["val"]
+            g[r["j"], r["i"]] = r["val"]
+    cov = (g - np.outer(s, s) / n_total) / (n_total - 1)
+    w, _ = np.linalg.eigh(cov)
+    w = w[::-1]
+    ratios = w / w.sum()
+    out = [
+        (int(k), float(round(w[k], 6)), float(round(ratios[k], 6)))
+        for k in range(dim)
+    ]
+    return spark.createDataFrame(out, "component long, eigenvalue double, explained_ratio double")
+
+
+QUERIES["q163b_pca_eigh"] = q163b_pca_eigh

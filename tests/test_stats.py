@@ -111,3 +111,45 @@ def test_mad_outliers_match_python(spark):
         assert abs(r.median - med) < 1e-6
         assert abs(r.mad - mad) < 1e-6
         assert r.n_outliers == n_out
+
+
+def test_cov_matrix_matches_numpy(spark):
+    """q163's decimal-exact covariance equals numpy's float64 covariance
+    to rounding tolerance."""
+    import numpy as np
+
+    from nfl_predictions_spark.operators.stats import q163_cov_matrix
+
+    rows = q163_cov_matrix(spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    ref = np.cov(X, rowvar=False)
+    assert len(rows) == X.shape[1] * (X.shape[1] + 1) // 2
+    worst = max(abs(r.cov - ref[r.i, r.j]) for r in rows)
+    assert worst < 1e-6, worst
+
+
+def test_pca_eigh_matches_exact_covariance(spark):
+    """The production Gram path (q163b) yields the same eigen-spectrum as
+    eigh over q163's oracle-exact covariance matrix."""
+    import numpy as np
+
+    from nfl_predictions_spark.operators.stats import (
+        q163_cov_matrix,
+        q163b_pca_eigh,
+    )
+
+    cov_rows = q163_cov_matrix(spark, SF_SMOKE).collect()
+    dim = max(r.i for r in cov_rows) + 1
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r.i, r.j] = r.cov
+        cov[r.j, r.i] = r.cov
+    w_ref = np.sort(np.linalg.eigvalsh(cov))[::-1]
+
+    got = q163b_pca_eigh(spark, SF_SMOKE).collect()
+    assert [g.component for g in got] == list(range(dim))
+    w_got = np.array([g.eigenvalue for g in got])
+    assert np.max(np.abs(w_got - w_ref)) < 1e-4
+    ratios = np.array([g.explained_ratio for g in got])
+    assert abs(ratios.sum() - 1.0) < 1e-3
