@@ -1,0 +1,49 @@
+"""Warehouse-lifecycle operators (operators/warehouse.py)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_incremental_mv_equals_full_recompute(spark):
+    from nfl_predictions_spark.operators.warehouse import q164_incremental_mv
+
+    got = {r.nation: (r.total_rev, r.n_orders) for r in q164_incremental_mv(spark, SF_SMOKE).collect()}
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    nat = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    full = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    ref = {r.n_name: (r.rev, r.n) for r in full}
+    assert got == ref
+
+
+def test_incremental_mv_second_run_reads_view_store(spark):
+    """After the first refresh the base aggregate is served from the
+    materialized parquet store, not recomputed from raw orders."""
+    from nfl_predictions_spark.operators.warehouse import q164_incremental_mv
+
+    q164_incremental_mv(spark, SF_SMOKE).collect()  # ensure store exists
+    key = os.path.basename(os.path.normpath(SF_SMOKE))
+    store = os.path.join(
+        tempfile.gettempdir(), "nfl_predictions_spark", "mv", f"nation_rev_{key}", "base"
+    )
+    assert os.path.isdir(store)
+    plan = q164_incremental_mv(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "nation_rev_" in plan  # base comes from the view store
+    # the only orders scan left is the delta partition (pushed filter)
+    assert plan.count("orders.parquet") <= 1
