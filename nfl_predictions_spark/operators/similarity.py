@@ -645,3 +645,142 @@ def q41e_ann_ivf_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — k-means (Lloyd) as a deterministic relational iteration
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DEC = "decimal(30,15)"
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """Unroll Lloyd's iterations as CTE stages (same trick as q160's BPE
+    rounds): assignment = decimal-exact argmin with cluster-id
+    tie-break, update = round-6 quantized mean, so every engine decides
+    identically at every step."""
+    parts = [
+        """
+    WITH x AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS xi
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(vec_id AS BIGINT) AS c, i, xi AS ci
+      FROM x WHERE vec_id < %d
+    )"""
+        % k
+    ]
+    for t in range(iters):
+        parts.append(
+            """
+    , a{t} AS (
+      SELECT vec_id, c FROM (
+        SELECT x.vec_id, c{t}.c,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY sum(CAST((x.xi - c{t}.ci) * (x.xi - c{t}.ci)
+                              AS DECIMAL(30,15))), c{t}.c
+               ) AS rn
+        FROM x JOIN c{t} ON x.i = c{t}.i
+        GROUP BY x.vec_id, c{t}.c
+      ) WHERE rn = 1
+    ), c{n} AS (
+      SELECT a.c, x.i,
+             ROUND(CAST(sum(CAST(x.xi AS DECIMAL(30,15))) AS DOUBLE)
+                   / count(*), 6) + 0.0 AS ci
+      FROM a{t} a JOIN x ON a.vec_id = x.vec_id
+      GROUP BY a.c, x.i
+    )""".format(t=t, n=t + 1)
+        )
+    parts.append(
+        """
+    SELECT f.c AS cluster, f.i AS i, f.ci AS coord, m.n AS n_members
+    FROM c{n} f
+    JOIN (SELECT c, CAST(count(*) AS BIGINT) AS n FROM a{t} GROUP BY c) m
+      ON f.c = m.c
+    ORDER BY cluster, i
+    """.format(t=iters - 1, n=iters)
+    )
+    return "".join(parts)
+
+
+@_q("q165_kmeans_lloyd", _kmeans_oracle())
+def q165_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding table as a pure relational
+    iteration — the canonical iterative-refinement algorithm expressed
+    the way Catalyst can run it at 100 TB.
+
+    Determinism contract (shared with the unrolled-CTE oracle):
+    initial centroids are the first k vectors by vec_id; each
+    assignment minimizes a DECIMAL-exact squared distance (per-term
+    squares are IEEE-identical doubles, the sum is exact, ties break on
+    cluster id); each update quantizes the new centroid to 6 decimals —
+    so both engines walk the identical centroid trajectory and the
+    result is hash-exact, not tolerance-based.
+
+    Scale: per iteration the plan is one broadcast of the k*d centroid
+    table into the exploded fact (no shuffle of the corpus), a
+    (vec_id, c)-keyed partial-agg distance reduce, and a (c, i) mean —
+    all map-side-combinable. k*d is bounded driver state; the corpus
+    never leaves its partitioning. Empty clusters cannot arise at the
+    tested sizes (k=8 seeds among >=500 points) and would surface as a
+    row-count mismatch, not silent drift.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id", F.posexplode("embedding").alias("i", "xi")).select(
+        "vec_id",
+        F.col("i").cast("long").alias("i"),
+        F.col("xi").cast("double").alias("xi"),
+    )
+    cent = x.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("c"), "i", F.col("xi").alias("ci")
+    )
+    assign = None
+    from pyspark.sql import Window as W
+
+    for _ in range(_KM_ITERS):
+        d2 = (
+            x.join(F.broadcast(cent), "i")
+            .select(
+                "vec_id",
+                "c",
+                ((F.col("xi") - F.col("ci")) * (F.col("xi") - F.col("ci")))
+                .cast(_KM_DEC)
+                .alias("sq"),
+            )
+            .groupBy("vec_id", "c")
+            .agg(F.sum("sq").alias("d2"))
+        )
+        rn = F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c").asc())
+        )
+        assign = d2.withColumn("rn", rn).where(F.col("rn") == 1).select("vec_id", "c")
+        cent = (
+            assign.join(x, "vec_id")
+            .groupBy("c", "i")
+            .agg(
+                (
+                    F.round(
+                        F.sum(F.col("xi").cast(_KM_DEC)).cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("ci")
+            )
+        )
+    members = assign.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cent.join(members, "c")
+        .select(
+            F.col("c").alias("cluster"),
+            "i",
+            F.col("ci").alias("coord"),
+            F.col("n").alias("n_members"),
+        )
+        .orderBy("cluster", "i")
+    )

@@ -426,3 +426,33 @@ def test_image_resize_nearest_neighbor_exact(spark):
             for y in range(0, _IMG_H, s)
         ]
         assert abs(r.r_mean - sum(pix) / len(pix)) < 1e-6
+
+
+def test_kmeans_lloyd_matches_python_trajectory(spark):
+    """q165 walks the same centroid trajectory as a direct Python Lloyd
+    implementation under the shared determinism contract (first-k init,
+    exact-distance argmin with id tie-break, round-6 centroid update)."""
+    import numpy as np
+
+    from nfl_predictions_spark.operators.similarity import (
+        _KM_ITERS,
+        _KM_K,
+        q165_kmeans_lloyd,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").orderBy("vec_id").collect()
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    cent = X[:_KM_K].copy()
+    for _ in range(_KM_ITERS):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)  # numpy argmin takes first min = smallest id
+        cent = np.array(
+            [np.round(X[a == c].sum(axis=0) / (a == c).sum(), 6) for c in range(_KM_K)]
+        )
+    sizes = np.bincount(a, minlength=_KM_K)
+
+    rows = q165_kmeans_lloyd(spark, SF_SMOKE).collect()
+    assert len(rows) == _KM_K * X.shape[1]
+    for r in rows:
+        assert abs(r.coord - cent[r.cluster, r.i]) < 1e-6, (r.cluster, r.i)
+        assert r.n_members == sizes[r.cluster]
