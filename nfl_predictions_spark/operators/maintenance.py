@@ -247,3 +247,152 @@ def q123_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(col_name, n_null, n_distinct, min_v, max_v, mean_v)"
     ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# q166 — declarative data-quality constraint audit (Deequ-style)
+# ---------------------------------------------------------------------------
+
+
+def _audit_oracle() -> str:
+    return """
+    WITH o AS (
+      SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS pk_dup,
+             CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) AS price_bad,
+             CAST(count(*) FILTER (o_orderstatus NOT IN ('O','F','P'))
+                  AS BIGINT) AS status_bad,
+             CAST(count(*) FILTER (o_orderdate IS NULL) AS BIGINT) AS date_null
+      FROM orders
+    ), l AS (
+      SELECT CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50)
+                  AS BIGINT) AS qty_bad,
+             CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.1)
+                  AS BIGINT) AS disc_bad,
+             CAST(count(*) FILTER (l_extendedprice <= 0) AS BIGINT) AS ext_bad
+      FROM lineitem
+    ), j AS (
+      SELECT CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS fk_bad,
+             CAST(count(*) FILTER (o.o_orderkey IS NOT NULL
+                                   AND li.l_shipdate < o.o_orderdate)
+                  AS BIGINT) AS ship_bad
+      FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT c AS constraint_name, v AS n_violations, v = 0 AS passed
+    FROM (
+      SELECT unnest(['orders_pk_unique','orders_totalprice_positive',
+                     'orders_status_domain','orders_date_not_null',
+                     'lineitem_qty_range','lineitem_discount_range',
+                     'lineitem_price_positive','lineitem_fk_orders',
+                     'lineitem_ship_after_order']) AS c,
+             unnest([o.pk_dup, o.price_bad, o.status_bad, o.date_null,
+                     l.qty_bad, l.disc_bad, l.ext_bad,
+                     j.fk_bad, j.ship_bad]) AS v
+      FROM o, l, j
+    )
+    ORDER BY constraint_name
+    """
+
+
+@_q("q166_constraint_audit", _audit_oracle())
+def q166_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit: a constraint suite verified in
+    the minimum number of passes (the Deequ decomposition — every
+    single-table constraint becomes one column of ONE shared aggregate
+    scan, so adding a constraint adds an expression, not a pass).
+
+    Three plan fragments cover nine constraints: one agg over orders
+    (pk uniqueness, price sign, status domain, null check), one agg
+    over lineitem (quantity/discount ranges, price sign), and one
+    left join lineitem->orders that yields BOTH referential integrity
+    (unmatched fk) and the cross-table ship-after-order rule from a
+    single shuffle. Output is the audit report: constraint name,
+    violation count, pass flag. On the synthetic data
+    lineitem_ship_after_order genuinely fails — the audit is doing
+    work, not rubber-stamping.
+
+    Scale: single-table constraint cost is one map-side-combinable agg
+    per table regardless of constraint count; the only shuffle is the
+    fk join, which Spark can runtime-bloom-filter (q120 pins that
+    pattern).
+    """
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    o = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("price_bad"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("status_bad"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("date_null"),
+    )
+    l = li.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("qty_bad"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+        ).alias("disc_bad"),
+        F.count(F.when(F.col("l_extendedprice") <= 0, 1)).alias("ext_bad"),
+    )
+    j = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("fk_bad"),
+            F.count(
+                F.when(
+                    F.col("o_orderkey").isNotNull()
+                    & (F.col("l_shipdate") < F.col("o_orderdate")),
+                    1,
+                )
+            ).alias("ship_bad"),
+        )
+    )
+    # stack() pivots each 1-row aggregate into report rows in the SAME
+    # select, so every source table is scanned exactly once.
+    def report(frame: DataFrame, names: dict[str, str]) -> DataFrame:
+        args = ", ".join(f"'{label}', {col}" for label, col in names.items())
+        return frame.select(
+            F.expr(
+                f"stack({len(names)}, {args}) AS (constraint_name, n_violations)"
+            )
+        )
+
+    out = (
+        report(
+            o,
+            {
+                "orders_pk_unique": "pk_dup",
+                "orders_totalprice_positive": "price_bad",
+                "orders_status_domain": "status_bad",
+                "orders_date_not_null": "date_null",
+            },
+        )
+        .unionByName(
+            report(
+                l,
+                {
+                    "lineitem_qty_range": "qty_bad",
+                    "lineitem_discount_range": "disc_bad",
+                    "lineitem_price_positive": "ext_bad",
+                },
+            )
+        )
+        .unionByName(
+            report(
+                j,
+                {
+                    "lineitem_fk_orders": "fk_bad",
+                    "lineitem_ship_after_order": "ship_bad",
+                },
+            )
+        )
+    )
+    return out.withColumn("passed", F.col("n_violations") == 0).orderBy(
+        "constraint_name"
+    )

@@ -47,3 +47,22 @@ def test_incremental_mv_second_run_reads_view_store(spark):
     assert "nation_rev_" in plan  # base comes from the view store
     # the only orders scan left is the delta partition (pushed filter)
     assert plan.count("orders.parquet") <= 1
+
+
+def test_constraint_audit_finds_real_violations(spark):
+    """The audit surfaces the synthetic data's genuine
+    ship-before-order violations and passes the clean constraints."""
+    from nfl_predictions_spark.operators.maintenance import q166_constraint_audit
+
+    rows = {r.constraint_name: r for r in q166_constraint_audit(spark, SF_SMOKE).collect()}
+    assert len(rows) == 9
+    assert not rows["lineitem_ship_after_order"].passed
+    assert rows["lineitem_ship_after_order"].n_violations > 0
+    for clean in ("orders_pk_unique", "lineitem_fk_orders", "orders_status_domain"):
+        assert rows[clean].passed, clean
+    # one scan per plan fragment: orders appears in the orders-agg and
+    # the fk join, lineitem in the lineitem-agg and the fk join — never
+    # once per constraint
+    plan = q166_constraint_audit(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") <= 2
+    assert plan.count("lineitem.parquet") <= 2
