@@ -784,3 +784,53 @@ def q165_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster", "i")
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — ANN recall certification (exact vs LSH), as a query
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    return f"""
+    WITH exact_r AS ({_ANN_ORACLE}),
+    lsh_r AS ({_lsh_oracle_sql()})
+    SELECT e.qid,
+           CAST(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits,
+           sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) / {_TOP_K}.0
+             AS recall
+    FROM exact_r e
+    LEFT JOIN lsh_r l ON e.qid = l.qid AND e.cid = l.cid
+    GROUP BY e.qid
+    ORDER BY e.qid
+    """
+
+
+@_q("q167_ann_recall", _recall_oracle())
+def q167_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index against the exact baseline — "measure,
+    don't guess" as a first-class query, not a buried test assertion.
+
+    Pure composition: q41 (brute-force truth) left-joined to q41c (the
+    production index) on (qid, cid); recall is the per-query hit
+    fraction. At 100 TB the exact side is the expensive certifier you
+    run on a sampled query set (the 5-query side here IS that sample),
+    while the index serves everything else — this query is the
+    continuous-evaluation harness for that trade.
+    """
+    exact = q41_ann_topk(spark, sf_dir).select("qid", "cid")
+    lsh = q41c_ann_lsh(spark, sf_dir).select("qid", "cid").withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        exact.join(lsh, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        .select(
+            "qid",
+            "hits",
+            (F.col("hits") / F.lit(float(_TOP_K))).alias("recall"),
+        )
+        .orderBy("qid")
+    )
