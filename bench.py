@@ -67,6 +67,12 @@ HEADLINE = [
     "q157_tpch_q5",
     "q158_tpch_q10",
     "q159_tpch_q18",
+    # round-3 additions: PCA production path, incremental view upkeep,
+    # relational k-means, one-pass quality audit
+    "q163b_pca_eigh",
+    "q164_incremental_mv",
+    "q165_kmeans_lloyd",
+    "q166_constraint_audit",
 ]
 
 

@@ -24,7 +24,10 @@ ALLOW = {
         "q54_python_udtf",  # UDTFs evaluate in Python by definition
         "q40f_tfidf_top_terms",  # MLlib text pipeline's internal UDF
     },
-    "CartesianProduct": {"q41_ann_topk"},  # 5-row broadcast side, intended
+    "CartesianProduct": {
+        "q41_ann_topk",  # 5-row broadcast side, intended
+        "q167_ann_recall",  # contains q41's subtree (the exact certifier)
+    },
     "BroadcastNestedLoopJoin": {
         "q41_ann_topk",
         "q46_scalar_subquery",
@@ -44,6 +47,7 @@ ALLOW = {
         "q146_split_drift",  # 1-row split totals
         "q148_contingency_chi2",  # 1-row n/n_lang/n_src totals
         "q149_welch_ttest",  # 2 one-row group-moment frames
+        "q167_ann_recall",  # q41's 5-row query-side broadcast subtree
     },
 }
 
