@@ -613,3 +613,68 @@ def q155b_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q155b_sliding_distinct_hll"] = q155b_sliding_distinct_hll
+
+
+# ---------------------------------------------------------------------------
+# q168 — multi-resolution continuous aggregate (hypertable rollup)
+# ---------------------------------------------------------------------------
+
+
+def _cagg_oracle() -> str:
+    return """
+    SELECT 'minute' AS resolution, date_trunc('minute', ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS val
+    FROM events GROUP BY bucket
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts), CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE)
+    FROM events GROUP BY 2
+    ORDER BY resolution, bucket
+    """
+
+
+@_q("q168_continuous_aggregate", _cagg_oracle())
+def q168_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the 1-minute, 1-hour and
+    1-day rollups of the event stream from ONE scan.
+
+    TimescaleDB materializes each resolution as its own continuous
+    aggregate (three refresh jobs, three scans). Here GROUPING SETS over
+    the three precomputed bucket columns gives Catalyst an Expand node:
+    one pass over events, rows fanned 3x map-side, partial aggs combine
+    before the single shuffle. The oracle is the honest three-scan
+    union. (q60 pins grouping-sets semantics on dimension columns; this
+    is the time-bucket hierarchy a metrics store actually serves.)
+
+    Scale: the fan-out factor is the number of resolutions (constant),
+    and each partial agg is bucket-keyed so map-side combine collapses
+    to ~|buckets| rows per task before shuffling — the same reason a
+    hypertable rollup is cheap: cardinality drops three orders of
+    magnitude at the first combine.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("minute", "ts").alias("m"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.col("value").cast("decimal(18,3)").alias("v"),
+    )
+    ev.createOrReplaceTempView("_cagg_src")
+    out = spark.sql(
+        """
+        SELECT CASE WHEN grouping(m) = 0 THEN 'minute'
+                    WHEN grouping(h) = 0 THEN 'hour'
+                    ELSE 'day' END AS resolution,
+               coalesce(m, h, d) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(v) AS DOUBLE) AS val
+        FROM _cagg_src
+        GROUP BY GROUPING SETS ((m), (h), (d))
+        """
+    )
+    return out.orderBy("resolution", "bucket")

@@ -150,3 +150,31 @@ def test_sliding_distinct_exact_and_sketch_agree(spark):
     assert set(est) == set(exact)
     for day in exact:
         assert abs(est[day] - exact[day]) <= max(1, 0.05 * exact[day])
+
+
+def test_continuous_aggregate_single_scan_matches_direct(spark):
+    """q168 serves all three resolutions from one Expand-fanned scan and
+    each resolution equals its direct groupBy."""
+    from tests.conftest import SF_SMOKE
+
+    from nfl_predictions_spark.operators.timeseries import q168_continuous_aggregate
+
+    df = q168_continuous_aggregate(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("events.parquet") == 1
+
+    rows = df.collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    for res, trunc in (("minute", "minute"), ("hour", "hour"), ("day", "day")):
+        direct = {
+            r.bucket: (r.cnt, float(r.val))
+            for r in ev.groupBy(F.date_trunc(trunc, "ts").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("val"),
+            )
+            .collect()
+        }
+        got = {r.bucket: (r.cnt, r.val) for r in rows if r.resolution == res}
+        assert got == direct, res
