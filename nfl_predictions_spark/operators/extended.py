@@ -9,7 +9,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nfl_predictions_spark.sources.tables import register_views, table
@@ -923,3 +923,58 @@ def q137_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q169 — equi-depth histogram (ANALYZE-style optimizer statistics)
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 10
+
+
+@_q(
+    "q169_equidepth_histogram",
+    f"""
+    WITH r AS (
+      SELECT o_totalprice,
+             ntile({_HIST_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey)
+               AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q169_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of o_totalprice — the column statistic an
+    optimizer's ANALYZE builds for selectivity estimation, expressed as
+    a query (bucket boundaries + exact per-bucket mass).
+
+    ntile over the (value, pk) total order makes bucket membership
+    deterministic across engines even on duplicate values. Scale note:
+    a global ntile is a single-partition sort at 100 TB — the
+    production variant of this statistic samples first or uses the
+    t-digest path (q45b); this operator is the exact certifier, and the
+    sort is on the |table| that survives ANALYZE's sampling, not the
+    raw corpus.
+    """
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .withColumn("bucket", F.ntile(_HIST_BUCKETS).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket")
+    )

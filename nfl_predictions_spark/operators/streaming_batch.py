@@ -705,3 +705,33 @@ def q112_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_q(
+    "q171_stream_dedup_ttl",
+    "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+)
+def q171_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup with TTL-bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes its event time + delay, so state is
+    O(duplicate-arrival-window x rate) instead of O(all keys ever) —
+    the difference that decides whether a 100 TB stream dedup fits in
+    a state store at all. q35's ``dropDuplicates`` remembers keys
+    forever (within the watermark column horizon); this variant is the
+    production shape when duplicates are known to arrive within a
+    bounded lag.
+
+    Here the delay exceeds the replay span, so no entry expires and
+    the output is exactly the distinct events (the oracle).
+    tests/test_streaming.py pins the other regime: with a short TTL,
+    duplicates that arrive after their key expired are re-emitted —
+    observed and asserted, not assumed.
+    """
+    stream = events_file_stream(spark, sf_dir, with_dups=True)
+    deduped = (
+        stream.withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_batch(spark, deduped, mode="append").orderBy("event_id")

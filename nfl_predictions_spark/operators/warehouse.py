@@ -331,3 +331,108 @@ def q164_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — snapshot diff (CDC between two table versions)
+# ---------------------------------------------------------------------------
+
+_DIFF_BASE_END = "2000-01-01"
+_DIFF_CURR_END = "2001-01-01"
+
+
+def _snapshot_diff_oracle() -> str:
+    return f"""
+    WITH a AS (
+      SELECT o_orderkey AS pk, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_DIFF_BASE_END}'
+    ), b AS (
+      SELECT o_orderkey AS pk, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  AND o_orderdate < TIMESTAMP '{_DIFF_BASE_END}'
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_DIFF_CURR_END}' AND o_orderkey % 11 <> 0
+    ), j AS (
+      SELECT coalesce(a.pk, b.pk) AS pk,
+             CASE
+               WHEN a.pk IS NULL THEN 'insert'
+               WHEN b.pk IS NULL THEN 'delete'
+               WHEN md5(concat_ws('|', a.o_orderstatus, a.o_totalprice))
+                 <> md5(concat_ws('|', b.o_orderstatus, b.o_totalprice))
+                 THEN 'update'
+               ELSE 'unchanged'
+             END AS change_type
+      FROM a FULL OUTER JOIN b ON a.pk = b.pk
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pk) AS BIGINT) AS key_sum
+    FROM j GROUP BY change_type ORDER BY change_type
+    """
+
+
+@_q("q170_snapshot_diff", _snapshot_diff_oracle())
+def q170_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshots of the orders table: classify every
+    primary key as insert / delete / update / unchanged and prove
+    row-level identification with a per-class key checksum.
+
+    The "current" snapshot is derived deterministically from the base
+    (a year of inserts, a 10% price bump on keys % 7, deletes on
+    keys % 11) so both engines diff identical versions. Change
+    detection compares an md5 row fingerprint instead of column-by-
+    column equality — at 100 TB the fingerprint is computed once per
+    row map-side and the diff is one pk-keyed full-outer join of
+    16-byte digests, independent of column count (the same digest
+    trick as q38's exact dedup). This is the table-format-free core of
+    what Delta/Iceberg CDC readers emit.
+    """
+    orders = table(spark, sf_dir, "orders")
+    base_end = F.lit(_DIFF_BASE_END).cast("timestamp")
+    curr_end = F.lit(_DIFF_CURR_END).cast("timestamp")
+
+    a = orders.where(F.col("o_orderdate") < base_end).select(
+        F.col("o_orderkey").alias("pk"), "o_orderstatus", "o_totalprice"
+    )
+    b = (
+        orders.where(
+            (F.col("o_orderdate") < curr_end) & (F.col("o_orderkey") % 11 != 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("pk"),
+            "o_orderstatus",
+            F.when(
+                (F.col("o_orderkey") % 7 == 0)
+                & (F.col("o_orderdate") < base_end),
+                F.col("o_totalprice") * 1.1,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            "pk",
+            F.md5(
+                F.concat_ws("|", F.col("o_orderstatus"), F.col("o_totalprice"))
+            ).alias("fp"),
+        )
+
+    fa, fb = fp(a).alias("a"), fp(b).alias("b")
+    j = fa.join(fb, F.col("a.pk") == F.col("b.pk"), "full_outer").select(
+        F.coalesce(F.col("a.pk"), F.col("b.pk")).alias("pk"),
+        F.when(F.col("a.pk").isNull(), "insert")
+        .when(F.col("b.pk").isNull(), "delete")
+        .when(F.col("a.fp") != F.col("b.fp"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return (
+        j.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pk").alias("key_sum"),
+        )
+        .orderBy("change_type")
+    )

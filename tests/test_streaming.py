@@ -390,3 +390,57 @@ def test_corpus_ingest_incremental_across_restarts(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(*data_dirs(root, meta2)).collect()
     )
     assert s2 == [0, 1, 4]
+
+
+def test_dedup_ttl_guarantee_boundary(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's documented guarantee is
+    "duplicates within the delay of each other": a retry with a fresh
+    event time arriving AFTER its key's state expired is re-emitted.
+    Constructed scenario (the staged source can't provoke this — its
+    duplicates carry the original timestamp, so the late-row filter or
+    still-live state always absorbs them):
+
+      batch0: (1, 00:00) (2, 05:00)   -> key 1 expiry 01:00
+      batch1: (4, 06:00)              -> watermark advances to 05:00,
+                                         key 1 evicted at batch end
+      batch2: (1, 10:00) retry        -> not late, key gone: RE-EMITTED
+
+    (q171's driver entry uses a TTL above the replay span, where output
+    is exactly-once; this pins the other regime.)"""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from nfl_predictions_spark.streaming.windows import run_to_batch
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp"
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    chunks = [
+        [(1, T0), (2, T0 + dt.timedelta(hours=5))],
+        [(4, T0 + dt.timedelta(hours=6))],
+        [(1, T0 + dt.timedelta(hours=10)), (5, T0 + dt.timedelta(hours=11))],
+    ]
+    for i, rows in enumerate(chunks):
+        d = tmp_path / f"c{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        shutil.copy(
+            glob.glob(str(d / "part-*.parquet"))[0], str(flat / f"{i:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    dd = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    out = run_to_batch(spark, dd, mode="append").collect()
+    from collections import Counter
+
+    copies = Counter(r.event_id for r in out)
+    assert copies[1] == 2, copies  # expired key: retry re-emitted
+    assert copies[2] == copies[4] == copies[5] == 1
