@@ -67,6 +67,8 @@ HEADLINE = [
     "q157_tpch_q5",
     "q158_tpch_q10",
     "q159_tpch_q18",
+    "q172_tpch_q17",
+    "q173_tpch_q21",
     # round-3 additions: PCA production path, incremental view upkeep,
     # relational k-means, one-pass quality audit
     "q163b_pca_eigh",

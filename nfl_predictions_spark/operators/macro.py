@@ -273,3 +273,154 @@ def q159_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — TPC-H Q17: small-quantity-order revenue (correlated agg subquery)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q172_tpch_q17",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(12,0))) AS qty_sum,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND CAST(l_quantity AS DECIMAL(12,0)) * 5 * pa.n < pa.qty_sum
+    """,
+)
+def q172_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of lines whose quantity is below 20% of
+    the part's average — the correlated-scalar-aggregate-subquery
+    pattern, decorrelated into a per-part aggregate join.
+
+    Determinism: the threshold compare runs in integer/DECIMAL algebra
+    (qty * 5 * n < qty_sum) instead of comparing against 0.2*avg in
+    floats, so no engine can disagree at the boundary.
+
+    Scale: the brand filter prunes part to a bounded set that is
+    broadcast; lineitem is semi-joined to it BEFORE the per-part
+    average aggregates, so the correlated aggregate is computed only
+    for surviving partkeys — at 100 TB that is the difference between
+    aggregating the whole fact table and aggregating one brand's slice.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    parts = F.broadcast(
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    brand_lines = li.join(parts, li.l_partkey == F.col("p_partkey"))
+    pa = brand_lines.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,0)")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        brand_lines.join(pa, brand_lines.l_partkey == F.col("pk"))
+        .where(
+            F.col("l_quantity").cast("decimal(12,0)") * 5 * F.col("n")
+            < F.col("qty_sum")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173 — TPC-H Q21: suppliers who kept orders waiting (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_LATE_DAYS = 120
+
+
+def _q21_oracle() -> str:
+    return f"""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN l l1 ON s_suppkey = l1.l_suppkey AND l1.late
+    WHERE EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """
+
+
+@_q("q173_tpch_q21", _q21_oracle())
+def q173_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the hardest decision-support pattern — one fact
+    derivation feeding an EXISTS (another supplier touched the order)
+    and a NOT EXISTS (no OTHER supplier was late) over itself, grouped
+    into a top-k blame list. The schema has no commit/receipt dates, so
+    "late" is shipdate > orderdate + {_LATE_DAYS} days (cited vs TPC-H
+    Q21 which compares l_receiptdate > l_commitdate).
+
+    Spark shape: the derived line table is computed once; the EXISTS
+    becomes a left-semi and the NOT EXISTS a left-anti self-join, both
+    equi-keyed on l_orderkey with the supplier-inequality as a join
+    residual — Catalyst runs them as shuffled hash joins on the same
+    key, so the three passes co-partition and AQE can reuse the
+    exchange. Supplier is broadcast for the final name attach.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    l1 = l.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
