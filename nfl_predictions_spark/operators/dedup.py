@@ -696,3 +696,106 @@ def q135_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", F.round(jac, 6).alias("jac"))
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — sorted-neighborhood near-dup (the third blocking family)
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 4  # each record compares to the next w-1 in sort order
+_SN_PREFIX = 32
+_SN_THRESHOLD = 0.5
+
+
+def _sn_oracle() -> str:
+    return f"""
+    WITH r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY substr(text, 1, {_SN_PREFIX}), doc_id)
+               AS rn
+      FROM documents
+    ),
+    cand AS (
+      SELECT least(a.doc_id, b.doc_id) AS d1,
+             greatest(a.doc_id, b.doc_id) AS d2
+      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SN_WINDOW - 1}
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT doc_id, {{shingle}} AS shingles FROM tok
+           WHERE len(ts) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, count(*) AS i
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.d1
+      JOIN ex b ON b.doc_id = c.d2 AND b.s = a.s
+      GROUP BY c.d1, c.d2
+    )
+    SELECT i.d1, i.d2,
+           round(i.i * 1.0 / (s1.sz + s2.sz - i.i), 6) AS jac
+    FROM inter i
+    JOIN sizes s1 ON s1.doc_id = i.d1
+    JOIN sizes s2 ON s2.doc_id = i.d2
+    WHERE i.i * 1.0 / (s1.sz + s2.sz - i.i) >= {_SN_THRESHOLD}
+    ORDER BY d1, d2
+    """.format(shingle=_SHINGLE_SQL)
+
+
+@_q("q174_sorted_neighborhood", _sn_oracle())
+def q174_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup (Hernandez-Stolfo): sort by a
+    cheap blocking key (the text's 32-char prefix), compare each record
+    only to its w-1 successors in sort order, then verify candidates
+    with exact shingle Jaccard. The third blocking family next to
+    hash-bucket LSH (q39) and bit-signature SimHash (q39c): it catches
+    the prefix-stable edit near-dups those can miss at low shingle
+    overlap, at a guaranteed n*(w-1) candidate count.
+
+    Shape: one global sort assigns rank; candidate generation is an
+    equi-join on rank (b.rn = a.rn + offset, offsets exploded from a
+    {_SN_WINDOW - 1}-element literal array) so neighbors across range-
+    partition boundaries are found by the join, not by fragile
+    partition-edge bookkeeping. Verification joins the candidate list
+    (n*w rows) into the shingle inverted index — never all pairs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.substring("text", 1, _SN_PREFIX), F.col("doc_id"))
+    r = docs.select("doc_id", F.row_number().over(w).alias("rn"))
+    offs = F.explode(
+        F.array(*[F.lit(o) for o in range(1, _SN_WINDOW)])
+    ).alias("o")
+    a = r.select(F.col("doc_id").alias("da"), "rn", offs).withColumn(
+        "rn2", F.col("rn") + F.col("o")
+    )
+    cand = (
+        a.join(
+            r.select(F.col("doc_id").alias("db"), F.col("rn").alias("rn2")),
+            "rn2",
+        )
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+        )
+    )
+    ex = shingle_rows(docs)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(ex.alias("a"), F.col("d1") == F.col("a.doc_id"))
+        .join(
+            ex.alias("b"),
+            (F.col("d2") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("s1.sz") + F.col("s2.sz") - F.col("i"))
+    return (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= _SN_THRESHOLD)
+        .select("d1", "d2", F.round(jac, 6).alias("jac"))
+        .orderBy("d1", "d2")
+    )
