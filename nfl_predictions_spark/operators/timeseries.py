@@ -678,3 +678,218 @@ def q168_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return out.orderBy("resolution", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# q175 — time-weighted average (LOCF weighting, TimescaleDB time_weight)
+# ---------------------------------------------------------------------------
+
+
+def _twa_oracle() -> str:
+    return """
+    WITH seg AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS t_next
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             sum(CAST(value AS DECIMAL(18,6)) * (t_next - t)) AS wsum,
+             CAST(max(t_next) - min(t) AS BIGINT) AS span_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM seg WHERE t_next IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           round(CAST(wsum AS DOUBLE) / span_us, 6) AS twa,
+           span_us, n_events
+    FROM agg ORDER BY user_id
+    """
+
+
+@_q("q175_time_weighted_avg", _twa_oracle())
+def q175_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (TimescaleDB ``time_weight``
+    with LOCF weighting): each observation holds its value until the
+    next one, so its weight is the microsecond gap to the successor;
+    the final observation carries no duration.
+
+    Determinism: weights are exact BIGINT microsecond gaps, each
+    value*gap partial is exact DECIMAL (value is 2-dp), and only the
+    final quotient runs in IEEE doubles on engine-identical inputs.
+    Scale: one per-user window (the shared user_id sort every
+    sessionize/funnel op also uses) plus a map-side-combinable agg —
+    no extra shuffle beyond the keyed sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "value",
+            "event_id",
+            "ts",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+        .withColumn(
+            "t_next",
+            F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w),
+        )
+        .where(F.col("t_next").isNotNull())
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("value").cast("decimal(18,6)") * (F.col("t_next") - F.col("t"))
+            ).alias("wsum"),
+            (F.max("t_next") - F.min("t")).alias("span_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.round(F.col("wsum").cast("double") / F.col("span_us"), 6).alias("twa"),
+            "span_us",
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 — resample with linear interpolation between observations
+# ---------------------------------------------------------------------------
+
+
+def _interp_oracle() -> str:
+    return """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS b,
+             round(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE)
+                   / count(*), 6) AS v
+      FROM events GROUP BY user_id, b
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(min(b), max(b),
+                                             INTERVAL 1 HOUR)) AS b
+      FROM obs GROUP BY user_id
+    ), g AS (
+      SELECT grid.user_id, grid.b, obs.v,
+             CAST(epoch(grid.b) / 3600 AS BIGINT) AS h
+      FROM grid LEFT JOIN obs ON obs.user_id = grid.user_id
+                             AND obs.b = grid.b
+    ), f AS (
+      SELECT user_id, b, v, h,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM g
+    )
+    SELECT user_id, b AS bucket,
+           -- explicit half-up at 6 dp: interpolating round-6 endpoints
+           -- at rational fractions (k/m = 1/2) lands on EXACT .5 ties,
+           -- where the engines' ROUND modes differ; floor(x*1e6 + 0.5)
+           -- is the same IEEE op sequence in both.
+           floor((CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (h - ph) / (nh - ph)
+           END) * 1000000 + 0.5) / 1000000 + 0.0 AS val,
+           v IS NOT NULL AS observed
+    FROM f ORDER BY user_id, bucket
+    """
+
+
+@_q("q176_linear_interpolate", _interp_oracle())
+def q176_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation between surrounding
+    observations (TimescaleDB ``interpolate``; q64 is the LOCF
+    variant). Missing buckets get
+    ``prev + (next - prev) * (h - h_prev) / (h_next - h_prev)`` where
+    h is the integer hour index — the fraction is a small-integer
+    ratio, so the IEEE double arithmetic is engine-identical on
+    identical rounded endpoint values; edges fall back to the nearest
+    observation.
+
+    Shape: per-user bucket agg, grid densification via sequence
+    explode, then two IGNORE NULLS value/index windows over the shared
+    user sort — one shuffle for the agg, one keyed sort for the
+    windows, grid cardinality bounded by span/grain per user.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("b")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,3)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("b"),
+        )
+    )
+    g = grid.join(obs, ["user_id", "b"], "left").withColumn(
+        "h", (F.unix_micros(F.col("b").cast("timestamp")) / F.lit(3600000000)).cast("long")
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    f = (
+        g.withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        .withColumn("ph", F.last(obs_h, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("nh", F.first(obs_h, ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("h") - F.col("ph"))
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    # explicit half-up at 6 dp (see the oracle comment): midpoints of
+    # round-6 endpoints are exact ties where ROUND modes diverge
+    val = F.floor(interp * 1000000 + F.lit(0.5)) / 1000000 + F.lit(0.0)
+    return f.select(
+        "user_id",
+        F.col("b").alias("bucket"),
+        val.alias("val"),
+        F.col("v").isNotNull().alias("observed"),
+    ).orderBy("user_id", "bucket")
