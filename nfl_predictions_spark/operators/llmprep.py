@@ -1206,3 +1206,178 @@ def q147_quality_topk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — training-mixture construction (weighted source sampling)
+# ---------------------------------------------------------------------------
+
+#: Mixture spec: source-class -> share of the document budget.
+_MIX_BUDGET = 200
+_MIX_SHARES = {"web": 0.5, "books": 0.3, "code": 0.2}
+_MIX_CLASS_SQL = (
+    "CASE CAST(substr(source, 4) AS BIGINT) % 3 "
+    "WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END"
+)
+
+
+def _mixture_oracle() -> str:
+    targets = " ".join(
+        f"WHEN '{c}' THEN {int(_MIX_BUDGET * s)}" for c, s in _MIX_SHARES.items()
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_MIX_CLASS_SQL} AS cls, md5(text) AS h
+      FROM documents
+    ), r AS (
+      SELECT doc_id, cls,
+             row_number() OVER (PARTITION BY cls ORDER BY h, doc_id) AS rn,
+             CASE cls {targets} END AS target
+      FROM d
+    )
+    SELECT cls,
+           CAST(any_value(target) AS BIGINT) AS target,
+           CAST(count(*) FILTER (rn <= target) AS BIGINT) AS taken,
+           CAST(count(*) AS BIGINT) AS available,
+           CAST(sum(doc_id) FILTER (rn <= target) AS BIGINT) AS key_sum
+    FROM r GROUP BY cls ORDER BY cls
+    """
+
+
+@_q("q177_dataset_mixture", _mixture_oracle())
+def q177_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: sample each source class down to
+    its share of the document budget (web 50% / books 30% / code 20%),
+    selecting rows by content-hash rank so the mix is reproducible
+    bit-for-bit with no RNG state — rerunning on the same corpus, or on
+    any permutation of it, picks the identical documents.
+
+    The report emits per-class target/taken/available plus a key
+    checksum of the selected set (row-level evidence without shipping
+    the rows). Scale: the rank window partitions by class, so the sort
+    is per-class and distributes across classes; at 100 TB the
+    production path replaces the exact rank cut with a hash-threshold
+    prefilter (q131's importance-sampling trick) and reserves the rank
+    for the boundary stratum — the mixture spec itself stays declarative.
+    """
+    cls = (
+        F.when(F.substring("source", 4, 10).cast("long") % 3 == 0, "web")
+        .when(F.substring("source", 4, 10).cast("long") % 3 == 1, "books")
+        .otherwise("code")
+    )
+    targets = F.create_map(
+        *[
+            x
+            for c, s in _MIX_SHARES.items()
+            for x in (F.lit(c), F.lit(int(_MIX_BUDGET * s)))
+        ]
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", cls.alias("cls"), F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("cls").orderBy("h", "doc_id")
+    r = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "target", targets[F.col("cls")].cast("long")
+    )
+    sel = F.col("rn") <= F.col("target")
+    return (
+        r.groupBy("cls")
+        .agg(
+            F.any_value("target").alias("target"),
+            F.count(F.when(sel, 1)).alias("taken"),
+            F.count(F.lit(1)).alias("available"),
+            F.sum(F.when(sel, F.col("doc_id"))).alias("key_sum"),
+        )
+        .orderBy("cls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178 — greedy set-cover corpus selection (submodular diversity pick)
+# ---------------------------------------------------------------------------
+
+_SC_ROUNDS = 5
+
+
+def _setcover_oracle(rounds: int = _SC_ROUNDS) -> str:
+    parts = [
+        """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT doc_id, {shingle} AS shingles FROM tok WHERE len(ts) >= 3),
+    ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+    c0 AS (SELECT CAST(NULL AS VARCHAR) AS s WHERE false)""".format(
+            shingle=_SHINGLE_SQL_178
+        )
+    ]
+    excl = ""
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    , u{r} AS (
+      SELECT e.doc_id, count(*) AS c
+      FROM ex e LEFT JOIN c{r - 1} cv ON cv.s = e.s
+      WHERE cv.s IS NULL{excl}
+      GROUP BY e.doc_id
+    ), p{r} AS (SELECT doc_id, c FROM u{r} ORDER BY c DESC, doc_id LIMIT 1),
+    c{r} AS (SELECT s FROM c{r - 1}
+             UNION SELECT e.s FROM ex e JOIN p{r} USING (doc_id))"""
+        )
+        excl += f" AND e.doc_id NOT IN (SELECT doc_id FROM p{r})"
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS round, doc_id, CAST(c AS BIGINT) AS gain, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM c{r}) AS covered FROM p{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n    SELECT * FROM ({finals}) ORDER BY round")
+    return "".join(parts)
+
+
+@_q("q178_set_cover_selection", None)  # oracle attached below (needs import)
+def q178_set_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage corpus selection: pick the document with
+    the most not-yet-covered shingles, 5 rounds — the submodular
+    facility-location heuristic behind diversity-driven data selection
+    (with its classic (1 - 1/e) guarantee), run as a relational
+    iteration.
+
+    Per round the plan is: anti-join the shingle index against the
+    covered set (broadcast — it holds at most rounds * |doc| shingles),
+    one map-side-combinable per-doc count, and a 1-row argmax collect
+    (the same bounded driver state as q160's BPE merge picker). The
+    corpus-sized index is computed once and reused; only the covered
+    set changes between rounds.
+    """
+    from nfl_predictions_spark.operators.dedup import shingle_rows
+
+    ex = shingle_rows(table(spark, sf_dir, "documents"))
+    covered = None
+    picked: list[int] = []
+    out = []
+    for r in range(1, _SC_ROUNDS + 1):
+        gains = ex
+        if picked:
+            gains = gains.filter(~F.col("doc_id").isin(picked))
+        if covered is not None:
+            gains = gains.join(F.broadcast(covered), "s", "left_anti")
+        top = (
+            gains.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("doc_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append(top["doc_id"])
+        new_cov = ex.filter(F.col("doc_id") == top["doc_id"]).select("s")
+        covered = (
+            new_cov if covered is None else covered.union(new_cov).distinct()
+        )
+        out.append((r, top["doc_id"], top["c"], covered.distinct().count()))
+    return spark.createDataFrame(
+        out, "round long, doc_id long, gain long, covered long"
+    ).orderBy("round")
+
+
+# the oracle needs dedup's shingle SQL; bind it after definition
+from nfl_predictions_spark.operators.dedup import _SHINGLE_SQL as _SHINGLE_SQL_178  # noqa: E402
+
+ORACLE["q178_set_cover_selection"] = _setcover_oracle()
