@@ -436,3 +436,190 @@ def q170_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — point-in-time lookup against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+def _pit_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS seq,
+             o_orderstatus AS status,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ), ch AS (
+      SELECT custkey, ts, seq, status FROM e
+      WHERE prev IS NULL OR status <> prev
+    ), dim AS (
+      SELECT custkey, status, ts AS valid_from,
+        lead(ts) OVER (PARTITION BY custkey ORDER BY ts, seq) AS valid_to
+      FROM ch
+    ), facts AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+             o.o_custkey AS custkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), pit AS (
+      SELECT f.l_orderkey, f.l_linenumber, d.status
+      FROM facts f
+      LEFT JOIN dim d ON d.custkey = f.custkey
+                     AND d.valid_from <= f.l_shipdate
+                     AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+    )
+    SELECT coalesce(status, '__before_first_version') AS status_at_ship,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(l_orderkey + l_linenumber) AS BIGINT) AS key_sum
+    FROM pit GROUP BY status_at_ship ORDER BY status_at_ship
+    """
+
+
+@_q("q179_scd2_pit_lookup", _pit_oracle())
+def q179_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: attribute every lineitem to the customer
+    STATUS THAT WAS CURRENT when the line shipped, via the SCD2
+    dimension q118 builds — the temporal-join correctness rule that
+    separates a warehouse from a spreadsheet (joining today's dimension
+    row onto yesterday's fact silently rewrites history).
+
+    The validity intervals partition each customer's timeline, so the
+    interval predicate matches at most one version per fact — the join
+    is provably non-duplicating. Lines shipped before the customer's
+    first recorded version surface as '__before_first_version' instead
+    of silently dropping. Shape: custkey equi-join with the interval
+    bound as a residual; the dimension side is version-count-sized, so
+    at 100 TB it broadcasts while facts stay in place (the q63 as-of
+    decomposition is the fallback when even the dim outgrows memory).
+    """
+    dim = (
+        q118_scd2_dimension(spark, sf_dir)
+        .select("custkey", "status", "valid_from", "valid_to")
+        .alias("d")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    facts = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", F.col("o_custkey").alias("custkey"))
+        .alias("f")
+    )
+    pit = facts.join(
+        F.broadcast(dim),
+        (F.col("d.custkey") == F.col("f.custkey"))
+        & (F.col("d.valid_from") <= F.col("f.l_shipdate"))
+        & (F.col("d.valid_to").isNull() | (F.col("f.l_shipdate") < F.col("d.valid_to"))),
+        "left",
+    )
+    return (
+        pit.select(
+            F.coalesce(F.col("status"), F.lit("__before_first_version")).alias(
+                "status_at_ship"
+            ),
+            (F.col("l_orderkey") + F.col("l_linenumber")).alias("k"),
+        )
+        .groupBy("status_at_ship")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("k").alias("key_sum"),
+        )
+        .orderBy("status_at_ship")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — right-to-be-forgotten cascade (GDPR erasure audit)
+# ---------------------------------------------------------------------------
+
+_FORGET_MOD = 13
+
+
+def _forget_oracle() -> str:
+    return f"""
+    WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % {_FORGET_MOD} = 0),
+    o_purge AS (
+      SELECT o_orderkey FROM orders JOIN f ON o_custkey = c_custkey
+    ),
+    l_purge AS (
+      SELECT l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN o_purge p ON l.l_orderkey = p.o_orderkey
+    )
+    SELECT 'customer' AS tbl,
+           (SELECT CAST(count(*) AS BIGINT) FROM f) AS purged,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer)
+             - (SELECT count(*) FROM f) AS remaining,
+           (SELECT CAST(coalesce(sum(c_custkey), 0) AS BIGINT) FROM f) AS purge_key_sum
+    UNION ALL
+    SELECT 'orders',
+           (SELECT CAST(count(*) AS BIGINT) FROM o_purge),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders)
+             - (SELECT count(*) FROM o_purge),
+           (SELECT CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) FROM o_purge)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT CAST(count(*) AS BIGINT) FROM l_purge),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+             - (SELECT count(*) FROM l_purge),
+           (SELECT CAST(coalesce(sum(l_orderkey + l_linenumber), 0) AS BIGINT)
+              FROM l_purge)
+    ORDER BY tbl
+    """
+
+
+@_q("q180_forget_cascade", _forget_oracle())
+def q180_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure planning: given a deletion set of
+    customers, resolve the full FK cascade (customer -> orders ->
+    lineitem) and report per-table purge/remaining counts plus a purge
+    key checksum — the audit artifact a compliance pipeline must
+    produce BEFORE rewriting any files.
+
+    Shape: the deletion set is broadcast down the FK chain (a
+    deletion batch is always small relative to the fact tables), each
+    table contributes one semi-join + one count — no fact table is
+    scanned more than once, and the actual rewrite is q82's compaction
+    with the semi-join flipped to anti (not run here: the audit is the
+    query; the rewrite is a write job).
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    f = cust.where(F.col("c_custkey") % _FORGET_MOD == 0).select("c_custkey")
+    o_purge = orders.join(
+        F.broadcast(f), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey")
+    l_purge = li.join(
+        F.broadcast(o_purge.select(F.col("o_orderkey").alias("pk"))),
+        F.col("l_orderkey") == F.col("pk"),
+    ).select("l_orderkey", "l_linenumber")
+
+    def _row(tbl: str, purge: DataFrame, total: DataFrame, key: F.Column) -> DataFrame:
+        p = purge.agg(
+            F.count(F.lit(1)).alias("purged"),
+            F.coalesce(F.sum(key), F.lit(0)).alias("purge_key_sum"),
+        )
+        t = total.agg(F.count(F.lit(1)).alias("n_total"))
+        return p.crossJoin(t).select(
+            F.lit(tbl).alias("tbl"),
+            "purged",
+            (F.col("n_total") - F.col("purged")).alias("remaining"),
+            "purge_key_sum",
+        )
+
+    out = (
+        _row("customer", f, cust, F.col("c_custkey"))
+        .unionByName(_row("orders", o_purge, orders, F.col("o_orderkey")))
+        .unionByName(
+            _row(
+                "lineitem",
+                l_purge,
+                li,
+                F.col("l_orderkey") + F.col("l_linenumber"),
+            )
+        )
+    )
+    return out.orderBy("tbl")
