@@ -834,3 +834,129 @@ def q167_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — int8 scalar quantization + quantized-recall certification
+# ---------------------------------------------------------------------------
+
+
+def _quant_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    x AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(emb, 1) AS BIGINT) AS i,
+             unnest(emb) AS xi
+      FROM e
+    ), sc AS (
+      SELECT vec_id, max(abs(xi)) / 127 AS s FROM x GROUP BY vec_id
+    ), q AS (
+      SELECT x.vec_id, x.i,
+             CAST(floor(x.xi / sc.s + 0.5) AS BIGINT) AS qv
+      FROM x JOIN sc ON sc.vec_id = x.vec_id
+    ), nrm AS (
+      SELECT vec_id, sum(qv * qv) AS qq FROM q GROUP BY vec_id
+    ), qs AS (SELECT vec_id AS qid, i, qv FROM q WHERE vec_id < {_N_QUERIES}),
+    dots AS (
+      SELECT qs.qid, c.vec_id AS cid, sum(qs.qv * c.qv) AS dq
+      FROM qs JOIN q c ON c.i = qs.i
+      GROUP BY qs.qid, c.vec_id
+    ), scored AS (
+      SELECT d.qid, d.cid,
+             CAST(d.dq AS DOUBLE) / sqrt(CAST(na.qq * nb.qq AS DOUBLE)) AS cosq
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.qid
+      JOIN nrm nb ON nb.vec_id = d.cid
+    ), qr AS (
+      SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(cosq, 6) DESC, cid) AS rn
+      FROM scored
+    ), truth AS ({_ANN_ORACLE})
+    SELECT t.qid,
+           CAST(sum(CASE WHEN qr.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits,
+           sum(CASE WHEN qr.cid IS NOT NULL THEN 1 ELSE 0 END) / {_TOP_K}.0
+             AS recall
+    FROM truth t
+    LEFT JOIN (SELECT qid, cid FROM qr WHERE rn <= {_TOP_K}) qr
+           ON qr.qid = t.qid AND qr.cid = t.cid
+    GROUP BY t.qid ORDER BY t.qid
+    """
+
+
+@_q("q181_quantized_ann_recall", _quant_oracle())
+def q181_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the vector store with recall
+    certification — the 4x-memory-compression trade every production
+    vector index offers, measured rather than assumed.
+
+    Per-vector symmetric quantization (scale = max|x|/127, explicit
+    half-up) makes the quantized cosine a pure INTEGER ratio:
+    cos_q = dot_q / sqrt(qq_a * qq_b) with every term an exact BIGINT
+    sum, so cross-engine agreement needs no float-summation argument at
+    all — only the final one-op division and sqrt, which are IEEE-
+    identical. Recall@{_TOP_K} is then scored against the exact float
+    baseline (q41) per query.
+
+    Scale: quantization is one groupBy over the exploded store;
+    int8 dots shuffle 1-byte-per-dim payloads instead of 4 — the
+    whole point of the compression at 100 TB.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id", F.posexplode("embedding").alias("i0", "xi")).select(
+        "vec_id",
+        (F.col("i0") + 1).cast("long").alias("i"),
+        F.col("xi").cast("double").alias("xi"),
+    )
+    sc = x.groupBy("vec_id").agg((F.max(F.abs("xi")) / 127).alias("s"))
+    q = x.join(sc, "vec_id").select(
+        "vec_id",
+        "i",
+        F.floor(F.col("xi") / F.col("s") + 0.5).cast("long").alias("qv"),
+    )
+    nrm = q.groupBy("vec_id").agg(F.sum(F.col("qv") * F.col("qv")).alias("qq"))
+    qs = q.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "i", F.col("qv").alias("qqv")
+    )
+    dots = (
+        q.join(F.broadcast(qs), "i")
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum(F.col("qqv") * F.col("qv")).alias("dq"))
+    )
+    na = F.broadcast(
+        nrm.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("qq").alias("qqa")
+        )
+    )
+    scored = (
+        dots.join(na, "qid")
+        .join(nrm.select(F.col("vec_id").alias("cid"), F.col("qq").alias("qqb")), "cid")
+        .select(
+            "qid",
+            "cid",
+            (
+                F.col("dq").cast("double")
+                / F.sqrt((F.col("qqa") * F.col("qqb")).cast("double"))
+            ).alias("cosq"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("cosq", 6)), F.asc("cid"))
+    qtop = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select("qid", "cid", F.lit(1).alias("hit"))
+    )
+    truth = q41_ann_topk(spark, sf_dir).select("qid", "cid")
+    return (
+        truth.join(qtop, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        .select(
+            "qid",
+            "hits",
+            (F.col("hits") / F.lit(float(_TOP_K))).alias("recall"),
+        )
+        .orderBy("qid")
+    )
