@@ -584,3 +584,190 @@ def q163b_pca_eigh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q163b_pca_eigh"] = q163b_pca_eigh
+
+
+# ---------------------------------------------------------------------------
+# q182 — winsorized mean (rank-exact robust location estimate)
+# ---------------------------------------------------------------------------
+
+
+def _winsor_oracle() -> str:
+    return """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), b AS (
+      SELECT event_type,
+             max(CASE WHEN rn = greatest(CAST(ceil(n * 0.1) AS BIGINT), 1)
+                      THEN value END) AS lo,
+             max(CASE WHEN rn = n + 1 - greatest(CAST(ceil(n * 0.1) AS BIGINT), 1)
+                      THEN value END) AS hi
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(b.lo, 6) AS lo, round(b.hi, 6) AS hi,
+           round(CAST(sum(CAST(least(greatest(r.value, b.lo), b.hi)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS winsorized_mean
+    FROM r JOIN b ON b.event_type = r.event_type
+    GROUP BY r.event_type, b.lo, b.hi
+    ORDER BY r.event_type
+    """
+
+
+@_q("q182_winsorized_mean", _winsor_oracle())
+def q182_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% winsorized mean per event class: clamp each value to the
+    rank-selected 10th/90th-percentile order statistics, then average —
+    the robust location estimate between the mean (q149's moments) and
+    the median/MAD pair (q152/q153).
+
+    Rank-exact bounds (the q152 trick): the clamp thresholds are actual
+    data values picked by row_number, never interpolated, so both
+    engines clamp identically; clamped sums ride exact DECIMAL.
+    Scale: one per-class sort reused by both window functions, then a
+    map-side-combinable aggregate; class count bounds the broadcast.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    k = F.greatest(F.ceil(F.col("n") * 0.1).cast("long"), F.lit(1))
+    b = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == k, F.col("value"))).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") + 1 - k, F.col("value"))
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        r.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.any_value("lo"), 6).alias("lo"),
+            F.round(F.any_value("hi"), 6).alias("hi"),
+            F.round(
+                F.sum(clamped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q183 — exact global median WITHOUT a global sort (2-pass narrowing)
+# ---------------------------------------------------------------------------
+
+_HM_BUCKETS = 256
+
+
+def _histmed_oracle() -> str:
+    return """
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice) AS rn,
+             count(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med_lo,
+           max(CASE WHEN rn = (n + 2) // 2 THEN v END) AS med_hi,
+           round((max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+                  + max(CASE WHEN rn = (n + 2) // 2 THEN v END)) / 2, 6)
+             AS median
+    FROM r
+    """
+
+
+@_q("q183_histogram_median", _histmed_oracle())
+def q183_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global median with NO global sort — the adaptive two-pass
+    narrowing a 100 TB engine actually runs (the oracle's
+    window-over-everything is exactly the plan that does NOT scale):
+
+    pass 1: min/max + a 256-bucket equal-width histogram (one map-side-
+    combinable agg); the driver walks the 256 cumulative counts —
+    bounded state — to find which bucket holds each middle rank;
+    pass 2: only that bucket's rows (expected n/256 of the data) are
+    filtered, locally sorted, and the (k - count_below)-th order
+    statistic is picked by rank. A production loop would iterate the
+    narrowing until the candidate range fits one executor; two passes
+    suffice at any tested sf and the iteration count is
+    log_256(n) - tiny even at 100 TB.
+
+    Both middle order statistics are exact data values, so the final
+    (lo + hi) / 2 is one IEEE op and the oracle is hash-exact.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    stats = li.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+
+    if lo == hi:
+        row = [(n, lo, hi, round((lo + hi) / 2, 6))]
+        return spark.createDataFrame(
+            row, "n long, med_lo double, med_hi double, median double"
+        )
+
+    width = (hi - lo) / _HM_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(_HM_BUCKETS - 1),
+    )
+    counts = dict(
+        (r["b"], r["c"])
+        for r in li.groupBy(bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+
+    def locate(k: int) -> tuple[int, int]:
+        below = 0
+        for b in range(_HM_BUCKETS):
+            c = counts.get(b, 0)
+            if below + c >= k:
+                return b, below
+            below += c
+        raise AssertionError("rank beyond histogram")
+
+    b1, below1 = locate(k1)
+    b2, below2 = locate(k2)
+    lo_edge = lo + min(b1, b2) * width
+    # pass 2: rank within the narrowed candidate range only
+    cand = li.filter(
+        (F.col("v") >= F.lit(lo_edge))
+        & (bucket >= F.lit(min(b1, b2)))
+        & (bucket <= F.lit(max(b1, b2)))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v")
+    below_min = below1 if b1 <= b2 else below2
+    ranked = cand.withColumn("rn", F.row_number().over(w))
+    picks = ranked.filter(
+        F.col("rn").isin(k1 - below_min, k2 - below_min)
+    ).agg(
+        F.min("v").alias("med_lo"), F.max("v").alias("med_hi")
+    ).collect()[0]
+    med_lo, med_hi = picks["med_lo"], picks["med_hi"]
+    out = [(n, med_lo, med_hi, float(round((med_lo + med_hi) / 2, 6)))]
+    return spark.createDataFrame(
+        out, "n long, med_lo double, med_hi double, median double"
+    )
