@@ -48,6 +48,8 @@ ALLOW = {
         "q148_contingency_chi2",  # 1-row n/n_lang/n_src totals
         "q149_welch_ttest",  # 2 one-row group-moment frames
         "q167_ann_recall",  # q41's 5-row query-side broadcast subtree
+        "q181_quantized_ann_recall",  # same: q41 exact-truth subtree
+        "q180_forget_cascade",  # 1-row purge-agg x 1-row total-agg per table
     },
 }
 
