@@ -73,7 +73,7 @@ HEADLINE = [
     # relational k-means, one-pass quality audit
     "q163b_pca_eigh",
     "q164_incremental_mv",
-    "q165_kmeans_lloyd",
+    "q165b_kmeans_arrow",
     "q166_constraint_audit",
 ]
 

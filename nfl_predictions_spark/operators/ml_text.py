@@ -102,3 +102,75 @@ def q40f_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q40f_tfidf_top_terms"] = q40f_tfidf_top_terms
+
+
+# ---------------------------------------------------------------------------
+# q184 — feature-hashing vectorizer (the hashing trick, engine-exact)
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 32
+
+
+def _feature_hash_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), h AS (
+      SELECT doc_id,
+             (ascii(substr(md5(w), 1, 1)) * 256
+              + ascii(substr(md5(w), 2, 1))) % {_FH_DIM} AS dim
+      FROM tok
+    ), v AS (
+      SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS c
+      FROM h GROUP BY doc_id, dim
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS nnz,
+           CAST(sum(c) AS BIGINT) AS total,
+           CAST(sum(c * c) AS BIGINT) AS sq_norm,
+           CAST(max(c) AS BIGINT) AS max_dim_count
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def q184_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer: every token is bucketed into a fixed
+    {_FH_DIM}-dim count vector by a content hash — the stateless,
+    vocabulary-free featurization (HashingTF) that needs NO fitted
+    dictionary, so it runs identically on every executor and every day
+    of a streaming corpus with zero coordination.
+
+    The report is per-doc vector evidence in exact integers (nnz, mass,
+    squared norm, peak bucket) — hash-exact across engines because the
+    md5-prefix bucket function is the engine's standard cross-engine
+    hash (q108's split trick). Scale: one explode + two keyed
+    aggregates, no vocabulary broadcast, no fitted state; collisions
+    are the accepted trade and surface directly in max_dim_count.
+    """
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    dim = (
+        (
+            F.ascii(F.substring(F.md5("w"), 1, 1)) * 256
+            + F.ascii(F.substring(F.md5("w"), 2, 1))
+        )
+        % _FH_DIM
+    ).alias("dim")
+    v = tok.select("doc_id", dim).groupBy("doc_id", "dim").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        v.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.sum("c").alias("total"),
+            F.sum(F.col("c") * F.col("c")).alias("sq_norm"),
+            F.max("c").alias("max_dim_count"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q184_feature_hashing"] = q184_feature_hashing
+ORACLE["q184_feature_hashing"] = _feature_hash_oracle()

@@ -960,3 +960,84 @@ def q181_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+def q165b_kmeans_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path Lloyd k-means: same determinism contract as q165
+    (first-k init, id tie-break argmin, round-6 centroid quantization)
+    but the assignment step is one numpy distance matmul per Arrow
+    batch against the broadcast k x d centroid matrix, and the update
+    accumulates per-partition per-cluster sums (k*d rows per partition,
+    q163b's Gram trick). tests certify the centroid trajectory equals
+    q165's oracle-exact path at the tested sfs; the decimal-exact
+    variant remains the certifier, this is what you run at 100 TB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = (
+        emb.where(F.col("vec_id") < _KM_K)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cent = np.array([r.embedding for r in first], dtype=np.float64)
+
+    members: dict[int, int] = {}
+    for _ in range(_KM_ITERS):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def stats(batches):
+            c = bc.value
+            k, d = c.shape
+            sums = np.zeros((k, d))
+            cnts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                d2 = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)  # first min = smallest cluster id
+                for ci in range(k):
+                    m = a == ci
+                    if m.any():
+                        sums[ci] += X[m].sum(axis=0)
+                        cnts[ci] += int(m.sum())
+            ks, isx = np.meshgrid(np.arange(k), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "c": ks.ravel(),
+                    "i": isx.ravel(),
+                    "s": sums.ravel(),
+                    "n": np.repeat(cnts, d),
+                }
+            )
+
+        merged = (
+            emb.mapInPandas(stats, schema="c long, i long, s double, n long")
+            .groupBy("c", "i")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        k, d = cent.shape
+        new = np.zeros_like(cent)
+        for r in merged:
+            new[r["c"], r["i"]] = round(r["s"] / r["n"], 6)
+            if r["i"] == 0:
+                # q165 reports the membership of the assignment that
+                # PRODUCED the final centroids — reuse this pass's counts
+                members[int(r["c"])] = int(r["n"])
+        cent = new
+
+    k, d = cent.shape
+    rows = [
+        (int(c), int(i), float(cent[c, i]), int(members.get(c, 0)))
+        for c in range(k)
+        for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster long, i long, coord double, n_members long"
+    ).orderBy("cluster", "i")
+
+
+QUERIES["q165b_kmeans_arrow"] = q165b_kmeans_arrow

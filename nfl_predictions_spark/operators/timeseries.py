@@ -893,3 +893,101 @@ def q176_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         val.alias("val"),
         F.col("v").isNotNull().alias("observed"),
     ).orderBy("user_id", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# q185 — weekly seasonal profile + deseasonalized outlier census
+# ---------------------------------------------------------------------------
+
+_SEAS_Z = 3.0
+
+
+def _seasonal_oracle() -> str:
+    return f"""
+    WITH c AS (
+      -- +1: DuckDB dayofweek is 0=Sunday..6, Spark's is 1=Sunday..7
+      SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+             round(value, 6) AS v
+      FROM events
+    ), m AS (
+      SELECT dow, hr,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(v AS DECIMAL(18,6))) AS s,
+             sum(CAST(round(v * v, 6) AS DECIMAL(24,6))) AS ss
+      FROM c GROUP BY dow, hr
+    ), prof AS (
+      SELECT dow, hr, n,
+             CAST(s AS DOUBLE) / n AS mu,
+             sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                  / (n - 1)) AS sd
+      FROM m WHERE n >= 2
+    )
+    SELECT CAST(p.dow AS BIGINT) AS dow, CAST(p.hr AS BIGINT) AS hr, p.n,
+           round(p.mu, 6) AS seasonal_mean,
+           round(p.sd, 6) AS seasonal_sd,
+           CAST(count(*) FILTER (p.sd > 0 AND
+                 round(abs(c.v - p.mu) / p.sd, 6) > {_SEAS_Z}) AS BIGINT)
+             AS n_outliers
+    FROM prof p JOIN c ON c.dow = p.dow AND c.hr = p.hr
+    GROUP BY p.dow, p.hr, p.n, p.mu, p.sd
+    ORDER BY dow, hr
+    """
+
+
+@_q("q185_seasonal_outliers", _seasonal_oracle())
+def q185_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile (day-of-week x hour cells) with a
+    deseasonalized outlier census: q126's rolling z-score flags local
+    spikes; this flags values anomalous FOR THAT TIME OF WEEK — the
+    decomposition a metrics monitor runs before alerting (a Friday-6pm
+    load spike is only an anomaly on a Tuesday 3am).
+
+    Exactness: cell moments ride DECIMAL (q149's contract), mu/sd are
+    engine-identical double arithmetic on those exact sums, and the
+    outlier decision compares the ROUNDED z both sides (q126's fix).
+    The profile is |7 x 24| rows — broadcastable seasonal state at any
+    scale; the census re-joins it to the facts map-side.
+    """
+    c = table(spark, sf_dir, "events").select(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.round("value", 6).alias("v"),
+    )
+    m = c.groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,6)")).alias("s"),
+        F.sum(F.round(F.col("v") * F.col("v"), 6).cast("decimal(24,6)")).alias("ss"),
+    )
+    prof = (
+        m.where(F.col("n") >= 2)
+        .select(
+            "dow",
+            "hr",
+            "n",
+            (F.col("s").cast("double") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias("sd"),
+        )
+    )
+    z_out = (F.col("sd") > 0) & (
+        F.round(F.abs(F.col("v") - F.col("mu")) / F.col("sd"), 6) > _SEAS_Z
+    )
+    return (
+        c.join(F.broadcast(prof), ["dow", "hr"])
+        .groupBy("dow", "hr", "n", "mu", "sd")
+        .agg(F.count(F.when(z_out, 1)).alias("n_outliers"))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hr").cast("long").alias("hr"),
+            "n",
+            F.round("mu", 6).alias("seasonal_mean"),
+            F.round("sd", 6).alias("seasonal_sd"),
+            "n_outliers",
+        )
+        .orderBy("dow", "hr")
+    )

@@ -456,3 +456,19 @@ def test_kmeans_lloyd_matches_python_trajectory(spark):
     for r in rows:
         assert abs(r.coord - cent[r.cluster, r.i]) < 1e-6, (r.cluster, r.i)
         assert r.n_members == sizes[r.cluster]
+
+
+def test_kmeans_arrow_path_matches_exact_trajectory(spark):
+    """q165b (numpy assignment + per-partition sum accumulation) walks
+    the identical quantized centroid trajectory and reports the same
+    final-update membership as the decimal-exact q165."""
+    from nfl_predictions_spark.operators.similarity import (
+        q165_kmeans_lloyd,
+        q165b_kmeans_arrow,
+    )
+
+    a = {(r.cluster, r.i): (r.coord, r.n_members)
+         for r in q165_kmeans_lloyd(spark, SF_SMOKE).collect()}
+    b = {(r.cluster, r.i): (r.coord, r.n_members)
+         for r in q165b_kmeans_arrow(spark, SF_SMOKE).collect()}
+    assert a == b
