@@ -978,3 +978,56 @@ def q169_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — deterministic mode (ordered-set aggregate family)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q186_mode_per_group",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, band
+    ), r AS (
+      SELECT event_type, band, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, band) AS rn
+      FROM c
+    )
+    SELECT event_type, band AS mode_band, n AS mode_count
+    FROM r WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def q186_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (most frequent value band, smallest
+    band on ties) — native ``mode()`` exists in both engines but leaves
+    tie-breaking implementation-defined, which is exactly the kind of
+    silent nondeterminism a reproducible pipeline cannot ship. The
+    count + rank decomposition pins the tie rule explicitly and runs as
+    two map-side-combinable aggregates over a |groups x bands| frame.
+    """
+    from pyspark.sql import Window
+
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 50).cast("long").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("band"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("band").alias("mode_band"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("event_type")
+    )
