@@ -586,3 +586,92 @@ def q104_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if old is not None:
             spark.conf.set("spark.sql.scripting.enabled", old)
+
+
+# ---------------------------------------------------------------------------
+# q187 — SQL pipe syntax (Spark 4 |> operator chains)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q187_sql_pipe_syntax",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q187_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax: the same logical plan as classic SQL,
+    written as a |> operator chain (FROM ... |> WHERE ... |> AGGREGATE
+    ... GROUP BY ... |> ORDER BY). Piped stages resolve top-to-bottom —
+    the reading order a query author thinks in — and Catalyst compiles
+    them to the identical plan, so this is pure surface parity: the
+    oracle is the classic formulation.
+    """
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS rev
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, rev
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — lateral column aliases + parameterized SQL
+# ---------------------------------------------------------------------------
+
+_Q188_MIN_PRICE = 150000.0
+
+
+@_q(
+    "q188_lateral_alias_params",
+    f"""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.07, 2) AS DOUBLE)
+             AS tax,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                 + round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.07, 2), 2)
+                AS DOUBLE) AS gross
+    FROM orders WHERE o_totalprice > {_Q188_MIN_PRICE}
+    ORDER BY o_orderkey
+    """,
+)
+def q188_lateral_alias_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases + named-parameter SQL (Spark 4 surface):
+    ``tax`` is defined from ``price`` and ``gross`` from BOTH earlier
+    aliases in the same SELECT — no subquery nesting — and the filter
+    threshold arrives as a typed named parameter (:min_price), the
+    injection-safe alternative to string interpolation (the reference
+    interpolates user payloads straight into codegen'd strings,
+    assets/app_nfl.py:188-194 — this is the engine's counterpart done
+    right). DECIMAL keeps tax/gross exact; the oracle spells out the
+    expansion the lateral aliases imply.
+    """
+    register_views(spark, sf_dir, ["orders"])
+    df = spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price_d,
+               CAST(price_d AS DOUBLE) AS price,
+               CAST(round(price_d * 0.07, 2) AS DOUBLE) AS tax,
+               CAST(round(price_d + round(price_d * 0.07, 2), 2) AS DOUBLE)
+                 AS gross
+        FROM orders WHERE o_totalprice > :min_price
+        ORDER BY o_orderkey
+        """,
+        args={"min_price": _Q188_MIN_PRICE},
+    )
+    return df.drop("price_d")
