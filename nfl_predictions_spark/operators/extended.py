@@ -1031,3 +1031,66 @@ def q186_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — custom aggregate via grouped-agg pandas UDF (UDAF surface)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q189_grouped_agg_udaf",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sqrt(CAST(sum(CAST(round(value * value, 6) AS DECIMAL(24,6)))
+                           AS DOUBLE) / count(*)), 6) AS rms
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q189_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a GROUPED_AGG pandas UDF — the third Python
+    UDF shape next to scalar (q29) and grouped-map (q30): an Arrow
+    batch of each group's column reduces to ONE scalar inside Python,
+    usable directly in groupBy().agg(). Here: root-mean-square, with
+    the squares quantized to 6 dp inside the UDF so the Python result
+    matches the engine-side DECIMAL oracle bit-for-bit (numpy sums the
+    same rounded values the oracle sums exactly; the final sqrt/round
+    is IEEE-identical).
+
+    Scale note: GROUPED_AGG ships each whole group through Arrow — the
+    oracle's decimal partial-agg IS the production plan (map-side
+    combine, no Python); this entry exists to prove the UDAF surface,
+    and the oracle to prove it agrees with the engine-native path.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies type hints, which defeats signature-based
+    # GROUPED_AGG inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def rms(v):
+        import numpy as np
+
+        sq = np.round(v.to_numpy(dtype=np.float64) ** 2, 6)
+        # math.fsum: exact accumulation of the rounded squares, so the
+        # sum equals the oracle's DECIMAL sum regardless of order
+        import math
+
+        return float(round(math.sqrt(math.fsum(sq) / len(sq)), 6))
+
+    # Spark refuses to mix GROUPED_AGG with JVM aggregates in one agg()
+    # — so the row count is a second pandas UDAF, not F.count
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def cnt(v):
+        return len(v)
+
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            cnt("value").alias("n"),
+            rms("value").alias("rms"),
+        )
+        .orderBy("event_type")
+    )
