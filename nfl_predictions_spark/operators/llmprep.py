@@ -1381,3 +1381,65 @@ def q178_set_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 from nfl_predictions_spark.operators.dedup import _SHINGLE_SQL as _SHINGLE_SQL_178  # noqa: E402
 
 ORACLE["q178_set_cover_selection"] = _setcover_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q190 — stratified k-fold construction (leakage-free CV splits)
+# ---------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+
+def _kfold_oracle() -> str:
+    return f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+               AS rn
+      FROM documents
+    ), f AS (
+      SELECT doc_id, lang, CAST((rn - 1) % {_KFOLDS} AS BIGINT) AS fold
+      FROM r
+    )
+    SELECT fold, lang, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(doc_id) AS BIGINT) AS key_sum
+    FROM f GROUP BY fold, lang ORDER BY fold, lang
+    """
+
+
+@_q("q190_stratified_kfold", _kfold_oracle())
+def q190_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold assignment: within each language stratum,
+    documents are ranked by content hash and dealt round-robin into
+    {_KFOLDS} folds — every fold gets each language's count to within
+    ±1, the assignment is a pure function of content (rerunnable,
+    order-independent, no RNG), and each document lands in EXACTLY one
+    fold by construction (the leakage guarantee cross-validation needs,
+    and the reason this is a rank deal rather than {_KFOLDS} independent
+    samples). Per-(fold, stratum) counts plus key checksums are the
+    evidence. One rank window per stratum, then a tiny agg — the same
+    scale shape as q177's mixture.
+    """
+    r = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.md5("text").alias("h"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy("h", "doc_id")
+            ),
+        )
+    )
+    return (
+        r.select(
+            "doc_id",
+            "lang",
+            ((F.col("rn") - 1) % _KFOLDS).cast("long").alias("fold"),
+        )
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("doc_id").alias("key_sum"),
+        )
+        .orderBy("fold", "lang")
+    )

@@ -991,3 +991,77 @@ def q185_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — gaps-and-islands: data-completeness / backfill planning
+# ---------------------------------------------------------------------------
+
+
+def _gaps_oracle() -> str:
+    return """
+    WITH present AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), span AS (
+      SELECT user_id,
+             unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d
+      FROM present GROUP BY user_id
+    ), missing AS (
+      SELECT s.user_id, s.d
+      FROM span s LEFT JOIN present p
+        ON p.user_id = s.user_id AND p.d = s.d
+      WHERE p.d IS NULL
+    ), grp AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM missing
+    )
+    SELECT user_id, min(d) AS gap_start, max(d) AS gap_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM grp GROUP BY user_id, island ORDER BY user_id, gap_start
+    """
+
+
+@_q("q191_partition_gaps", _gaps_oracle())
+def q191_partition_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness audit via gaps-and-islands: for every user,
+    find each contiguous run of calendar days with NO events between
+    their first and last active day — the report a backfill planner
+    consumes (one row per gap = one backfill job, not one per missing
+    day).
+
+    The islands trick: consecutive missing days share ``date - rank``
+    (both advance by 1/day), so one per-user window + one groupBy
+    collapses runs with no self-join or loop. Scale: everything after
+    the first distinct is calendar-sized per key (days, not events),
+    and the window partitions by user — no global sort.
+    """
+    from pyspark.sql import Window
+
+    present = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    span = (
+        present.groupBy("user_id")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    missing = span.join(present, ["user_id", "d"], "left_anti")
+    island = F.date_sub(
+        F.col("d"),
+        F.row_number().over(Window.partitionBy("user_id").orderBy("d")),
+    )
+    return (
+        missing.withColumn("island", island)
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("d").alias("gap_start"),
+            F.max("d").alias("gap_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("island")
+        .orderBy("user_id", "gap_start")
+    )
