@@ -1065,3 +1065,66 @@ def q191_partition_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island")
         .orderBy("user_id", "gap_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — complex event processing (MATCH_RECOGNIZE-style pattern match)
+# ---------------------------------------------------------------------------
+
+#: view -> click -> purchase with no purchase in between: each match
+#: consumes through its closing purchase, so occurrences don't overlap.
+_CEP_PATTERN = "v[^p]*c[^p]*p"
+
+
+def _cep_oracle() -> str:
+    return f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(s, '{_CEP_PATTERN}')) AS BIGINT)
+             AS n_funnels,
+           CAST(len(s) AS BIGINT) AS n_events
+    FROM seq ORDER BY user_id
+    """
+
+
+@_q("q192_cep_pattern", _cep_oracle())
+def q192_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern detection (the MATCH_RECOGNIZE
+    emulation): per user, count non-overlapping view -> click ->
+    purchase conversions with no intervening purchase, by folding the
+    ordered event-type initials into one string per key and running a
+    regular expression over it — regex IS the CEP pattern language, and
+    both engines' leftmost-first non-overlapping scan semantics agree.
+
+    Scale: shares the constraint MATCH_RECOGNIZE itself has — one key's
+    sequence must fit an executor (bytes = events/key, bounded here);
+    the shuffle key is user_id, and the regex runs codegen'd JVM-side,
+    no Python. q71's relational funnel is the unordered-steps
+    alternative; this is the strict-ordering, consume-on-match variant.
+    """
+    ev = table(spark, sf_dir, "events")
+    ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+    ).createOrReplaceTempView("_cep_src")
+    return spark.sql(
+        f"""
+        WITH seq AS (
+          SELECT user_id,
+                 listagg(c) WITHIN GROUP (ORDER BY ts, event_id) AS s
+          FROM _cep_src GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(size(regexp_extract_all(s, '{_CEP_PATTERN}', 0)) AS BIGINT)
+                 AS n_funnels,
+               CAST(length(s) AS BIGINT) AS n_events
+        FROM seq ORDER BY user_id
+        """
+    )
