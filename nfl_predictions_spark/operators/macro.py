@@ -424,3 +424,149 @@ def q173_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — TPC-H Q4: order-priority checking (EXISTS semi join + agg)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q193_tpch_q4",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      AND o_orderdate < TIMESTAMP '2000-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q193_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority distribution of orders with at least
+    one late line — a correlated EXISTS that Catalyst decorrelates into
+    a left-semi join, then a tiny grouped count. Lateness adapted to
+    shipdate > orderdate + 90d (no commit/receipt dates in this
+    schema; same adaptation as q173). The date window prunes the orders
+    scan; the semi join keys on l_orderkey, so at scale Spark injects
+    its runtime bloom filter on the lineitem probe (q120 pins that
+    mechanism)."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "2000-01-01")
+        & (F.col("o_orderdate") < "2000-07-01")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194 — TPC-H Q14: promotion revenue share (conditional agg over a join)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q194_tpch_q14",
+    f"""
+    SELECT CAST(round(
+             100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_DUCK}
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum({_REV_DUCK}) AS DOUBLE), 6) AS DOUBLE) AS promo_share,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+      AND l_shipdate < TIMESTAMP '2000-02-01'
+    """,
+)
+def q194_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one ship month —
+    conditional aggregation over a fact-dim join. Part is broadcast
+    after column pruning; both the promo and total revenue ride the
+    exact DECIMAL partial (same `_revenue` fragment as every macro), so
+    the share is one double division on engine-identical sums."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_shipdate") < "2000-02-01")
+    )
+    part = F.broadcast(table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    rev = _revenue()
+    zero = F.lit(0).cast("decimal(18,4)")
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 — TPC-H Q22: global sales opportunity (anti join + scalar subquery)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q195_tpch_q22",
+    """
+    WITH avg_bal AS (
+      SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) > a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_nationkey ORDER BY nationkey
+    """,
+)
+def q195_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-inactive customers per country —
+    a scalar aggregate subquery (global positive-balance average,
+    broadcast as one row), a NOT EXISTS that becomes a left-anti join
+    against recent orders, and a grouped rollup. The threshold compare
+    runs in DECIMAL on both engines so the average's representation
+    cannot move the cut. Nation key stands in for TPC-H's phone
+    country code (no phone column in this schema)."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    avg_bal = cust.filter(F.col("bal") > 0).agg(F.avg("bal").alias("a"))
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal") > F.col("a"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
