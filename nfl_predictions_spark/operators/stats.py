@@ -771,3 +771,182 @@ def q183_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "n long, med_lo double, med_hi double, median double"
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — seasonal-naive forecast with rolling backtest
+# ---------------------------------------------------------------------------
+
+_FC_SEASON_H = 24  # seasonal period: same hour yesterday
+
+
+def _forecast_oracle() -> str:
+    return f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS b,
+             sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY event_type, b
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series(min(b), max(b), INTERVAL 1 HOUR)) AS b
+      FROM h GROUP BY event_type
+    ), dense AS (
+      SELECT g.event_type, g.b,
+             coalesce(h.v, CAST(0 AS DECIMAL(18,6))) AS v
+      FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.b = g.b
+    ), fc AS (
+      SELECT event_type, b, v,
+             lag(v, {_FC_SEASON_H}) OVER (
+               PARTITION BY event_type ORDER BY b
+             ) AS yhat
+      FROM dense
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(round(sum(abs(v - yhat)) / count(*), 6) AS DOUBLE) AS mae,
+           CAST(round(max(abs(v - yhat)), 6) AS DOUBLE) AS worst_abs_err
+    FROM fc WHERE yhat IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """
+
+
+@_q("q196_seasonal_naive_backtest", _forecast_oracle())
+def q196_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting with a full rolling backtest: predict
+    each hour's per-class event value as the same hour yesterday
+    (lag {_FC_SEASON_H} over the densified hourly grid, zeros for quiet
+    hours) and score MAE / worst error over every scorable hour — the
+    baseline every forecasting system must beat, and the backtest
+    harness that proves it, in one plan.
+
+    Exactness: hourly sums and the |v - yhat| errors stay in DECIMAL
+    end-to-end (lag moves a decimal, subtraction is exact), so the MAE
+    division is the only float op. Shape: per-class grid densification
+    (q64's pattern) + one lag window on the shared class sort + one
+    aggregate."""
+    from pyspark.sql import Window
+
+    h = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("b"))
+        .agg(F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("v"))
+    )
+    grid = (
+        h.groupBy("event_type")
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("b"),
+        )
+    )
+    dense = grid.join(h, ["event_type", "b"], "left").withColumn(
+        "v", F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,6)"))
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    fc = dense.withColumn("yhat", F.lag("v", _FC_SEASON_H).over(w)).where(
+        F.col("yhat").isNotNull()
+    )
+    err = F.abs(F.col("v") - F.col("yhat"))
+    return (
+        fc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(F.sum(err) / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("mae"),
+            F.round(F.max(err), 6).cast("double").alias("worst_abs_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — two-proportion z-test (A/B conversion comparison)
+# ---------------------------------------------------------------------------
+
+
+def _abtest_oracle() -> str:
+    return """
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), conv AS (
+      SELECT a.arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(*) FILTER (p.user_id IS NOT NULL) AS BIGINT) AS n_conv
+      FROM assign a LEFT JOIN (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+      ) p ON p.user_id = a.user_id
+      GROUP BY a.arm
+    ), w AS (
+      SELECT max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+             max(CASE WHEN arm = 'A' THEN n_conv END) AS xa,
+             max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+             max(CASE WHEN arm = 'B' THEN n_conv END) AS xb
+      FROM conv
+    )
+    SELECT na, xa, nb, xb,
+           round(CAST(xa AS DOUBLE) / na, 6) AS rate_a,
+           round(CAST(xb AS DOUBLE) / nb, 6) AS rate_b,
+           round((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                 / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 6) AS z_stat
+    FROM w
+    """
+
+
+@_q("q197_ab_proportion_ztest", _abtest_oracle())
+def q197_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users are hash-
+    assigned to arms (the same md5-prefix assignment q108 uses for
+    splits — reproducible, RNG-free), conversion = made a high-value (>150) purchase,
+    and the pooled-variance z-statistic decides whether the arms'
+    conversion rates differ. The discrete-outcome counterpart to q149's
+    Welch t on continuous values.
+
+    Every input to the statistic is an exact BIGINT count, so the
+    z computation is a fixed IEEE expression tree on engine-identical
+    integers — hash-exact with no summation argument. One distinct per
+    side + a broadcast-sized arm frame; scales as two count-distincts.
+    """
+    users = table(spark, sf_dir, "events").select("user_id").distinct()
+    arm = F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    buyers = (
+        table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    conv = (
+        users.withColumn("arm", arm)
+        .join(buyers, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count(F.col("conv")).alias("n_conv"),
+        )
+    )
+    w = conv.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_conv"))).alias("xa"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_conv"))).alias("xb"),
+    )
+    pa = F.col("xa").cast("double") / F.col("na")
+    pb = F.col("xb").cast("double") / F.col("nb")
+    pp = (F.col("xa") + F.col("xb")).cast("double") / (F.col("na") + F.col("nb"))
+    z = (pa - pb) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return w.select(
+        "na",
+        "xa",
+        "nb",
+        "xb",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
