@@ -1128,3 +1128,190 @@ def q192_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq ORDER BY user_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — conversion latency quantiles (first view -> first purchase)
+# ---------------------------------------------------------------------------
+
+
+def _latency_oracle() -> str:
+    return """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.t0
+      GROUP BY e.user_id
+    ), g AS (
+      SELECT v.user_id,
+             CAST(epoch_us(p.t1) - epoch_us(v.t0) AS BIGINT) AS gap_us,
+             row_number() OVER (ORDER BY epoch_us(p.t1) - epoch_us(v.t0),
+                                v.user_id) AS rn,
+             count(*) OVER () AS n
+      FROM v JOIN p ON p.user_id = v.user_id
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_converted,
+           max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS median_lo_us,
+           max(CASE WHEN rn = (n + 2) // 2 THEN gap_us END) AS median_hi_us,
+           max(CASE WHEN rn = greatest(CAST(ceil(n * 0.9) AS BIGINT), 1)
+                    THEN gap_us END) AS p90_us
+    FROM g
+    """
+
+
+@_q("q198_conversion_latency", _latency_oracle())
+def q198_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: microseconds from each user's
+    FIRST view to their first purchase at-or-after it, summarized by
+    rank-exact median and p90 order statistics (actual data values,
+    never interpolated — q152's rule, so the oracle is hash-exact on
+    BIGINT microsecond gaps).
+
+    Shape: two per-user min aggregates on the shared user shuffle, one
+    bounded (|users|) rank window for the order statistics. The p90 of
+    time-to-convert is the metric a growth team alerts on; the exact
+    rank pick keeps it reproducible across engines and reruns.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    g = (
+        v.join(p, "user_id")
+        .select(
+            "user_id",
+            (
+                F.unix_micros(F.col("t1").cast("timestamp"))
+                - F.unix_micros(F.col("t0").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("gap_us", "user_id"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    k90 = F.greatest(F.ceil(F.col("n") * 0.9).cast("long"), F.lit(1))
+    return g.agg(
+        F.any_value("n").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("gap_us"))
+        ).alias("median_lo_us"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 2) / 2), F.col("gap_us"))
+        ).alias("median_hi_us"),
+        F.max(F.when(F.col("rn") == k90, F.col("gap_us"))).alias("p90_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — capped running balance (non-associative fold: the batch
+# custom-stateful-operator case)
+# ---------------------------------------------------------------------------
+
+
+def _capped_oracle() -> str:
+    return """
+    WITH RECURSIVE e AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             CASE event_type WHEN 'purchase' THEN value
+                             WHEN 'error' THEN -value ELSE 0 END AS delta
+      FROM events
+    ), n AS (
+      SELECT user_id, max(rn) AS last_rn FROM e GROUP BY user_id
+    ), walk AS (
+      SELECT user_id, rn,
+             greatest(0, delta) AS bal,
+             greatest(0, delta) AS max_bal,
+             CAST(delta < 0 AS BIGINT) AS n_clamps
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             greatest(0, w.bal + e.delta),
+             greatest(w.max_bal, greatest(0, w.bal + e.delta)),
+             w.n_clamps + CAST(w.bal + e.delta < 0 AS BIGINT)
+      FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT w.user_id,
+           round(w.bal, 6) + 0.0 AS final_balance,
+           round(w.max_bal, 6) + 0.0 AS peak_balance,
+           w.n_clamps
+    FROM walk w JOIN n ON n.user_id = w.user_id AND w.rn = n.last_rn
+    ORDER BY w.user_id
+    """
+
+
+@_q("q199_capped_running_balance", _capped_oracle())
+def q199_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance per user (purchases credit, errors
+    debit, balance never below zero) — a NON-ASSOCIATIVE fold: the
+    clamp inside the recurrence means no window-function rewrite
+    exists, which is precisely the batch case for a custom stateful
+    operator (q53/q79 are its streaming siblings). Spark runs it as an
+    Arrow-batched per-key fold in applyInPandas; the oracle is the
+    recurrence itself as a recursive CTE.
+
+    Cross-engine exactness needs no DECIMAL here: both engines execute
+    the identical sequential op chain (add, clamp) on identical doubles
+    in identical order, so every intermediate is bit-equal. Scale: one
+    shuffle on user_id; each group folds linearly in one task — the
+    same contract as any per-entity stateful replay.
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .when(F.col("event_type") == "error", -F.col("value"))
+        .otherwise(0.0)
+        .alias("delta"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal = 0.0
+        peak = 0.0
+        clamps = 0
+        for d in pdf["delta"]:
+            nxt = bal + d
+            if nxt < 0:
+                clamps += 1
+                nxt = 0.0
+            bal = nxt
+            if bal > peak:
+                peak = bal
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "final_balance": [round(bal, 6) + 0.0],
+                "peak_balance": [round(peak, 6) + 0.0],
+                "n_clamps": [clamps],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            fold,
+            schema="user_id long, final_balance double, peak_balance double, "
+            "n_clamps long",
+        )
+        .orderBy("user_id")
+    )
