@@ -50,6 +50,7 @@ ALLOW = {
         "q167_ann_recall",  # q41's 5-row query-side broadcast subtree
         "q181_quantized_ann_recall",  # same: q41 exact-truth subtree
         "q180_forget_cascade",  # 1-row purge-agg x 1-row total-agg per table
+        "q195_tpch_q22",  # TPC-H Q22's 1-row global-average broadcast
     },
 }
 
