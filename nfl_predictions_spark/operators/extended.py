@@ -1094,3 +1094,77 @@ def q189_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — ratio-to-report (share-of-parent contribution analysis)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q200_ratio_to_report",
+    """
+    WITH n AS (
+      SELECT r.r_name AS region, nt.n_name AS nation,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nt ON c_nationkey = nt.n_nationkey
+      JOIN region r ON nt.n_regionkey = r.r_regionkey
+      GROUP BY region, nation
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_of_region,
+           round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE), 6)
+             AS share_of_total
+    FROM n ORDER BY region, nation
+    """,
+)
+def q200_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its region
+    and of the world — the two-level contribution analysis every BI
+    rollup ships (Oracle's RATIO_TO_REPORT, MDX percent-of-parent).
+
+    The windows run over the |nations|-row aggregate, never the fact
+    table, so the 'grand total' denominators cost nothing at scale;
+    revenue rides exact DECIMAL into engine-identical double divisions.
+    """
+    from pyspark.sql import Window
+
+    n = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return n.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wr).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wt).cast("double"), 6
+        ).alias("share_of_total"),
+    ).orderBy("region", "nation")

@@ -1315,3 +1315,63 @@ def q199_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — clickstream path mining (top event trigrams)
+# ---------------------------------------------------------------------------
+
+_PATH_TOP_K = 10
+
+
+def _paths_oracle() -> str:
+    return f"""
+    WITH s AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM s WHERE e3 IS NOT NULL
+      GROUP BY path
+    )
+    SELECT path, n, n_users FROM paths
+    ORDER BY n DESC, path LIMIT {_PATH_TOP_K}
+    """
+
+
+@_q("q201_event_paths", _paths_oracle())
+def q201_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the {_PATH_TOP_K} most common 3-event
+    sequences across all users (with how many distinct users walk
+    each) — the n-gram-over-behavior analysis funnels are designed
+    from, as two lead() windows on the shared per-user sort plus a
+    path-keyed count. TakeOrdered handles the top-k; path cardinality
+    is |event_types|^3-bounded so the final agg is tiny at any scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", F.col("event_type").alias("e1"))
+        .withColumn("e2", F.lead("e1", 1).over(w))
+        .withColumn("e3", F.lead("e1", 2).over(w))
+        .where(F.col("e3").isNotNull())
+    )
+    return (
+        s.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(_PATH_TOP_K)
+    )
