@@ -1168,3 +1168,102 @@ def q200_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(wt).cast("double"), 6
         ).alias("share_of_total"),
     ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# q202 — three-valued-logic conformance matrix
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q202_null_semantics",
+    """
+    WITH t(id, a, b) AS (
+      VALUES (1, true, true), (2, true, false), (3, true, NULL),
+             (4, false, false), (5, false, NULL), (6, NULL, NULL)
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           a AND b AS and_ab, a OR b AS or_ab, NOT a AS not_a,
+           a IS NOT DISTINCT FROM b AS nullsafe_eq,
+           coalesce(a, b, false) AS coal,
+           CASE WHEN a IS NULL THEN 'null'
+                WHEN a THEN 'true' ELSE 'false' END AS a_class
+    FROM t ORDER BY id
+    """,
+)
+def q202_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic conformance: the full AND/OR/NOT truth table
+    over {true, false, NULL} plus null-safe equality, coalesce, and
+    IS NULL classification — q28's cast matrix for the logic layer.
+    SQL engines disagree on 3VL edge cases more often than on
+    arithmetic (true OR NULL = true but true AND NULL = NULL); this
+    entry pins every cell against the oracle so a Catalyst or ANSI-mode
+    regression surfaces as a value diff, not a silent plan change.
+    """
+    rows = [
+        (1, True, True),
+        (2, True, False),
+        (3, True, None),
+        (4, False, False),
+        (5, False, None),
+        (6, None, None),
+    ]
+    t = spark.createDataFrame(rows, "id long, a boolean, b boolean")
+    return t.select(
+        "id",
+        (F.col("a") & F.col("b")).alias("and_ab"),
+        (F.col("a") | F.col("b")).alias("or_ab"),
+        (~F.col("a")).alias("not_a"),
+        F.col("a").eqNullSafe(F.col("b")).alias("nullsafe_eq"),
+        F.coalesce("a", "b", F.lit(False)).alias("coal"),
+        F.when(F.col("a").isNull(), "null")
+        .when(F.col("a"), "true")
+        .otherwise("false")
+        .alias("a_class"),
+    ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# q203 — ANSI-mode safety functions (try_* semantics)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q203_try_functions",
+    """
+    WITH t(id, num, den, s) AS (
+      VALUES (1, 10.0, 2.0, '42'), (2, 1.0, 0.0, 'abc'),
+             (3, -5.0, 0.0, ''), (4, 7.5, 3.0, '  8 ')
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CASE WHEN den = 0 THEN NULL ELSE round(num / den, 6) END AS div_safe,
+           TRY_CAST(s AS BIGINT) AS int_safe,
+           CASE WHEN den = 0 THEN NULL
+                ELSE round(num / den, 6) END IS NULL AS div_failed
+    FROM t ORDER BY id
+    """,
+)
+def q203_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety surface: under ANSI SQL semantics (Spark 4's
+    default) division by zero and bad casts THROW — the engine's
+    ``try_divide`` / ``try_cast`` return NULL instead, the behavior a
+    pipeline needs for quarantine-don't-crash ingestion (q101's
+    malformed-CSV policy at the expression level). The oracle spells
+    the same semantics in portable CASE/TRY_CAST form. Note
+    TRY_CAST('  8 ') = 8 in both engines (whitespace-tolerant), while
+    '' and 'abc' are NULL — pinned so a semantics drift surfaces here.
+    """
+    rows = [
+        (1, 10.0, 2.0, "42"),
+        (2, 1.0, 0.0, "abc"),
+        (3, -5.0, 0.0, ""),
+        (4, 7.5, 3.0, "  8 "),
+    ]
+    t = spark.createDataFrame(rows, "id long, num double, den double, s string")
+    div = F.round(F.try_divide("num", "den"), 6)
+    return t.select(
+        "id",
+        div.alias("div_safe"),
+        F.expr("try_cast(s AS BIGINT)").alias("int_safe"),
+        div.isNull().alias("div_failed"),
+    ).orderBy("id")
