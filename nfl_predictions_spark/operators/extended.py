@@ -1267,3 +1267,138 @@ def q203_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(s AS BIGINT)").alias("int_safe"),
         div.isNull().alias("div_failed"),
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# q204 — RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q204_rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT custkey,
+             ntile(5) OVER (ORDER BY last_order, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, custkey) AS m_score
+      FROM rfm
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(custkey) AS BIGINT) AS key_sum
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def q204_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored into recency/frequency/
+    monetary quintiles (higher = more recent / frequent / valuable) and
+    rolled up to segment cells with key checksums — the classic
+    marketing micro-segmentation as three deterministic ntile windows
+    over the |customers|-sized aggregate (never the fact table), with
+    custkey tie-breaks so quintile boundaries are engine-identical.
+    Monetary rides exact DECIMAL so the ordering cannot be moved by
+    summation order.
+    """
+    rfm = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "custkey",
+        F.ntile(5).over(Window.orderBy("last_order", "custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("custkey").alias("key_sum"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205 — key-skew diagnostics (heavy hitters + Gini concentration)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q205_skew_diagnostics",
+    """
+    WITH k AS (
+      SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    ), r AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt, key) AS rn,
+             count(*) OVER () AS n,
+             sum(cnt) OVER () AS total
+      FROM k
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_keys,
+           CAST(any_value(total) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_key_rows,
+           round(CAST(max(cnt) AS DOUBLE) / any_value(total), 6)
+             AS top_key_share,
+           round(CAST(sum((2 * rn - n - 1) * cnt) AS DOUBLE)
+                 / (CAST(any_value(n) AS DOUBLE) * any_value(total)), 6)
+             AS gini
+    FROM r
+    """,
+)
+def q205_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for a join/agg key: cardinality, heaviest
+    key's share, and the Gini concentration coefficient of rows-per-key
+    — the measurement that decides whether q51's salting or AQE skew
+    handling is worth wiring in, as a query (measure, don't guess).
+
+    Gini via the rank formula sum((2i - n - 1) * x_i) / (n * total)
+    over counts sorted ascending: every term is exact integer
+    arithmetic, so the only float op is the final division — the
+    statistic is hash-exact. Shape: one map-side-combinable count, one
+    |keys|-sized rank window, one 1-row reduce.
+    """
+    k = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    r = (
+        k.withColumn("rn", F.row_number().over(Window.orderBy("cnt", "key")))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    )
+    return r.agg(
+        F.any_value("n").alias("n_keys"),
+        F.any_value("total").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(
+            F.max("cnt").cast("double") / F.any_value("total"), 6
+        ).alias("top_key_share"),
+        F.round(
+            F.sum((2 * F.col("rn") - F.col("n") - 1) * F.col("cnt")).cast("double")
+            / (F.any_value("n").cast("double") * F.any_value("total")),
+            6,
+        ).alias("gini"),
+    )
