@@ -950,3 +950,163 @@ def q197_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb, 6).alias("rate_b"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q206 — weighted median (cumulative-weight order statistic)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q206_weighted_median",
+    """
+    WITH r AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS w,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cumw,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+             ) AS total_w
+      FROM lineitem
+    )
+    SELECT flag,
+           CAST(any_value(total_w) AS BIGINT) AS total_w,
+           min(CASE WHEN 2 * cumw >= total_w THEN v END) AS wmedian
+    FROM r GROUP BY flag ORDER BY flag
+    """,
+)
+def q206_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per return flag (quantity-weighted price): the
+    smallest value whose cumulative weight reaches half the group's
+    total — the order statistic for weighted samples (importance-
+    weighted corpora, survey data), where the plain median (q152) is
+    wrong by construction.
+
+    The selection predicate 2*cumw >= total runs entirely on exact
+    BIGINT cumulative weights over the deterministic (value, pk) sort,
+    so the picked value is an actual data point and the oracle is
+    hash-exact. One per-group sort serves both running and total
+    windows; the reduce is |groups|-sized.
+    """
+    from pyspark.sql import Window
+
+    ws = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    r = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("v"),
+            F.col("l_quantity").cast("long").alias("w"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+        )
+        .withColumn("cumw", F.sum("w").over(ws))
+        .withColumn("total_w", F.sum("w").over(wt))
+    )
+    return (
+        r.groupBy("flag")
+        .agg(
+            F.any_value("total_w").alias("total_w"),
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("total_w"), F.col("v"))
+            ).alias("wmedian"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q207 — Benford first-digit audit (fraud/generation forensics)
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) as shared literals — identical doubles in both
+#: engines, so no transcendental evaluation happens inside either.
+_BENFORD = {
+    1: 0.30102999566398119,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def _benford_oracle() -> str:
+    expected = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS total
+      FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed,
+           round(CAST(CASE digit {expected} END AS DOUBLE), 6) AS benford,
+           round(abs(CAST(n AS DOUBLE) / total
+                     - CAST(CASE digit {expected} END AS DOUBLE)), 6)
+             AS abs_dev
+    FROM c ORDER BY digit
+    """
+
+
+@_q("q207_benford_audit", _benford_oracle())
+def q207_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed leading-digit
+    shares against Benford's law — the forensic screen auditors run on
+    financial columns (and data engineers on suspiciously-synthetic
+    ones; TPC-H's uniform prices in fact FAIL Benford, which is
+    exactly what the report shows).
+
+    Engine-exactness without transcendentals: the nine log10(1 + 1/d)
+    expectations are shared LITERAL doubles, the leading digit comes
+    from an explicit floor (DuckDB's double-to-int CAST rounds while
+    Spark's truncates — floor removes the ambiguity),
+    and shares are single double divisions of exact counts. One
+    map-side-combinable digit count; the report is 9 rows at any scale.
+    """
+    expected = F.create_map(
+        *[x for d, p in _BENFORD.items() for x in (F.lit(d), F.lit(p))]
+    )
+    d = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    c = c.withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    share = F.col("n").cast("double") / F.col("total")
+    exp = expected[F.col("digit")]
+    return c.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("observed"),
+        F.round(exp, 6).alias("benford"),
+        F.round(F.abs(share - exp), 6).alias("abs_dev"),
+    ).orderBy("digit")
