@@ -1110,3 +1110,81 @@ def q207_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp, 6).alias("benford"),
         F.round(F.abs(share - exp), 6).alias("abs_dev"),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# q208 — lag-1 autocorrelation (serial dependence per event class)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q208_lag1_autocorr",
+    """
+    WITH p AS (
+      SELECT event_type,
+             round(lag(value) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id), 6) AS x,
+             round(value, 6) AS y
+      FROM events
+    ), m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS DECIMAL(18,6))) AS sx,
+             sum(CAST(y AS DECIMAL(18,6))) AS sy,
+             sum(CAST(round(x * x, 6) AS DECIMAL(24,6))) AS sxx,
+             sum(CAST(round(y * y, 6) AS DECIMAL(24,6))) AS syy,
+             sum(CAST(round(x * y, 6) AS DECIMAL(24,6))) AS sxy
+      FROM p WHERE x IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) + 0.0 AS r1
+    FROM m ORDER BY event_type
+    """,
+)
+def q208_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of event values within each (user, class)
+    stream, pooled per class — the serial-dependence statistic that
+    tells a monitoring pipeline whether values drift (r1 > 0), mean-
+    revert (r1 < 0), or are independent draws (r1 ~ 0; the synthetic
+    generator should land here, and the report proves it).
+
+    Machinery: consecutive pairs from one lag window on the shared
+    (user, class) sort; Pearson moments ride the q137/q149 exact-
+    DECIMAL contract (6-dp values, 6-dp products), so the correlation
+    is a fixed IEEE expression on engine-identical sums. + 0.0 guards
+    the negative-zero case for near-zero correlations.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    p = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id", "value")
+        .withColumn("x", F.round(F.lag("value").over(w), 6))
+        .withColumn("y", F.round("value", 6))
+        .where(F.col("x").isNotNull())
+    )
+    m = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,6)")).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(24,6)")).alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 6).cast("decimal(24,6)")).alias("syy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(24,6)")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    r1 = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        "event_type", "n", (F.round(r1, 6) + F.lit(0.0)).alias("r1")
+    ).orderBy("event_type")
