@@ -334,3 +334,70 @@ def q120_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_probed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q209 — null-key outer join with the null-split rewrite
+# ---------------------------------------------------------------------------
+
+
+def _nullsplit_oracle() -> str:
+    return """
+    WITH f AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END AS fk,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    )
+    SELECT coalesce(c.c_mktsegment, '__no_customer') AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(f.price) AS DOUBLE) AS total_price
+    FROM f LEFT JOIN customer c ON f.fk = c.c_custkey
+    GROUP BY segment ORDER BY segment
+    """
+
+
+@_q("q209_null_split_outer_join", _nullsplit_oracle())
+def q209_null_split_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join on a foreign key that is frequently NULL (10% of
+    orders here; in warehouse facts it's routinely 30%+), with the
+    NULL-SPLIT rewrite: NULL keys can never match, yet a naive plan
+    still shuffles them — all into the SAME hash partition, the
+    classic silent skew straggler. The rewrite routes the NULL-key
+    rows around the join entirely and unions them back as unmatched,
+    so the shuffle carries only joinable keys.
+
+    The oracle is the naive LEFT JOIN — the rewrite is provably
+    equivalent because NULL never equals anything. Same DECIMAL sums
+    both branches; the '__no_customer' class makes the routed rows
+    visible in the report.
+    """
+    f = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 10 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("fk"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joinable = f.where(F.col("fk").isNotNull()).join(
+        cust, F.col("fk") == F.col("c_custkey"), "left"
+    )
+    nulls = f.where(F.col("fk").isNull()).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    merged = joinable.select("price", "c_mktsegment").unionByName(
+        nulls.select("price", "c_mktsegment")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("__no_customer")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .orderBy("segment")
+    )

@@ -1375,3 +1375,65 @@ def q201_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(_PATH_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — growth accounting: daily actives vs cumulative uniques
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q210_growth_accounting",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY d
+    ), news AS (
+      SELECT d0 AS d, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY d0
+    )
+    SELECT daily.d AS day, daily.dau,
+           coalesce(news.new_users, 0) AS new_users,
+           CAST(sum(coalesce(news.new_users, 0)) OVER (
+             ORDER BY daily.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM daily LEFT JOIN news ON news.d = daily.d
+    ORDER BY day
+    """,
+)
+def q210_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per-day active users, newly-acquired users
+    (first-ever activity that day), and the cumulative unique-user
+    curve — the DAU / acquisition / total-reach triple every growth
+    dashboard opens with. q143's cohort triangle slices retention;
+    this is the topline it rolls up to.
+
+    Shape: first-seen is one user-keyed min; dau one day-keyed
+    distinct; the cumulative curve is a running sum over the DAY-sized
+    frame (never the events), so the full history costs a
+    calendar-length window regardless of event volume.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    daily = ev.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    news = first_seen.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.join(news, "d", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+        .select(
+            F.col("d").alias("day"), "dau", "new_users", "cumulative_users"
+        )
+        .orderBy("day")
+    )
