@@ -1402,3 +1402,81 @@ def q205_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — Pareto concentration (the 80/20 revenue question)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q211_pareto_concentration",
+    """
+    WITH c AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+             count(*) OVER () AS n,
+             sum(rev) OVER () AS total,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM c
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN 5 * cum >= 4 * total THEN rn END) AS BIGINT)
+             AS k80,
+           round(CAST(min(CASE WHEN 5 * cum >= 4 * total THEN rn END)
+                      AS DOUBLE) / any_value(n), 6) AS k80_share,
+           round(CAST(max(CASE WHEN 5 * rn <= n THEN cum END)
+                      AS DOUBLE) / CAST(any_value(total) AS DOUBLE), 6)
+             AS top20pct_rev_share
+    FROM r
+    """,
+)
+def q211_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest number of customers whose
+    revenue reaches 80% of the total (and, dually, the revenue share of
+    the top 20% of customers) — the 80/20 question behind every
+    account-prioritization decision.
+
+    The 80% threshold compares 5*cum >= 4*total in exact DECIMAL — an
+    integer-scaled inequality with no 0.8 float anywhere — and the
+    cut rank is deterministic via the (revenue DESC, custkey) total
+    order. Windows run over the |customers|-sized aggregate.
+    """
+    from pyspark.sql import Window
+
+    c = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    wo = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    r = (
+        c.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn("total", F.sum("rev").over(Window.partitionBy()))
+        .withColumn(
+            "cum",
+            F.sum("rev").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    hit80 = 5 * F.col("cum") >= 4 * F.col("total")
+    top20 = 5 * F.col("rn") <= F.col("n")
+    return r.agg(
+        F.any_value("n").alias("n_customers"),
+        F.min(F.when(hit80, F.col("rn"))).alias("k80"),
+        F.round(
+            F.min(F.when(hit80, F.col("rn"))).cast("double") / F.any_value("n"), 6
+        ).alias("k80_share"),
+        F.round(
+            F.max(F.when(top20, F.col("cum"))).cast("double")
+            / F.any_value("total").cast("double"),
+            6,
+        ).alias("top20pct_rev_share"),
+    )
