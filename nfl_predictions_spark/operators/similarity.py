@@ -19,6 +19,8 @@ the embedding-space analogue of the text near-dup suite.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -1020,9 +1022,20 @@ def q165b_kmeans_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         k, d = cent.shape
-        new = np.zeros_like(cent)
+        # Start from the previous centroids so an empty cluster (n == 0)
+        # keeps its position instead of raising ZeroDivisionError; round
+        # with explicit half-up (floor(x*1e6+0.5)/1e6) to match q165's
+        # Spark HALF_UP round on exact .5 ties (Python round() is
+        # banker's and would break the certified trajectory equality).
+        new = cent.copy()
         for r in merged:
-            new[r["c"], r["i"]] = round(r["s"] / r["n"], 6)
+            if r["n"] > 0:
+                v = r["s"] / r["n"]
+                # HALF_UP rounds away from zero, so apply the
+                # floor(|x|*1e6+0.5) trick on the magnitude.
+                new[r["c"], r["i"]] = math.copysign(
+                    math.floor(abs(v) * 1e6 + 0.5) / 1e6, v
+                )
             if r["i"] == 0:
                 # q165 reports the membership of the assignment that
                 # PRODUCED the final centroids — reuse this pass's counts

@@ -560,6 +560,12 @@ def q163b_pca_eigh(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials.groupBy("i", "j").agg(F.sum("val").alias("val")).collect()
     )
 
+    if not rows:
+        # Empty embeddings table: gram() yields no partials; return an
+        # empty, schema-stable result instead of ValueError from max().
+        return spark.createDataFrame(
+            [], "component long, eigenvalue double, explained_ratio double"
+        )
     dim = max(r["i"] for r in rows) + 1
     g = np.zeros((dim, dim))
     s = np.zeros(dim)
@@ -749,12 +755,13 @@ def q183_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     b1, below1 = locate(k1)
     b2, below2 = locate(k2)
-    lo_edge = lo + min(b1, b2) * width
-    # pass 2: rank within the narrowed candidate range only
+    # pass 2: rank within the narrowed candidate range only. Filter on the
+    # bucket expression ALONE: the candidate set must be exactly the
+    # complement of the rows counted in `below`. Adding a value-space
+    # predicate (v >= lo + min_bucket*width) can disagree with the bucket
+    # expression under FP rounding and drop a counted row.
     cand = li.filter(
-        (F.col("v") >= F.lit(lo_edge))
-        & (bucket >= F.lit(min(b1, b2)))
-        & (bucket <= F.lit(max(b1, b2)))
+        (bucket >= F.lit(min(b1, b2))) & (bucket <= F.lit(max(b1, b2)))
     )
     from pyspark.sql import Window
 
@@ -899,9 +906,11 @@ def _abtest_oracle() -> str:
 
 @_q("q197_ab_proportion_ztest", _abtest_oracle())
 def q197_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion z-test for an A/B experiment: users are hash-
-    assigned to arms (the same md5-prefix assignment q108 uses for
-    splits — reproducible, RNG-free), conversion = made a high-value (>150) purchase,
+    """Two-proportion z-test for an A/B experiment: users are assigned
+    to arms by user_id parity (user_id % 2 — deterministic and RNG-free;
+    a production system would prefer q108's md5-bucket assignment so arm
+    membership survives id renumbering, but parity keeps the oracle a
+    one-line CASE), conversion = made a high-value (>150) purchase,
     and the pooled-variance z-statistic decides whether the arms'
     conversion rates differ. The discrete-outcome counterpart to q149's
     Welch t on continuous values.

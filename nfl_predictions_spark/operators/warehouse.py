@@ -290,7 +290,21 @@ def q164_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
 
-    key = os.path.basename(os.path.normpath(sf_dir))
+    # Key the view store by a cheap data fingerprint (source parquet
+    # sizes + mtimes), not just the sf_dir basename: if the fixture data
+    # at the same path is regenerated, a stale base would silently merge
+    # into wrong totals while the oracle recomputes fresh.
+    import hashlib
+
+    fp = hashlib.md5()
+    for tbl in ("orders", "customer", "nation"):
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        try:
+            st = os.stat(p)
+            fp.update(f"{tbl}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            fp.update(f"{tbl}:missing".encode())
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp.hexdigest()[:12]}"
     root = os.path.join(
         tempfile.gettempdir(), "nfl_predictions_spark", "mv", f"nation_rev_{key}"
     )
