@@ -120,11 +120,56 @@ def q51b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def write_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> str:
+_BUCKET_TARGET_BYTES = 4 * 1024 * 1024  # parquet bytes per bucket (~16 MB in memory)
+
+
+def _n_buckets_for(sf_dir: str) -> int:
+    """Bucket count sized from the larger fact table's parquet bytes.
+
+    A fixed bucket count is the classic bucketing scale bug: a bucketed
+    scan cannot split below one task per bucket, so 8 buckets caps the
+    join at 8-way parallelism forever — measured as q52's 5.7x sf0.1->sf1
+    wall growth in SCALING_r03 (10x data, constant 8 tasks). Sizing
+    buckets from bytes keeps per-task work constant as data grows; the
+    power-of-two rounding keeps bucket pruning/compatibility simple and
+    the 4096 clamp mirrors what a real warehouse does at 100 TB (fixed
+    bucket count, multiple files per bucket, AQE handles residual skew).
+    """
+    bytes_max = 0
+    for t in ("orders", "lineitem"):
+        try:
+            bytes_max = max(bytes_max, os.path.getsize(os.path.join(sf_dir, f"{t}.parquet")))
+        except OSError:
+            pass
+    n = 8
+    while n < 4096 and bytes_max > n * _BUCKET_TARGET_BYTES:
+        n *= 2
+    return n
+
+
+def write_bucketed_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int | None = None
+) -> str:
     """Persist orders and lineitem bucketed by the join key. Bucketed
     writes go through the session catalog (saveAsTable); the warehouse
-    lives under /tmp keyed by scale factor."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    lives under /tmp keyed by scale factor + bucket count + a source
+    fingerprint (so regenerated fixture data can never silently reuse a
+    stale bucketed copy)."""
+    if n_buckets is None:
+        n_buckets = _n_buckets_for(sf_dir)
+    import hashlib
+
+    fp = hashlib.md5()
+    for t in ("orders", "lineitem"):
+        try:
+            st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+            fp.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            fp.update(f"{t}:missing".encode())
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        + f"_b{n_buckets}_{fp.hexdigest()[:10]}"
+    )
     spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
     done = {t[0] for t in spark.sql("SHOW TABLES IN buckets").select("tableName").collect()}
     specs = {
