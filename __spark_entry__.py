@@ -62,12 +62,15 @@ def _registry():
         oracle.update(getattr(mod, "ORACLE", {}))
 
     # The first ~50 entries are the driver's conformance window. Rounds 1-2
-    # proved the full §2B canonical set (Q01..Q40 green twice) plus the
-    # north-star suite; round 3 rotates the window onto the never-checked
-    # mass: 10 sentinels (one per proven family, so a regression anywhere
-    # still shows), the two round-2 hash-fix proofs (q96/q105), then the
-    # llmprep / curation / warehouse / skew / timeseries / text / multimodal
-    # / modern-SQL suites getting their first driver rows.
+    # proved the full §2B canonical set (Q01..Q40 green twice); round 3
+    # proved the llmprep/curation/warehouse/skew/timeseries/text/multimodal
+    # /modern suites (50 rows, 0 failures). Round 4 rotates onto the
+    # round-3 mass that has only local-sweep evidence: 8 sentinels (one
+    # per proven family, so a regression anywhere still shows) + 42
+    # first-time entries — TPC-H macro tier, statistics, BPE tokenizer,
+    # k-means/covariance, MV/CDC/audit, ANN recall certification, the new
+    # dedup family, frontier/skyline, packing/BM25/retrieval, and the
+    # curation-selection suite. All 42 are oracle-backed.
     window = [
         # sentinels — one proven-green entry per family
         "q12_agg_pricing_summary",
@@ -78,61 +81,57 @@ def _registry():
         "q39_minhash_lsh_pairs",
         "q40_token_stats",
         "q41_ann_topk",
-        "q37_ml_best_play",
-        # Q37's deterministic prefix (StringIndexer + VectorAssembler),
-        # first driver row with a full value oracle
-        "q37c_ml_index_assemble",
-        # round-2 hash-fail fixes — prove the output-type contract
-        "q96_streaming_matview",
-        "q105_vocab_oov",
-        # LLM data-prep suite (first driver rows)
-        "q106_repetition_stats",
-        "q107_pii_redaction",
-        "q108_hash_split",
-        "q109_token_shards",
-        "q110_unigram_logprob",
-        "q111_corpus_pipeline",
-        "q112_streaming_corpus_ingest",
-        "q113_pipeline_observability",
-        # curation / profiling
-        "q117_dup_passages",
-        "q121_per_key_sample",
-        "q123_column_profile",
-        # warehouse layout
-        "q118_scd2_dimension",
-        "q119_zorder_layout",
-        # skew / runtime-filter patterns
-        "q120_bloom_semi_join",
-        "q51_salted_agg",
-        "q52_bucketed_join",
-        # time-series
-        "q124_sessionize",
-        "q126_rolling_zscore",
-        "q129_max_concurrency",
-        # text-analysis variants
-        "q40b_quality_score",
-        "q40c_lang_id",
-        "q40d_fingerprint",
-        "q40e_top_terms",
-        # simhash near-dup
-        "q39c_simhash_pairs",
-        # multimodal codecs (oracle-backed)
-        "q97_image_header_parse",
-        "q114_image_decode_stats",
-        "q115_audio_decode_stats",
-        "q116_video_decode_stats",
-        # modern SQL surface
-        "q72_recursive_cte",
-        "q73_variant_json",
-        "q74_sql_udf",
-        "q75_lateral_join",
-        "q76_listagg",
-        "q86_approx_top_k",
-        "q88_group_by_all",
-        "q89_nullsafe_join",
-        # iterative graph + sketch rollup
-        "q95_pagerank",
-        "q80_hll_sketch_rollup",
+        # TPC-H macro tier (composed multi-join warehouse plans)
+        "q156_tpch_q3",
+        "q157_tpch_q5",
+        "q158_tpch_q10",
+        "q159_tpch_q18",
+        "q172_tpch_q17",
+        "q173_tpch_q21",
+        "q193_tpch_q4",
+        "q194_tpch_q14",
+        "q195_tpch_q22",
+        # statistics suite
+        "q137_grouped_ols",
+        "q148_contingency_chi2",
+        "q149_welch_ttest",
+        "q152_exact_grouped_median",
+        "q153_mad_outliers",
+        "q163_cov_matrix",
+        "q183_histogram_median",
+        "q197_ab_proportion_ztest",
+        # BPE tokenizer training + apply
+        "q160_bpe_merges",
+        "q162_bpe_tokenize",
+        # clustering / view maintenance / CDC / quality audit
+        "q165_kmeans_lloyd",
+        "q164_incremental_mv",
+        "q170_snapshot_diff",
+        "q166_constraint_audit",
+        # ANN recall certification
+        "q167_ann_recall",
+        "q181_quantized_ann_recall",
+        # round-3 dedup family
+        "q133_containment_decontam",
+        "q134_cluster_dedup_survivors",
+        "q135_prefix_filter_jaccard",
+        "q174_sorted_neighborhood",
+        # frontier / skyline
+        "q161_skyline",
+        # LLM-prep: packing, retrieval, fusion, selection
+        "q130_sequence_packing",
+        "q132_bm25_retrieval",
+        "q136_hybrid_rrf",
+        "q177_dataset_mixture",
+        "q178_set_cover_selection",
+        "q190_stratified_kfold",
+        # event analytics + curation picks
+        "q151_frequent_pairs",
+        "q143_cohort_retention",
+        "q146_split_drift",
+        "q150_cusum_drawdown",
+        "q179_scd2_pit_lookup",
+        "q210_growth_accounting",
     ]
     ordered: dict[str, Callable] = {}
     for name in window:
