@@ -1332,6 +1332,69 @@ def _setcover_oracle(rounds: int = _SC_ROUNDS) -> str:
     return "".join(parts)
 
 
+def set_cover_rounds(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int,
+    plan_sizes: list[int] | None = None,
+) -> DataFrame:
+    """Greedy max-coverage selection loop, parameterized by round count.
+
+    The covered set is ``localCheckpoint``-ed (eager) every round: without
+    it, round k's anti-join re-derives a k-deep union-distinct lineage
+    from scratch and driver-side planning grows quadratically in rounds —
+    harmless at 5 rounds, a planner bottleneck at the 50-100 rounds a
+    real selection run needs (VERDICT r03 "What's wrong" #3). The
+    checkpoint also makes ``covered.count()`` a re-read, not a recompute.
+    ``plan_sizes``, when given, collects the covered-set logical-plan
+    string length per round so tests can pin that lineage stays bounded.
+    """
+    from pyspark import StorageLevel
+
+    from nfl_predictions_spark.operators.dedup import shingle_rows
+
+    # The corpus-sized shingle index is reused every round — persist it
+    # so the per-round work is (index anti-join covered), not a rescan.
+    ex = shingle_rows(table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    covered = None
+    picked: list[int] = []
+    out = []
+    try:
+        for r in range(1, rounds + 1):
+            gains = ex
+            if picked:
+                gains = gains.filter(~F.col("doc_id").isin(picked))
+            if covered is not None:
+                gains = gains.join(F.broadcast(covered), "s", "left_anti")
+            rows = (
+                gains.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), F.asc("doc_id"))
+                .limit(1)
+                .collect()
+            )
+            if not rows:  # every shingle covered: selection saturated
+                break
+            top = rows[0]
+            picked.append(top["doc_id"])
+            new_cov = ex.filter(F.col("doc_id") == top["doc_id"]).select("s")
+            covered = (
+                new_cov if covered is None else covered.union(new_cov)
+            ).distinct().localCheckpoint(eager=True)
+            if plan_sizes is not None:
+                plan_sizes.append(
+                    len(covered._jdf.queryExecution().logical().toString())
+                )
+            out.append((r, top["doc_id"], top["c"], covered.count()))
+    finally:
+        ex.unpersist()
+    return spark.createDataFrame(
+        out, "round long, doc_id long, gain long, covered long"
+    ).orderBy("round")
+
+
 @_q("q178_set_cover_selection", None)  # oracle attached below (needs import)
 def q178_set_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy maximum-coverage corpus selection: pick the document with
@@ -1344,37 +1407,11 @@ def q178_set_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered set (broadcast — it holds at most rounds * |doc| shingles),
     one map-side-combinable per-doc count, and a 1-row argmax collect
     (the same bounded driver state as q160's BPE merge picker). The
-    corpus-sized index is computed once and reused; only the covered
-    set changes between rounds.
+    corpus-sized index is persisted once and reused; the covered set is
+    checkpointed per round so lineage stays O(1) across rounds (see
+    ``set_cover_rounds``).
     """
-    from nfl_predictions_spark.operators.dedup import shingle_rows
-
-    ex = shingle_rows(table(spark, sf_dir, "documents"))
-    covered = None
-    picked: list[int] = []
-    out = []
-    for r in range(1, _SC_ROUNDS + 1):
-        gains = ex
-        if picked:
-            gains = gains.filter(~F.col("doc_id").isin(picked))
-        if covered is not None:
-            gains = gains.join(F.broadcast(covered), "s", "left_anti")
-        top = (
-            gains.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.desc("c"), F.asc("doc_id"))
-            .limit(1)
-            .collect()[0]
-        )
-        picked.append(top["doc_id"])
-        new_cov = ex.filter(F.col("doc_id") == top["doc_id"]).select("s")
-        covered = (
-            new_cov if covered is None else covered.union(new_cov).distinct()
-        )
-        out.append((r, top["doc_id"], top["c"], covered.distinct().count()))
-    return spark.createDataFrame(
-        out, "round long, doc_id long, gain long, covered long"
-    ).orderBy("round")
+    return set_cover_rounds(spark, sf_dir, _SC_ROUNDS)
 
 
 # the oracle needs dedup's shingle SQL; bind it after definition

@@ -211,3 +211,22 @@ def test_quality_topk_keeps_exactly_a_tenth(spark):
     assert sum(r.kept_docs for r in rows) == (n_docs + 9) // 10
     for r in rows:
         assert r.avg_score >= r.min_score
+
+
+def test_set_cover_lineage_stays_bounded_at_25_rounds(spark):
+    """The covered set is localCheckpoint-ed per round, so round 25's
+    plan must be the same size as round 5's (no lineage growth) and the
+    25-round run's covered counts must be non-decreasing with gains
+    non-increasing (greedy submodularity)."""
+    from nfl_predictions_spark.operators.llmprep import set_cover_rounds
+
+    sizes: list[int] = []
+    rows = set_cover_rounds(spark, SF_SMOKE, 25, plan_sizes=sizes).collect()
+    assert len(rows) >= 5
+    # lineage bounded: the late-round plans are no bigger than early ones
+    # (a LocalRelation/checkpoint scan, not a 25-deep union-distinct)
+    assert max(sizes[4:]) <= 2 * max(sizes[:4])
+    gains = [r["gain"] for r in rows]
+    cov = [r["covered"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert cov == sorted(cov)
