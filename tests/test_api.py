@@ -213,3 +213,31 @@ def test_python_datasource_partition_invariant(spark):
     assert a == b and len(a) == 500
     assert a[3]["event_id"] == 3
     assert a[3]["user_id"] == (3 * 2654435761) % 1000
+
+
+def test_single_record_scoring_launches_no_shuffle(spark, service):
+    """SURVEY §4 risk 3 / VERDICT r03 #6: the reference's whole point is
+    per-request scoring, so `score(record)` must stay a LocalRelation
+    pipeline — every Spark job it triggers must be single-stage (a
+    shuffle always splits a job into >=2 stages)."""
+    from nfl_predictions_spark.ml.score import GOLDEN_REQUEST
+
+    sc = spark.sparkContext
+    group = "score-shuffle-guard"
+    sc.setJobGroup(group, "single-record scoring", interruptOnCancel=False)
+    try:
+        out = service.score(dict(GOLDEN_REQUEST))
+    finally:
+        sc.setJobGroup(None, None)
+    assert out["best_play"] in ("Passing Play", "Running Play")
+
+    tracker = sc.statusTracker()
+    job_ids = tracker.getJobIdsForGroup(group)
+    assert job_ids, "scoring ran no Spark job — tracker group lost"
+    for jid in job_ids:
+        info = tracker.getJobInfo(jid)
+        assert info is not None
+        assert len(info.stageIds) == 1, (
+            f"job {jid} has stages {info.stageIds}: single-record scoring "
+            "must be shuffle-free"
+        )
