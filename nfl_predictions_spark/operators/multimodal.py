@@ -20,6 +20,7 @@ parallel and shuffle-free.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,8 +36,20 @@ _MEDIA_TYPES = ["image", "audio", "video"]
 
 def synthetic_media(spark: SparkSession, n: int = 300) -> DataFrame:
     """Deterministic fake assets: payload bytes derive from md5 chains of
-    the asset id (64-256 bytes each), metadata from seeded hashes."""
-    h = lambda seed: F.abs(F.xxhash64(F.col("id"), F.lit(seed)))  # noqa: E731
+    the asset id (64-256 bytes each), metadata from seeded md5 hashes.
+
+    Every derived field uses md5 (not xxhash64) so the WHOLE generator
+    is reproducible by the DuckDB oracle — that's what lets q43 carry a
+    full value oracle instead of a rows-only check: md5 is the one hash
+    both engines share, and an 8-hex-char prefix converted to int is a
+    uniform 32-bit draw either engine can compute."""
+    h = lambda seed: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{seed}"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
     n_blocks = (h(1) % 13 + 4).cast("int")  # 4..16 x 16-byte blocks
     payload = F.unhex(
         F.aggregate(
@@ -102,7 +115,14 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "n_bytes": [len(a) for a in arrs],
                     "width": [m["width"] for m in pdf["meta"]],
                     "height": [m["height"] for m in pdf["meta"]],
-                    "byte_mean": [round(float(a.mean()), 6) if a.size else 0.0 for a in arrs],
+                    # half-up via floor(x*1e6+0.5): the identical IEEE op
+                    # sequence DuckDB's oracle runs, so q43's per-doc
+                    # means are cross-engine hash-exact (NOTES.md round
+                    # rules; values are non-negative here)
+                    "byte_mean": [
+                        math.floor(float(a.mean()) * 1e6 + 0.5) / 1e6 if a.size else 0.0
+                        for a in arrs
+                    ],
                     "byte_std": [round(float(a.std()), 6) if a.size else 0.0 for a in arrs],
                     "head16": [a[:16].astype("int32").tolist() for a in arrs],
                 }
@@ -128,23 +148,86 @@ def sample_frames(media: DataFrame, frame_size: int = 16, stride: int = 64) -> D
     )
 
 
+def _q43_oracle() -> str:
+    """DuckDB replay of synthetic_media + extract_features + the q43
+    aggregate: md5-chain payload bytes re-derived as hex-pair values
+    (strpos arithmetic), per-doc mean with the same floor(x*1e6+0.5)
+    half-up, decimal-exact sum for the per-type average."""
+    return """
+    WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(300)),
+    cfg AS (
+      SELECT id,
+        4 + CAST(
+          CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || ':1'), 1, 8)) AS BIGINT) % 13
+          AS INTEGER) AS nb,
+        ['image','audio','video'][
+          CAST(CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || ':2'), 1, 8)) AS BIGINT) % 3
+          AS INTEGER) + 1] AS media_type
+      FROM ids
+    ),
+    blocks AS (
+      SELECT id, media_type, nb,
+             unnest(generate_series(1, nb)) AS bi
+      FROM cfg
+    ),
+    hx AS (
+      SELECT id, media_type, nb,
+             md5(CAST(id AS VARCHAR) || '#' || CAST(bi AS VARCHAR)) AS h
+      FROM blocks
+    ),
+    pairs AS (
+      SELECT id, media_type, nb, h, unnest(generate_series(0, 15)) AS p FROM hx
+    ),
+    vals AS (
+      SELECT id, media_type, nb,
+             (strpos('0123456789abcdef', substring(h, 2 * p + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(h, 2 * p + 2, 1)) - 1) AS byte
+      FROM pairs
+    ),
+    perdoc AS (
+      SELECT id, media_type, max(nb) * 16 AS n_bytes,
+             floor(avg(byte) * 1e6 + 0.5) / 1e6 AS byte_mean
+      FROM vals GROUP BY id, media_type
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           floor(CAST(sum(CAST(byte_mean AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 1e4 + 0.5) / 1e4 AS avg_byte_mean
+    FROM perdoc GROUP BY media_type ORDER BY media_type
+    """
+
+
 def q43_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: synthetic assets -> Arrow-batched feature extraction
-    -> per-type summary (deterministic; model-free decode stand-in, so
-    rows-only check; determinism + plumbing pinned in tests)."""
+    -> per-type summary. Full value oracle (VERDICT r03 #4 asked for
+    this to stop being rows-only): the md5-only generator is replayed in
+    SQL byte-for-byte, per-doc byte means use the identical half-up op
+    sequence on both engines, and the per-type average rides a
+    DECIMAL(18,6) sum so summation order cannot move the hash."""
     feats = extract_features(synthetic_media(spark, 300))
+    avg_mean = (
+        F.floor(
+            F.sum(F.col("byte_mean").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(1e4)
+            + F.lit(0.5)
+        )
+        / F.lit(1e4)
+    )
     return (
         feats.groupBy("media_type")
         .agg(
-            F.count("*").alias("cnt"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            avg_mean.alias("avg_byte_mean"),
         )
         .orderBy("media_type")
     )
 
 
 QUERIES["q43_multimodal_features"] = q43_multimodal_features
+ORACLE["q43_multimodal_features"] = _q43_oracle()
 
 
 _PNG_SIG_HEX = "89504E470D0A1A0A"

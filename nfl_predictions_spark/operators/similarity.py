@@ -1054,3 +1054,43 @@ def q165b_kmeans_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q165b_kmeans_arrow"] = q165b_kmeans_arrow
+
+
+# ---------------------------------------------------------------------------
+# q212 — IVF recall certification (closes the q41d rows-only gap)
+# ---------------------------------------------------------------------------
+
+
+def recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Recall@k harness: per-query hit fraction of an approximate index
+    against the exact top-k truth. Shared by q167 (LSH), q181
+    (quantized) and q212 (IVF) — the continuous-evaluation pattern where
+    the exact side runs on a sampled query set only."""
+    hits = approx.select("qid", "cid").withColumn("hit", F.lit(1))
+    return (
+        exact.select("qid", "cid")
+        .join(hits, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        .select(
+            "qid",
+            "hits",
+            (F.col("hits") / F.lit(float(_TOP_K))).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+def q212_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the KMeans IVF index (q41d) against the exact
+    baseline (q41) — the certification row VERDICT r03 #4 asked for.
+    Rows-only by nature (the IVF side depends on MLlib KMeans, which no
+    SQL oracle can reproduce); the recall floor is pinned in
+    tests/test_northstar.py::test_ivf_recall_certified, the same
+    contract q167/q181 carry for the LSH and quantized indexes."""
+    return recall_vs_exact(
+        q41_ann_topk(spark, sf_dir), q41d_ann_ivf(spark, sf_dir)
+    )
+
+
+QUERIES["q212_ivf_recall"] = q212_ivf_recall

@@ -255,3 +255,41 @@ def test_shipped_model_golden_parity(spark):
     assert out.best_play == "Running Play"
     assert out.passing_yards == ref_pass
     assert out.running_yards == ref_run
+
+
+def test_feature_importance_parity_with_independent_gain_walk(spark, models):
+    """q87's importances come from MLlib's featureImportances; this
+    recomputes the gain vector INDEPENDENTLY by walking each tree's
+    node structure over py4j: sum of gain x instance-count per split
+    feature accumulated RAW across the ensemble, one final
+    normalization (GBTs skip MLlib's per-tree normalization —
+    perTreeNormalization=false in treeModels.scala; the per-tree
+    variant differs by ~1e-2 and was rejected by this very test).
+    Requires exact agreement. Certifies the rows-only
+    q87_ml_feature_importance driver entry (VERDICT r03 #4)."""
+    import numpy as np
+
+    pass_model, _ = models
+    gbt = pass_model.stages[-1]
+    n_feats = gbt.numFeatures
+
+    def walk_gain(tree_model) -> np.ndarray:
+        imp = np.zeros(n_feats)
+        stack = [tree_model._call_java("rootNode")]
+        while stack:
+            node = stack.pop()
+            if "InternalNode" not in node.getClass().getSimpleName():
+                continue
+            f = node.split().featureIndex()
+            imp[f] += node.gain() * node.impurityStats().count()
+            stack.append(node.leftChild())
+            stack.append(node.rightChild())
+        return imp
+
+    total = np.zeros(n_feats)
+    for t in gbt.trees:
+        total += walk_gain(t)
+    total /= total.sum()
+
+    mllib = np.array(gbt.featureImportances.toArray())
+    assert np.allclose(total, mllib, atol=1e-12), (total, mllib)

@@ -472,3 +472,17 @@ def test_kmeans_arrow_path_matches_exact_trajectory(spark):
     b = {(r.cluster, r.i): (r.coord, r.n_members)
          for r in q165b_kmeans_arrow(spark, SF_SMOKE).collect()}
     assert a == b
+
+
+def test_ivf_recall_certified(spark):
+    """q41d (KMeans IVF) has no SQL oracle; this is its certification
+    (VERDICT r03 #4): recall@10 vs the exact q41 truth through the
+    shared q212 harness must clear the same floor class as the LSH and
+    quantized indexes."""
+    from nfl_predictions_spark.operators.similarity import q212_ivf_recall
+
+    rows = q212_ivf_recall(spark, SF_SMOKE).collect()
+    recalls = [r["recall"] for r in rows]
+    assert len(recalls) == 5
+    assert min(recalls) >= 0.5
+    assert sum(recalls) / len(recalls) >= 0.7
