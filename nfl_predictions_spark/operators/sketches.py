@@ -80,3 +80,107 @@ def q80_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — Count-Min sketch heavy hitters (deterministic, fully oracled)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _cms_bucket(col, j: int):
+    """Row-j bucket for a token: 8-hex-char md5 prefix mod width — the
+    same engine-neutral hash family the SimHash/Bloom oracles use, so
+    DuckDB reproduces the sketch cell-for-cell."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f":{j}"))), 1, 8), 16, 10
+        ).cast("long")
+        % _CMS_WIDTH
+    )
+
+
+def _cms_oracle() -> str:
+    rows = ", ".join(str(j) for j in range(_CMS_DEPTH))
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ), tk AS (SELECT t FROM tok WHERE t <> ''),
+    cells AS (
+      SELECT j, CAST(('0x' || substring(md5(t || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                % {_CMS_WIDTH} AS bucket,
+             count(*) AS c
+      FROM tk, (SELECT unnest([{rows}]) AS j)
+      GROUP BY j, bucket
+    ),
+    exact AS (
+      SELECT t, count(*) AS exact_cnt FROM tk GROUP BY t
+      ORDER BY exact_cnt DESC, t LIMIT 20
+    ),
+    est AS (
+      SELECT e.t, e.exact_cnt, min(c.c) AS cms_est
+      FROM exact e, (SELECT unnest([{rows}]) AS j) js
+      JOIN cells c
+        ON c.j = js.j
+       AND c.bucket = CAST(('0x' || substring(md5(e.t || ':' || CAST(js.j AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % {_CMS_WIDTH}
+      GROUP BY e.t, e.exact_cnt
+    )
+    SELECT t AS token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+    FROM est ORDER BY exact_cnt DESC, token
+    """
+
+
+@_q("q213_countmin_heavy_hitters", _cms_oracle())
+def q213_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the token stream + heavy-hitter readout.
+
+    The sketch is a {_CMS_DEPTH} x {_CMS_WIDTH} counter grid — a plain
+    groupBy(j, bucket) count, so Spark's partial aggregation IS the
+    mergeable-sketch property: each partition combines map-side into at
+    most depth*width cells and the shuffle moves O(1024) rows per
+    partition regardless of corpus size (the whole point at 100 TB —
+    the raw token stream never shuffles to BUILD the sketch; the exact
+    top-20 side here is the certifier you run once at small scale, the
+    q167-recall pattern). Heavy-hitter estimates read
+    min over depth rows; CMS guarantees est >= exact, pinned in tests
+    and visible as the non-negative `overcount` column. Deterministic
+    md5 bucket hashes make the full grid cross-engine reproducible, so
+    unlike the HLL entries this sketch is value-oracled cell-for-cell.
+    """
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    buckets = F.array(*[_cms_bucket(F.col("t"), j) for j in range(_CMS_DEPTH)])
+    cells = (
+        tok.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("t"))
+        .limit(20)
+    )
+    probes = exact.select(
+        "t", "exact_cnt", F.posexplode(buckets).alias("j", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("t", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            F.col("t").alias("token"),
+            F.col("exact_cnt").cast("long"),
+            F.col("cms_est").cast("long"),
+            (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+    )

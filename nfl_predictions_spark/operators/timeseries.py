@@ -1437,3 +1437,85 @@ def q210_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 — per-key EWMA (exponentially-weighted moving average)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+def _ewma_oracle() -> str:
+    a = _EWMA_ALPHA
+    return f"""
+    WITH RECURSIVE h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, hr
+    ), r AS (
+      SELECT event_type, hr, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+      FROM h
+    ), e AS (
+      SELECT event_type, rn, hr, v, v AS ew FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.rn, r.hr, r.v,
+             {a} * r.v + {1 - a} * e.ew
+      FROM e JOIN r ON r.event_type = e.event_type AND r.rn = e.rn + 1
+    )
+    SELECT event_type, CAST(hr AS TIMESTAMP) AS hr, v,
+           floor(ew * 1e6 + 0.5) / 1e6 AS ewma
+    FROM e ORDER BY event_type, hr
+    """
+
+
+@_q("q214_ewma_smoothing", _ewma_oracle())
+def q214_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EWMA over the hourly rollup: e_t = a*v_t + (1-a)*e_{t-1}
+    — the classic streaming smoother / online feature.
+
+    A linear recurrence has no fixed-window frame, so it is not a Spark
+    window function; the closed form sum a(1-a)^(t-i) v_i overflows for
+    long series if rearranged. Instead: aggregate to the (key, hour)
+    grain first (decimal-exact, shrinks data before any Python), then
+    one ``applyInPandas`` scan per key computes the recurrence in
+    arrival order. At 100 TB the rollup is the only corpus-sized
+    shuffle; the recurrence touches one (key-partitioned) pass of
+    bounded per-key series. Cross-engine exactness: the hourly value
+    rides a DECIMAL(18,6) sum, and both engines then run the IDENTICAL
+    IEEE sequence (a*v + (1-a)*e, emitted via floor(x*1e6+0.5)), so the
+    recursive-CTE oracle matches hash-exact — no tolerance.
+    """
+    import math
+
+    import pandas as pd
+
+    a = _EWMA_ALPHA
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+
+    def recur(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hr").reset_index(drop=True)
+        ew = 0.0
+        out = []
+        for i, v in enumerate(pdf["v"]):
+            ew = v if i == 0 else a * v + (1 - a) * ew
+            out.append(math.floor(ew * 1e6 + 0.5) / 1e6)
+        pdf["ewma"] = out
+        return pdf
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(recur, schema="event_type string, hr timestamp, v double, ewma double")
+        .orderBy("event_type", "hr")
+    )

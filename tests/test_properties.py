@@ -74,3 +74,14 @@ def test_dsum_partitioning_invariant(spark, xs):
     a = one.agg(dsum("x", 6).alias("s")).first().s
     b = many.agg(dsum("x", 6).alias("s")).first().s
     assert a == b
+
+
+def test_cms_never_underestimates(spark):
+    """Count-Min's one-sided error guarantee: every estimate >= exact."""
+    from nfl_predictions_spark.operators.sketches import q213_countmin_heavy_hitters
+    from tests.conftest import SF_SMOKE
+
+    rows = q213_countmin_heavy_hitters(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
