@@ -24,7 +24,7 @@ Oracle: DuckDB recursive CTE computing min reachable node id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES: dict = {}
@@ -496,4 +496,100 @@ def q145_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         bfs_levels(pairs, "d1", "d2", seed)
         .select(F.col("id").alias("doc_id"), "level")
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q215 — label propagation communities (synchronous, fixed rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    l0 AS (SELECT DISTINCT a AS id, a AS lab FROM edges)"""
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f"""
+    , c{r} AS (
+      SELECT e.b AS id, l.lab, count(*) AS c
+      FROM edges e JOIN l{r - 1} l ON l.id = e.a
+      GROUP BY e.b, l.lab
+    ), l{r} AS (
+      SELECT id, lab FROM (
+        SELECT id, lab,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS size
+    FROM l{_LPA_ROUNDS} GROUP BY lab
+    ORDER BY size DESC, community LIMIT 25
+    """
+    )
+    return "".join(parts)
+
+
+@_q("q215_label_propagation", _lpa_oracle())
+def q215_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-purchase part graph (q95's edge set): each round every node
+    adopts the most frequent label among its neighbors (ties to the
+    smallest label — the determinism LPA needs to be testable at all).
+    Fixed {_LPA_ROUNDS} rounds, so the oracle is the same computation
+    unrolled in SQL — no RNG, no convergence race.
+
+    Dataflow per round = one equi-join (edges x labels, both keyed on
+    node id) + one count + one per-node argmax window; localCheckpoint
+    cuts lineage between rounds exactly like q95. At 100 TB the edge
+    table pre-buckets by src so every round reuses one partitioning;
+    label tables are node-sized, not edge-sized. Unlike q66 (connected
+    components = min-label to fixpoint), mode-propagation finds DENSE
+    regions, not mere reachability."""
+    from nfl_predictions_spark.sources.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "lab", F.col("id")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges.a == labels.id)
+            .select(F.col("b").alias("id"), "lab")
+            .groupBy("id", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(25)
     )

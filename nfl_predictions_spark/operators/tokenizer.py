@@ -224,3 +224,181 @@ def q162_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — unigram-vocabulary Viterbi tokenization (SentencePiece-flavored)
+# ---------------------------------------------------------------------------
+#
+# BPE (q160/q162) learns merges bottom-up; the unigram family goes the
+# other way: fix a piece vocabulary, then segment each word OPTIMALLY
+# against it. This implements the segmentation step with a deterministic
+# integer objective — minimize piece count, tie-break by maximal summed
+# piece frequency, then lexicographic segmentation — so the DuckDB
+# oracle can certify the distributed Viterbi DP by EXHAUSTIVE
+# enumeration of every segmentation (recursive CTE) and picking the same
+# optimum. Integer costs dodge the cross-engine log() ulp problem a
+# -log(p) objective would have.
+
+_UNI_MIN_WLEN = 3
+_UNI_MAX_WLEN = 12
+_UNI_MAX_PIECE = 4
+_UNI_TOPK = 150
+_UNI_OUT = 30
+
+
+def _unigram_oracle() -> str:
+    return f"""
+    WITH RECURSIVE wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE len(w) BETWEEN {_UNI_MIN_WLEN} AND {_UNI_MAX_WLEN}
+      GROUP BY w
+    ), mp AS (
+      SELECT piece, CAST(sum(f) AS BIGINT) AS c
+      FROM (
+        SELECT substring(w, i, l) AS piece, f
+        FROM (
+          SELECT w, f, l, unnest(generate_series(1, len(w) - l + 1)) AS i
+          FROM wf, (SELECT unnest(generate_series(1, {_UNI_MAX_PIECE})) AS l)
+          WHERE len(w) >= l
+        )
+      ) GROUP BY piece
+    ), vocab AS (
+      SELECT piece, c FROM mp WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, c FROM (
+        SELECT piece, c FROM mp WHERE len(piece) >= 2
+        ORDER BY c DESC, piece LIMIT {_UNI_TOPK}
+      )
+    ), tw AS (
+      SELECT w, f FROM wf ORDER BY f DESC, w LIMIT {_UNI_OUT}
+    ), rec AS (
+      SELECT w, 0 AS pos, 0 AS n, CAST(0 AS BIGINT) AS fs, '' AS seg FROM tw
+      UNION ALL
+      SELECT r.w, r.pos + len(v.piece), r.n + 1, r.fs + v.c,
+             CASE WHEN r.seg = '' THEN v.piece
+                  ELSE r.seg || '|' || v.piece END
+      FROM rec r JOIN vocab v
+        ON substring(r.w, r.pos + 1, len(v.piece)) = v.piece
+    ), complete AS (
+      SELECT w, n, fs, seg FROM rec WHERE pos = len(w)
+    ), best AS (
+      SELECT w, n, fs, seg,
+             row_number() OVER (PARTITION BY w
+                                ORDER BY n ASC, fs DESC, seg ASC) AS rn
+      FROM complete
+    )
+    SELECT t.w AS word, t.f AS freq, CAST(b.n AS BIGINT) AS n_pieces,
+           b.fs AS piece_freq_sum, b.seg AS seg
+    FROM tw t JOIN best b ON b.w = t.w AND b.rn = 1
+    ORDER BY freq DESC, word
+    """
+
+
+@_q("q216_unigram_viterbi_tokenize", _unigram_oracle())
+def q216_unigram_viterbi_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal-segmentation tokenization against a learned unigram piece
+    vocabulary: top-{_UNI_TOPK} multi-char substrings (length 2-4) by
+    corpus-weighted frequency plus all single chars; each word is then
+    segmented by Viterbi DP minimizing (piece count, -freq sum, seg).
+
+    Distribution: the corpus collapses to the word-frequency table once
+    (the same trainer decomposition as BPE); the vocabulary is a bounded
+    top-K (collected + broadcast, like q105's vocab); Viterbi runs as
+    one Arrow-batched pass over the distinct-word table — per-word cost
+    O(len * {_UNI_MAX_PIECE}) dict probes, embarrassingly parallel, no
+    shuffle after the word-freq groupBy. At 100 TB every stage is
+    vocabulary-sized except the first corpus scan.
+
+    Certification: the oracle re-derives the vocabulary in SQL and then
+    certifies the DP by EXHAUSTIVE enumeration — a recursive CTE walks
+    every possible segmentation of each reported word (bounded: <=1705
+    paths for a 12-char word with pieces <=4) and ranks by the identical
+    integer objective. Efficient algorithm vs brute-force ground truth,
+    value-hash equal.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(
+            (F.length("w") >= _UNI_MIN_WLEN) & (F.length("w") <= _UNI_MAX_WLEN)
+        )
+    )
+    wf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    wf = wf.localCheckpoint(eager=True)  # scanned 3x below: pieces, rank, DP
+
+    ls = F.explode(F.sequence(F.lit(1), F.lit(_UNI_MAX_PIECE))).alias("l")
+    pieces = (
+        wf.select("w", "f", ls)
+        .filter(F.length("w") >= F.col("l"))
+        .select(
+            "w",
+            "f",
+            "l",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - F.col("l") + 1)
+            ).alias("i"),
+        )
+        .select(F.expr("substring(w, i, l)").alias("piece"), "f")
+        .groupBy("piece")
+        .agg(F.sum("f").alias("c"))
+    )
+    singles = pieces.filter(F.length("piece") == 1)
+    multi = (
+        pieces.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("c"), F.asc("piece"))
+        .limit(_UNI_TOPK)
+    )
+    vocab = {
+        r["piece"]: int(r["c"]) for r in singles.unionByName(multi).collect()
+    }
+    bvocab = spark.sparkContext.broadcast(vocab)
+
+    def viterbi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        voc = bvocab.value
+        for pdf in batches:
+            out = {"word": [], "freq": [], "n_pieces": [], "piece_freq_sum": [], "seg": []}
+            for w, f in zip(pdf["w"], pdf["f"]):
+                L = len(w)
+                # best[i] = (n, -fs, seg) for w[:i]; tuple order IS the
+                # objective. Lexicographic tie-break is sound because
+                # competing prefixes of equal (n, fs) have equal length
+                # (same chars, same '|' count), so extension preserves
+                # their order.
+                best = [None] * (L + 1)
+                best[0] = (0, 0, "")
+                for i in range(1, L + 1):
+                    cands = []
+                    for l in range(1, min(_UNI_MAX_PIECE, i) + 1):
+                        p = w[i - l : i]
+                        c = voc.get(p)
+                        if c is None or best[i - l] is None:
+                            continue
+                        n, nfs, seg = best[i - l]
+                        cands.append(
+                            (n + 1, nfs - c, seg + "|" + p if seg else p)
+                        )
+                    if cands:
+                        best[i] = min(cands)
+                n, nfs, seg = best[L]
+                out["word"].append(w)
+                out["freq"].append(int(f))
+                out["n_pieces"].append(n)
+                out["piece_freq_sum"].append(-nfs)
+                out["seg"].append(seg)
+            yield pd.DataFrame(out)
+
+    segmented = wf.mapInPandas(
+        viterbi,
+        schema="word string, freq long, n_pieces long, piece_freq_sum long, seg string",
+    )
+    return (
+        segmented.orderBy(F.desc("freq"), F.asc("word"))
+        .limit(_UNI_OUT)
+        .orderBy(F.desc("freq"), F.asc("word"))
+    )
