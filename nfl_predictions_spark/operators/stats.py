@@ -1197,3 +1197,98 @@ def q208_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type", "n", (F.round(r1, 6) + F.lit(0.0)).alias("r1")
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q217 — grouped Theil–Sen robust slope
+# ---------------------------------------------------------------------------
+
+
+def _theilsen_oracle() -> str:
+    return """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY event_type, day
+    ), x AS (
+      SELECT event_type, datediff('day', DATE '1970-01-01', day) AS x, y FROM d
+    ), p AS (
+      SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS s, a.x AS xi, b.x AS xj
+      FROM x a JOIN x b ON a.event_type = b.event_type AND a.x < b.x
+    ), r AS (
+      SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type ORDER BY s, xi, xj) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM p
+    ), n AS (SELECT event_type, count(*) AS np FROM x GROUP BY event_type)
+    SELECT r.event_type, CAST(n.np AS BIGINT) AS n_points,
+           CAST(r.m AS BIGINT) AS n_pairs, r.s AS ts_slope
+    FROM r JOIN n ON n.event_type = r.event_type
+    WHERE r.rn = (r.m + 1) // 2
+    ORDER BY r.event_type
+    """
+
+
+@_q("q217_theilsen_slope", _theilsen_oracle())
+def q217_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate per event_type: the (lower)
+    median of all pairwise slopes of the daily series — the
+    breakdown-point-0.29 alternative to q137's least-squares line,
+    immune to the outliers OLS chases.
+
+    Shape: aggregate to the daily grain first (decimal-exact sums, so
+    both engines start from identical doubles), THEN pair — the
+    quadratic blowup happens on the rolled-up series (~n_days^2 per
+    key, bounded), never on raw events, and the self-join keys on
+    event_type so pairs stay partition-local. The median slope is a
+    SELECTED element (rank (m+1)/2 with (xi,xj) tie-break), not an
+    average — no FP summation, the exact bit pattern survives to the
+    output, hash-equal cross-engine with no rounding at all.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("y")
+        )
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("x"),
+            "y",
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.x") < F.col("b.x")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("s"),
+            F.col("a.x").alias("xi"),
+            F.col("b.x").alias("xj"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("s", "xi", "xj")
+    wc = Window.partitionBy("event_type")
+    npts = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_points"))
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(wc)
+    )
+    return (
+        ranked.filter(F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        .join(npts, "event_type")
+        .select(
+            "event_type",
+            F.col("n_points").cast("long"),
+            F.col("m").cast("long").alias("n_pairs"),
+            F.col("s").alias("ts_slope"),
+        )
+        .orderBy("event_type")
+    )
