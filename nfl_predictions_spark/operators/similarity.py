@@ -1094,3 +1094,168 @@ def q212_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q212_ivf_recall"] = q212_ivf_recall
+
+
+# ---------------------------------------------------------------------------
+# q219 — product-quantization ANN (ADC shortlist + exact rerank)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = _DIM // _PQ_M  # dims per subspace
+_PQ_K = 16  # codes per subspace -> 4 bits; a vector compresses to 2 bytes
+_PQ_SHORTLIST = 50
+
+
+_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+subs AS (
+  SELECT vec_id, j,
+         list_slice(emb, j * {_PQ_SUB} + 1, (j + 1) * {_PQ_SUB}) AS sub
+  FROM e, js
+),
+codes AS (SELECT vec_id AS code, j, sub AS cvec FROM subs WHERE vec_id < {_PQ_K}),
+assign AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, c.code,
+      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+        round(list_dot_product(s.sub, s.sub)
+              - 2 * list_dot_product(s.sub, c.cvec)
+              + list_dot_product(c.cvec, c.cvec), 6) ASC, c.code ASC) AS rn
+    FROM subs s JOIN codes c ON c.j = s.j
+  ) WHERE rn = 1
+),
+dtab AS (
+  SELECT s.vec_id AS qid, s.j, c.code,
+         CAST(round(list_dot_product(s.sub, s.sub)
+                    - 2 * list_dot_product(s.sub, c.cvec)
+                    + list_dot_product(c.cvec, c.cvec), 6)
+              AS DECIMAL(18,6)) AS dterm
+  FROM subs s JOIN codes c ON c.j = s.j
+  WHERE s.vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT d.qid, a.vec_id AS cid, sum(d.dterm) AS approx
+  FROM assign a JOIN dtab d ON d.j = a.j AND d.code = a.code
+  GROUP BY d.qid, a.vec_id
+),
+short AS (
+  SELECT qid, cid, approx FROM (
+    SELECT qid, cid, approx,
+      row_number() OVER (PARTITION BY qid ORDER BY approx ASC, cid ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {_PQ_SHORTLIST}
+),
+rr AS (
+  SELECT s.qid, s.cid, s.approx,
+    list_dot_product(q.emb, c.emb)
+      / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb)))
+      AS cos
+  FROM short s JOIN e q ON q.vec_id = s.qid JOIN e c ON c.vec_id = s.cid
+),
+r AS (
+  SELECT qid, cid, cos, approx,
+    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
+  FROM rr
+)
+SELECT qid, cid, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn,
+       CAST(approx AS DOUBLE) AS pq_d2
+FROM r WHERE rn <= {_TOP_K} ORDER BY qid, rn
+"""
+
+
+@_q("q219_pq_ann", _PQ_ORACLE)
+def q219_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: each vector is encoded as {_PQ_M}
+    4-bit codes (one per {_PQ_SUB}-dim subspace, nearest of {_PQ_K}
+    deterministic medoid codes), queries score candidates by asymmetric
+    distance (ADC — sum of precomputed query-to-code subdistances), and
+    the top-{_PQ_SHORTLIST} shortlist is reranked with EXACT cosine.
+
+    This is the memory story the other ANN tiers lack: 64 float32 dims
+    (256 B) compress to {_PQ_M * 4} bits per vector, so a 100 TB vector
+    store's index fits in RAM; scan cost per query is a lookup-table sum
+    (the {_PQ_M}x{_PQ_K} dtab is broadcast), and only the shortlist ever
+    touches raw vectors. Deterministic medoid codebooks (first {_PQ_K}
+    vectors' subvectors — q41e's trick) make encoding SQL-expressible,
+    so unlike every real PQ library this one is value-oracled
+    end-to-end: assignment ranks on round-6 subdistances, ADC rides
+    exact DECIMAL sums (summation order cannot flip the shortlist), and
+    the rerank reuses q41's cosine parity. Recall floor vs exact truth
+    pinned in tests/test_northstar.py::test_pq_recall_certified.
+    """
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    jarr = F.explode(F.array(*[F.lit(j) for j in range(_PQ_M)])).alias("j")
+    subs = emb.select("vec_id", "emb", jarr).select(
+        "vec_id",
+        "j",
+        F.slice(F.col("emb"), F.col("j") * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
+    )
+    codes = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "j", F.col("sub").alias("cvec")
+    )
+
+    d2 = (
+        _dot(F.col("sub"), F.col("sub"))
+        - 2 * _dot(F.col("sub"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
+    )
+    assign = (
+        subs.join(F.broadcast(codes), "j")
+        .select(
+            "vec_id",
+            "j",
+            F.struct(F.round(d2, 6).alias("d"), F.col("code")).alias("dc"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "j", F.col("best.code").alias("code"))
+    )
+    dtab = (
+        subs.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(codes), "j")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "j",
+            "code",
+            F.round(d2, 6).cast("decimal(18,6)").alias("dterm"),
+        )
+    )
+    adc = (
+        assign.join(F.broadcast(dtab), ["j", "code"])
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("dterm").alias("approx"))
+    )
+    ws = Window.partitionBy("qid").orderBy(F.asc("approx"), F.asc("cid"))
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= _PQ_SHORTLIST)
+        .select("qid", "cid", "approx")
+    )
+    qfull = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    cand = (
+        short.join(emb, short.cid == emb.vec_id)
+        .join(F.broadcast(qfull), "qid")
+        .select("qid", "cid", "approx", F.col("emb").alias("ce"), "qe")
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (
+        _norm(F.col("qe")) * _norm(F.col("ce"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("cos_raw", 6)), F.asc("cid"))
+    return (
+        cand.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "qid",
+            "cid",
+            F.round("cos_raw", 6).alias("cos"),
+            "rn",
+            F.col("approx").cast("double").alias("pq_d2"),
+        )
+        .orderBy("qid", "rn")
+    )

@@ -896,3 +896,76 @@ def q151_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_docs"), "t1", "t2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — n-gram novelty accounting (first-occurrence credit per source)
+# ---------------------------------------------------------------------------
+
+
+def _novelty_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _SHINGLE_SQL
+
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM tok WHERE len(ts) >= 3),
+    ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+    fo AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s),
+    per AS (
+      SELECT e.doc_id, count(*) AS ns,
+             sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS novel
+      FROM ex e JOIN fo f ON f.s = e.s GROUP BY e.doc_id
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.ns) AS BIGINT) AS total_shingles,
+           CAST(sum(p.novel) AS BIGINT) AS novel_shingles,
+           CAST(sum(p.novel) AS DOUBLE) / sum(p.ns) AS novelty_rate
+    FROM per p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@_q("q218_ngram_novelty", _novelty_oracle())
+def q218_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which source actually contributes NEW content? Every distinct
+    3-gram is credited to the earliest doc_id containing it; a doc's
+    novelty is the fraction of its shingles it introduced, rolled up per
+    source — the dedup-aware counterpart of raw size when weighing
+    corpus mixtures (a source can be huge and still add nothing).
+
+    Plan: one shuffle keyed on the shingle computes first-occurrence
+    (min over doc_id, map-side combinable); the credit join reuses the
+    SAME shingle partitioning (ReusedExchange, no second corpus
+    shuffle); per-doc and per-source rollups are each one further
+    aggregation, the last over a |sources|-sized frame. Novelty rates
+    are BIGINT/BIGINT single divisions — cross-engine exact, no
+    rounding, no tolerance.
+    """
+    from nfl_predictions_spark.operators.dedup import shingle_rows
+
+    docs = table(spark, sf_dir, "documents")
+    ex = shingle_rows(docs)
+    fo = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        ex.join(fo, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    return (
+        per.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ns").cast("long").alias("total_shingles"),
+            F.sum("novel").cast("long").alias("novel_shingles"),
+            (
+                F.sum("novel").cast("double") / F.sum("ns")
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )

@@ -486,3 +486,21 @@ def test_ivf_recall_certified(spark):
     assert len(recalls) == 5
     assert min(recalls) >= 0.5
     assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_pq_recall_certified(spark):
+    """PQ+rerank recall@10 vs exact truth: the 2-byte-code index with a
+    50-candidate exact rerank must keep most of the true top-10."""
+    from nfl_predictions_spark.operators.similarity import (
+        q41_ann_topk,
+        q219_pq_ann,
+        recall_vs_exact,
+    )
+
+    rows = recall_vs_exact(
+        q41_ann_topk(spark, SF_SMOKE), q219_pq_ann(spark, SF_SMOKE)
+    ).collect()
+    recalls = [r["recall"] for r in rows]
+    assert len(recalls) == 5
+    assert min(recalls) >= 0.4
+    assert sum(recalls) / len(recalls) >= 0.6
