@@ -25,7 +25,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nfl_predictions_spark.sources.tables import table
@@ -797,5 +797,107 @@ def q174_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
         .filter(jac >= _SN_THRESHOLD)
         .select("d1", "d2", F.round(jac, 6).alias("jac"))
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220 — mutual nearest-neighbor pairs (reciprocal best match)
+# ---------------------------------------------------------------------------
+
+
+def _mutual_nn_oracle() -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM tok WHERE len(ts) >= 3),
+    ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    und AS (SELECT d1 AS a, d2 AS b, i FROM inter
+            UNION ALL SELECT d2, d1, i FROM inter),
+    jacs AS (
+      SELECT u.a, u.b,
+             round(u.i * 1.0 / (s1.sz + s2.sz - u.i), 6) AS jac
+      FROM und u
+      JOIN sizes s1 ON s1.doc_id = u.a
+      JOIN sizes s2 ON s2.doc_id = u.b
+    ),
+    best AS (
+      SELECT a, b, jac,
+             row_number() OVER (PARTITION BY a ORDER BY jac DESC, b ASC) AS rn
+      FROM jacs
+    )
+    SELECT x.a AS d1, x.b AS d2, x.jac AS jac
+    FROM best x JOIN best y ON y.a = x.b AND y.b = x.a
+    WHERE x.rn = 1 AND y.rn = 1 AND x.a < x.b
+    ORDER BY d1, d2
+    """
+
+
+@_q("q220_mutual_nn_pairs", _mutual_nn_oracle())
+def q220_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best match: pairs of documents that are each other's
+    single nearest neighbor by exact 3-gram Jaccard — the
+    entity-resolution / record-linkage primitive (mutual-NN is the
+    standard high-precision pairing rule before any threshold tuning,
+    and the building block of hubness-robust matching).
+
+    Same inverted-index candidate generation as q39b (pairs must share
+    a shingle; disjoint docs never materialize), then one per-doc argmax
+    window over the candidate edges (round-6 Jaccard, neighbor-id
+    tie-break — cross-engine stable) and a self-join of the two argmax
+    directions. At scale the candidate edge set is the bottleneck and
+    it is exactly q39b's — everything after is edge-sized.
+    """
+    ex = shingle_rows(table(spark, sf_dir, "documents"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    und = inter.select(
+        F.col("d1").alias("a"), F.col("d2").alias("b"), "i"
+    ).unionByName(
+        inter.select(F.col("d2").alias("a"), F.col("d1").alias("b"), "i")
+    )
+    jacs = (
+        und.join(sizes.alias("s1"), F.col("a") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("b") == F.col("s2.doc_id"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("i") / (F.col("s1.sz") + F.col("s2.sz") - F.col("i")), 6
+            ).alias("jac"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("jac"), F.asc("b"))
+    best = (
+        jacs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a", "b", "jac")
+    )
+    x, y = best.alias("x"), best.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("y.a") == F.col("x.b")) & (F.col("y.b") == F.col("x.a")),
+        )
+        .filter(F.col("x.a") < F.col("x.b"))
+        .select(
+            F.col("x.a").alias("d1"),
+            F.col("x.b").alias("d2"),
+            F.col("x.jac").alias("jac"),
+        )
         .orderBy("d1", "d2")
     )

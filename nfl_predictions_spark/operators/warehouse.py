@@ -637,3 +637,126 @@ def q180_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# q221 — incremental MV maintenance WITH retractions (insert/update/delete)
+# ---------------------------------------------------------------------------
+
+
+def _mv_retraction_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  AND o_orderdate < TIMESTAMP '{_DIFF_BASE_END}'
+                  THEN CAST(floor(o_totalprice * 1.1 * 100 + 0.5) AS BIGINT)
+                  ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             END AS cents
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_DIFF_CURR_END}' AND o_orderkey % 11 <> 0
+    )
+    SELECT n.n_name AS nation,
+           CAST(sum(b.cents) AS DOUBLE) / 100.0 AS total_rev,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM b
+    JOIN customer c ON c.c_custkey = b.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """
+
+
+@_q("q221_mv_retraction", _mv_retraction_oracle())
+def q221_mv_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full incremental view maintenance: the per-nation revenue view is
+    kept current under INSERTS, UPDATES, and DELETES by applying q170's
+    CDC diff as signed retractions — V_new = V_base + Agg(+new inserts)
+    + Agg(new-old updates) - Agg(-old deletes) — the complete
+    change-propagation algebra (q164 covers the append-only half).
+
+    The oracle recomputes the view from the current snapshot directly,
+    so a value-hash match PROVES the retraction algebra equals
+    recompute. Money rides integer CENTS (floor(p*100+0.5), and the
+    10% bump as floor(p*1.1*100+0.5) — the identical IEEE sequence in
+    both engines), so +/- contributions cancel EXACTLY; SUM/COUNT are
+    self-maintainable aggregates, which is what makes this O(|delta|)
+    per refresh at 100 TB while the oracle's recompute is O(|table|).
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base_end = F.lit(_DIFF_BASE_END).cast("timestamp")
+    curr_end = F.lit(_DIFF_CURR_END).cast("timestamp")
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    bumped = F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5).cast("long")
+
+    snap_a = orders.where(F.col("o_orderdate") < base_end).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_custkey").alias("ck"),
+        cents.alias("cents"),
+    )
+    snap_b = orders.where(
+        (F.col("o_orderdate") < curr_end) & (F.col("o_orderkey") % 11 != 0)
+    ).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_custkey").alias("ck"),
+        F.when(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderdate") < base_end),
+            bumped,
+        )
+        .otherwise(cents)
+        .alias("cents"),
+    )
+
+    def to_nation(df: DataFrame) -> DataFrame:
+        return df.join(cust, df.ck == cust.c_custkey).join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+
+    v_base = (
+        to_nation(snap_a)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n"))
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    diff = a.join(b, F.col("a.pk") == F.col("b.pk"), "full_outer").select(
+        F.coalesce(F.col("a.ck"), F.col("b.ck")).alias("ck"),
+        # signed retraction contribution: insert +new, delete -old,
+        # update new-old, unchanged 0 (exact integer cancellation)
+        (
+            F.coalesce(F.col("b.cents"), F.lit(0))
+            - F.coalesce(F.col("a.cents"), F.lit(0))
+        ).alias("dcents"),
+        F.when(F.col("a.pk").isNull(), 1)
+        .when(F.col("b.pk").isNull(), -1)
+        .otherwise(0)
+        .alias("dn"),
+    )
+    v_delta = (
+        to_nation(diff)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("dcents").alias("dcents"), F.sum("dn").alias("dn"))
+    )
+    vb, vd = v_base.alias("vb"), v_delta.alias("vd")
+    return (
+        vb.join(vd, F.col("vb.nation") == F.col("vd.nation"), "full_outer")
+        .select(
+            F.coalesce(F.col("vb.nation"), F.col("vd.nation")).alias("nation"),
+            (
+                F.coalesce(F.col("vb.cents"), F.lit(0))
+                + F.coalesce(F.col("vd.dcents"), F.lit(0))
+            ).alias("cents"),
+            (
+                F.coalesce(F.col("vb.n"), F.lit(0))
+                + F.coalesce(F.col("vd.dn"), F.lit(0))
+            ).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "nation",
+            (F.col("cents").cast("double") / 100.0).alias("total_rev"),
+            F.col("n_orders").cast("long"),
+        )
+        .orderBy("nation")
+    )
