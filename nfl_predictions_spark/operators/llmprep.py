@@ -1480,3 +1480,101 @@ def q190_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — temperature-balanced language sampling (mT5/XLM-R mixture)
+# ---------------------------------------------------------------------------
+
+_TB_TAU_SQRT = True  # tau = 0.5 -> weight = sqrt(count)
+_TB_TARGET = 200
+
+
+def _temp_balance_oracle() -> str:
+    n = _TB_TARGET
+    return f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n, CAST(round(sqrt(n), 6) AS DECIMAL(18,6)) AS wt FROM c
+    ), tot AS (SELECT sum(wt) AS tw FROM w),
+    t AS (
+      SELECT lang, n,
+             CAST(floor({n} * (CAST(wt AS DOUBLE) / CAST(tw AS DOUBLE)) + 0.5)
+                  AS BIGINT) AS target
+      FROM w CROSS JOIN tot
+    ), r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':bal'), doc_id) AS rn
+      FROM documents
+    ), p AS (
+      SELECT r.lang, CAST(count(*) AS BIGINT) AS picked_n,
+             CAST(sum(r.doc_id) AS BIGINT) AS key_sum
+      FROM r JOIN t ON t.lang = r.lang AND r.rn <= t.target
+      GROUP BY r.lang
+    )
+    SELECT t.lang, t.n AS n_docs, t.target AS target_n,
+           coalesce(p.picked_n, 0) AS picked_n,
+           coalesce(p.key_sum, 0) AS key_sum
+    FROM t LEFT JOIN p ON p.lang = t.lang
+    ORDER BY t.lang
+    """
+
+
+@_q("q223_temperature_balance", _temp_balance_oracle())
+def q223_temperature_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced multilingual sampling (tau = 0.5): per-lang
+    budgets proportional to count^tau — the mT5/XLM-R recipe that
+    up-weights rare languages so the head language cannot drown them —
+    then a deterministic md5-ranked pick of exactly that many docs per
+    language (q108's RNG-free selection idiom; key_sum proves both
+    engines picked the IDENTICAL documents, not just the same counts).
+
+    Numerics: sqrt(n) is correctly rounded IEEE (engine-identical),
+    quantized to DECIMAL(18,6) so the weight TOTAL is order-independent;
+    the budget share is one double division + half-up floor. Shape: two
+    scans of the lang-sized aggregate + one window over the corpus
+    partitioned by lang — the rank is the only corpus-wide work, and it
+    keys on the same lang partitioning the output needs anyway.
+    """
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = c.withColumn("wt", F.round(F.sqrt(F.col("n")), 6).cast("decimal(18,6)"))
+    tot = w.agg(F.sum("wt").alias("tw"))
+    t = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.floor(
+            F.lit(_TB_TARGET)
+            * (F.col("wt").cast("double") / F.col("tw").cast("double"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("target"),
+    )
+    rw = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bal"))),
+        F.asc("doc_id"),
+    )
+    r = docs.select("lang", "doc_id").withColumn("rn", F.row_number().over(rw))
+    p = (
+        r.join(F.broadcast(t.select("lang", "target")), "lang")
+        .filter(F.col("rn") <= F.col("target"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("picked_n"),
+            F.sum("doc_id").alias("key_sum"),
+        )
+    )
+    return (
+        t.join(p, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("target").alias("target_n"),
+            F.coalesce(F.col("picked_n"), F.lit(0)).cast("long").alias("picked_n"),
+            F.coalesce(F.col("key_sum"), F.lit(0)).cast("long").alias("key_sum"),
+        )
+        .orderBy("lang")
+    )

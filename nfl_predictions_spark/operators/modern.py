@@ -675,3 +675,70 @@ def q188_lateral_alias_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         args={"min_price": _Q188_MIN_PRICE},
     )
     return df.drop("price_d")
+
+
+# ---------------------------------------------------------------------------
+# q222 — mapInArrow partial aggregation (the 4th Python UDF shape)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q222_map_in_arrow",
+    "SELECT l_returnflag AS flag, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / 100.0 AS sum_price, "
+    "CAST(count(*) AS BIGINT) AS cnt "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY flag",
+)
+def q222_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-level Python UDF surface (raw
+    pyarrow RecordBatches, no pandas conversion), completing the UDF
+    coverage next to scalar q29, grouped-map q30, GROUPED_AGG q189 and
+    mapInPandas q43: each batch collapses to per-flag partial sums
+    inside Python, and a final flag-keyed groupBy merges the partials —
+    the hand-rolled map-side-combine every custom Arrow kernel needs,
+    because batch boundaries are nondeterministic and only
+    batch-ASSOCIATIVE outputs are reproducible. Money is integer cents
+    (computed JVM-side before the batch crosses to Python), so the
+    Python partials merge into the exact DECIMAL-class answer the
+    oracle computes; the shuffle carries <= 3 rows per batch.
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    src = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            grouped = tbl.group_by("flag").aggregate(
+                [("cents", "sum"), ("cents", "count")]
+            )
+            yield from pa.Table.from_arrays(
+                [
+                    grouped["flag"].combine_chunks(),
+                    grouped["cents_sum"].combine_chunks(),
+                    pc.cast(grouped["cents_count"].combine_chunks(), pa.int64()),
+                ],
+                names=["flag", "s", "n"],
+            ).to_batches()
+
+    return (
+        src.mapInArrow(partials, schema="flag string, s long, n long")
+        .groupBy("flag")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .select(
+            "flag",
+            (F.col("s").cast("double") / 100.0).alias("sum_price"),
+            F.col("n").cast("long").alias("cnt"),
+        )
+        .orderBy("flag")
+    )
