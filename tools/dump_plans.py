@@ -55,6 +55,14 @@ SHOWCASE = [
     ("q177_dataset_mixture", "mixture — per-class rank window, map-side report agg"),
     ("q179_scd2_pit_lookup", "PIT lookup — broadcast versioned dim, interval residual"),
     ("q181_quantized_ann_recall", "int8 ANN — integer dots, broadcast query vectors"),
+    # round 4
+    ("q213_countmin_heavy_hitters", "CMS — depth*width partial agg, O(1024) shuffle rows"),
+    ("q214_ewma_smoothing", "EWMA — decimal hourly rollup, per-key pandas recurrence"),
+    ("q216_unigram_viterbi_tokenize", "unigram DP — broadcast vocab, one Arrow pass"),
+    ("q218_ngram_novelty", "novelty — first-occurrence shuffle reused by credit join"),
+    ("q219_pq_ann", "PQ ANN — broadcast codebooks+dtab, shortlist-only rerank"),
+    ("q221_mv_retraction", "MV retraction — signed delta agg merged into base view"),
+    ("q223_temperature_balance", "temp mixture — lang-sized budgets, one rank window"),
 ]
 
 
