@@ -87,6 +87,20 @@ HEADLINE = [
     "q164_incremental_mv",
     "q165b_kmeans_arrow",
     "q166_constraint_audit",
+    # round-4 additions: sketches, EWMA, communities, unigram tokenizer,
+    # novelty, PQ index, MV retractions, Arrow UDF, language mixture
+    # (q220 mutual-NN stays out: its candidate set is the intentionally
+    # exact q39b edge set, a correctness baseline, not a production path)
+    "q213_countmin_heavy_hitters",
+    "q214_ewma_smoothing",
+    "q215_label_propagation",
+    "q216_unigram_viterbi_tokenize",
+    "q217_theilsen_slope",
+    "q218_ngram_novelty",
+    "q219_pq_ann",
+    "q221_mv_retraction",
+    "q222_map_in_arrow",
+    "q223_temperature_balance",
 ]
 
 _METRIC_FIELDS = {

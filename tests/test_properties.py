@@ -85,3 +85,54 @@ def test_cms_never_underestimates(spark):
     assert len(rows) == 20
     assert all(r["overcount"] >= 0 for r in rows)
     assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+
+
+def test_unigram_segmentation_reassembles_words(spark):
+    """Every q216 segmentation must concatenate back to its word, and
+    n_pieces must equal the piece count of seg."""
+    from nfl_predictions_spark.operators.tokenizer import (
+        q216_unigram_viterbi_tokenize,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q216_unigram_viterbi_tokenize(spark, SF_SMOKE).collect()
+    assert len(rows) == 30
+    for r in rows:
+        pieces = r["seg"].split("|")
+        assert "".join(pieces) == r["word"]
+        assert len(pieces) == r["n_pieces"]
+        assert all(1 <= len(p) <= 4 for p in pieces)
+
+
+def test_ewma_lies_between_series_extremes(spark):
+    """EWMA is a convex combination: every smoothed value must lie
+    within the running [min, max] envelope of its key's series."""
+    from nfl_predictions_spark.operators.timeseries import q214_ewma_smoothing
+    from tests.conftest import SF_SMOKE
+
+    rows = q214_ewma_smoothing(spark, SF_SMOKE).collect()
+    assert rows
+    env: dict = {}
+    for r in rows:  # rows arrive ordered by (event_type, hr)
+        lo, hi = env.get(r["event_type"], (r["v"], r["v"]))
+        lo, hi = min(lo, r["v"]), max(hi, r["v"])
+        assert lo - 1e-6 <= r["ewma"] <= hi + 1e-6
+        env[r["event_type"]] = (lo, hi)
+
+
+def test_mutual_nn_pairs_are_symmetric_subset_of_best(spark):
+    """q220 emits d1<d2 ordered pairs with Jaccard in (0, 1]."""
+    from nfl_predictions_spark.operators.dedup import q220_mutual_nn_pairs
+    from tests.conftest import SF_SMOKE
+
+    rows = q220_mutual_nn_pairs(spark, SF_SMOKE).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["d1"] < r["d2"]
+        assert 0 < r["jac"] <= 1.0
+        assert (r["d1"], r["d2"]) not in seen
+        seen.add((r["d1"], r["d2"]))
+        # mutual-NN pairing is a matching: no doc appears twice
+    docs = [d for p in seen for d in p]
+    assert len(docs) == len(set(docs))
