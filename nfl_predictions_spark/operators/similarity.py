@@ -1259,3 +1259,220 @@ def q219_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q224 — IVF+PQ composed index (coarse cells + compressed in-cell scan)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+m AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {_IVF_NLIST}),
+cella AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, m.cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_D2_DUCK.format(x='e.emb', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM e, m
+  ) WHERE rn = 1
+),
+js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+subs AS (
+  SELECT vec_id, j,
+         list_slice(emb, j * {_PQ_SUB} + 1, (j + 1) * {_PQ_SUB}) AS sub
+  FROM e, js
+),
+codes AS (SELECT vec_id AS code, j, sub AS cvec FROM subs WHERE vec_id < {_PQ_K}),
+pqa AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, c.code,
+      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+        round(list_dot_product(s.sub, s.sub)
+              - 2 * list_dot_product(s.sub, c.cvec)
+              + list_dot_product(c.cvec, c.cvec), 6) ASC, c.code ASC) AS rn
+    FROM subs s JOIN codes c ON c.j = s.j
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {_N_QUERIES}),
+probe AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, m.cell,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        round({_D2_DUCK.format(x='q.qe', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM q, m
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+dtab AS (
+  SELECT s.vec_id AS qid, s.j, c.code,
+         CAST(round(list_dot_product(s.sub, s.sub)
+                    - 2 * list_dot_product(s.sub, c.cvec)
+                    + list_dot_product(c.cvec, c.cvec), 6)
+              AS DECIMAL(18,6)) AS dterm
+  FROM subs s JOIN codes c ON c.j = s.j
+  WHERE s.vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT p.qid, ca.vec_id AS cid
+  FROM probe p JOIN cella ca ON ca.cell = p.cell
+),
+adc AS (
+  SELECT c.qid, c.cid, sum(d.dterm) AS approx
+  FROM cand c
+  JOIN pqa a ON a.vec_id = c.cid
+  JOIN dtab d ON d.qid = c.qid AND d.j = a.j AND d.code = a.code
+  GROUP BY c.qid, c.cid
+),
+short AS (
+  SELECT qid, cid, approx FROM (
+    SELECT qid, cid, approx,
+      row_number() OVER (PARTITION BY qid ORDER BY approx ASC, cid ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {_PQ_SHORTLIST}
+),
+rr AS (
+  SELECT s.qid, s.cid, s.approx,
+    list_dot_product(qv.emb, cv.emb)
+      / (sqrt(list_dot_product(qv.emb, qv.emb))
+         * sqrt(list_dot_product(cv.emb, cv.emb))) AS cos
+  FROM short s JOIN e qv ON qv.vec_id = s.qid JOIN e cv ON cv.vec_id = s.cid
+),
+r AS (
+  SELECT qid, cid, cos, approx,
+    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
+  FROM rr
+)
+SELECT qid, cid, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn,
+       CAST(approx AS DOUBLE) AS pq_d2
+FROM r WHERE rn <= {_TOP_K} ORDER BY qid, rn
+"""
+
+
+@_q("q224_ivfpq_ann", _IVFPQ_ORACLE)
+def q224_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production vector index (FAISS IVFPQ shape): a
+    coarse medoid quantizer partitions vectors into {_IVF_NLIST} cells
+    (q41e), each vector stores only its {_PQ_M}x4-bit PQ code (q219),
+    a query probes the {_IVF_NPROBE} nearest cells, scores ONLY those
+    cells' codes via the broadcast ADC lookup table, and exact-reranks
+    the top-{_PQ_SHORTLIST}.
+
+    This is the 100 TB architecture in full: the cell id is the
+    PARTITION key (a probe touches nprobe/nlist of storage), the scan
+    inside a cell reads 2-byte codes instead of 256-byte vectors
+    (~128x less I/O), and raw vectors are touched only for the
+    shortlist. Deterministic medoid cell centers + medoid codebooks
+    keep every stage SQL-expressible, so the whole composed index is
+    value-oracled end-to-end — recall floor vs exact truth in
+    tests/test_northstar.py::test_ivfpq_recall_certified.
+    """
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    med = emb.filter(F.col("vec_id") < _IVF_NLIST).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+    d2full = (
+        _dot(F.col("emb"), F.col("emb"))
+        - 2 * _dot(F.col("emb"), F.col("c"))
+        + _dot(F.col("c"), F.col("c"))
+    )
+    cella = (
+        emb.crossJoin(F.broadcast(med))
+        .select(
+            "vec_id",
+            F.struct(F.round(d2full, 6).alias("d"), F.col("cell")).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", F.col("best.cell").alias("cell"))
+    )
+    jarr = F.explode(F.array(*[F.lit(j) for j in range(_PQ_M)])).alias("j")
+    subs = emb.select("vec_id", "emb", jarr).select(
+        "vec_id",
+        "j",
+        F.slice(F.col("emb"), F.col("j") * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
+    )
+    codes = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "j", F.col("sub").alias("cvec")
+    )
+    d2sub = (
+        _dot(F.col("sub"), F.col("sub"))
+        - 2 * _dot(F.col("sub"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
+    )
+    pqa = (
+        subs.join(F.broadcast(codes), "j")
+        .select(
+            "vec_id",
+            "j",
+            F.struct(F.round(d2sub, 6).alias("d"), F.col("code")).alias("dc"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "j", F.col("best.code").alias("code"))
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("emb")
+    )
+    d2q = (
+        _dot(F.col("emb"), F.col("emb"))
+        - 2 * _dot(F.col("emb"), F.col("c"))
+        + _dot(F.col("c"), F.col("c"))
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.asc(F.round(d2q, 6)), F.asc("cell")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(med))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("qid", "cell")
+    )
+    dtab = (
+        subs.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(codes), "j")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "j",
+            "code",
+            F.round(d2sub, 6).cast("decimal(18,6)").alias("dterm"),
+        )
+    )
+    cand = cella.join(F.broadcast(probe), "cell").select(
+        "qid", F.col("vec_id").alias("cid")
+    )
+    adc = (
+        cand.join(pqa, cand.cid == pqa.vec_id)
+        .join(F.broadcast(dtab), ["qid", "j", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("dterm").alias("approx"))
+    )
+    ws = Window.partitionBy("qid").orderBy(F.asc("approx"), F.asc("cid"))
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= _PQ_SHORTLIST)
+        .select("qid", "cid", "approx")
+    )
+    qfull = q.select(F.col("qid"), F.col("emb").alias("qe"))
+    candv = (
+        short.join(emb, short.cid == emb.vec_id)
+        .join(F.broadcast(qfull), "qid")
+        .select("qid", "cid", "approx", F.col("emb").alias("ce"), "qe")
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (
+        _norm(F.col("qe")) * _norm(F.col("ce"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("cos_raw", 6)), F.asc("cid"))
+    return (
+        candv.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "qid",
+            "cid",
+            F.round("cos_raw", 6).alias("cos"),
+            "rn",
+            F.col("approx").cast("double").alias("pq_d2"),
+        )
+        .orderBy("qid", "rn")
+    )

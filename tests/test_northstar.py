@@ -504,3 +504,21 @@ def test_pq_recall_certified(spark):
     assert len(recalls) == 5
     assert min(recalls) >= 0.4
     assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_ivfpq_recall_certified(spark):
+    """Composed IVF+PQ index: probing 4/16 cells over 2-byte codes with
+    exact rerank still keeps a usable share of the true top-10."""
+    from nfl_predictions_spark.operators.similarity import (
+        q41_ann_topk,
+        q224_ivfpq_ann,
+        recall_vs_exact,
+    )
+
+    rows = recall_vs_exact(
+        q41_ann_topk(spark, SF_SMOKE), q224_ivfpq_ann(spark, SF_SMOKE)
+    ).collect()
+    recalls = [r["recall"] for r in rows]
+    assert len(recalls) == 5
+    assert min(recalls) >= 0.3
+    assert sum(recalls) / len(recalls) >= 0.5
