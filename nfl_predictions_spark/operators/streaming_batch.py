@@ -735,3 +735,81 @@ def q171_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return run_to_batch(spark, deduped, mode="append").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q225 — stream-stream LEFT OUTER join (watermark-gated null emission)
+# ---------------------------------------------------------------------------
+
+_SSLJ_DELAY = "1 day"
+
+
+@_q(
+    "q225_stream_stream_left_join",
+    """
+    WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS v_id, user_id, ts AS v_ts FROM events
+          WHERE event_type = 'view'),
+    w AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+                       (SELECT max(ts) FROM events WHERE event_type = 'view'))
+                 - INTERVAL 1 DAY AS wm),
+    j AS (
+      SELECT p.p_id, p.user_id, p.p_ts, v.v_id
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id
+       AND v.v_ts BETWEEN p.p_ts - INTERVAL 10 MINUTES AND p.p_ts
+    )
+    SELECT CAST(p_id AS BIGINT) AS p_id, CAST(user_id AS BIGINT) AS user_id,
+           CAST(v_id AS BIGINT) AS v_id
+    FROM j CROSS JOIN w
+    WHERE v_id IS NOT NULL OR p_ts < wm
+    ORDER BY p_id, v_id
+    """,
+)
+def q225_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics milestone beyond
+    q68's inner join: an unmatched purchase can only emit its NULL row
+    once the watermark proves no matching view can still arrive.
+
+    The oracle encodes the exact emission rule, measured empirically
+    (this is the q34 pattern of pinning watermark semantics as a
+    predicate): Spark maintains ONE global watermark = the MIN across
+    both streams' watermark columns, so with time-ordered chunk replay
+    the final state flush emits null rows exactly for
+    ``p_ts < least(max(purchase ts), max(view ts)) - delay`` — matched
+    rows are never gated. (Not max(all ts): the lagging stream drags
+    the global watermark back; discovering that min was the point of
+    the experiment.) Matches equal the batch interval join because the
+    chunk replay is time-ordered, so no view is evicted while a
+    joinable purchase can still arrive. State stays O(watermark x rate)
+    per key at any scale; q34 pins row-drop, q171 TTL-dedup, and this
+    pins outer-null timing.
+    """
+    ev = events_file_stream(spark, sf_dir, with_dups=False)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", _SSLJ_DELAY)
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", _SSLJ_DELAY)
+    )
+    joined = p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 10 MINUTES AND p_ts"
+        ),
+        "leftOuter",
+    ).select("p_id", F.col("p_user").alias("user_id"), "v_id")
+    return run_to_batch(spark, joined, mode="append").orderBy("p_id", "v_id")
