@@ -396,3 +396,87 @@ def q166_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("passed", F.col("n_violations") == 0).orderBy(
         "constraint_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — zone-map (min/max) file pruning decision
+# ---------------------------------------------------------------------------
+
+_ZM_FILES = 16
+_ZM_LO = "1995-01-01"
+_ZM_HI = "1996-01-01"
+
+
+@_q(
+    "q226_zone_map_pruning",
+    f"""
+    WITH m AS (SELECT max(l_orderkey) AS mx FROM lineitem),
+    f AS (
+      SELECT CAST(floor(l_orderkey * {_ZM_FILES}.0 / (mx + 1)) AS BIGINT)
+               AS file_id,
+             l_shipdate, l_extendedprice
+      FROM lineitem CROSS JOIN m
+    ),
+    z AS (
+      SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '{_ZM_LO}'
+                            AND l_shipdate < TIMESTAMP '{_ZM_HI}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS matching_rows
+      FROM f GROUP BY file_id
+    )
+    SELECT file_id, n_rows, min_ship, max_ship,
+           (max_ship >= TIMESTAMP '{_ZM_LO}'
+            AND min_ship < TIMESTAMP '{_ZM_HI}') AS would_read,
+           matching_rows
+    FROM z ORDER BY file_id
+    """,
+)
+def q226_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping as a first-class query: lay lineitem out
+    as {_ZM_FILES} contiguous orderkey-range "files", compute each
+    file's min/max shipdate zone map (what parquet footers / Iceberg
+    manifests store), and evaluate the pruning decision a literal
+    shipdate range predicate would make — `would_read` is the manifest
+    check `NOT (max < lo OR min >= hi)`, and `matching_rows` measures
+    its precision (rows the predicate actually selects per file).
+
+    This is the decision side of the q119 Z-order layout metric: q119
+    scores layouts by span, this computes which files a scan touches.
+    At 100 TB the zone-map table is manifests-sized (one row per file),
+    so the pruning decision itself never scans data — here both the
+    maps and the ground truth come from one scan + one {_ZM_FILES}-row
+    aggregate to make the precision measurable.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    m = F.broadcast(li.agg(F.max("l_orderkey").alias("mx")))
+    lo = F.lit(_ZM_LO).cast("timestamp")
+    hi = F.lit(_ZM_HI).cast("timestamp")
+    z = (
+        li.crossJoin(m)
+        .select(
+            F.floor(F.col("l_orderkey") * _ZM_FILES / (F.col("mx") + 1))
+            .cast("long")
+            .alias("file_id"),
+            "l_shipdate",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi), 1
+                ).otherwise(0)
+            ).alias("matching_rows"),
+        )
+    )
+    return z.select(
+        "file_id",
+        F.col("n_rows").cast("long"),
+        "min_ship",
+        "max_ship",
+        ((F.col("max_ship") >= lo) & (F.col("min_ship") < hi)).alias("would_read"),
+        F.col("matching_rows").cast("long"),
+    ).orderBy("file_id")

@@ -1292,3 +1292,96 @@ def q217_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 — delete-one-group jackknife standard error
+# ---------------------------------------------------------------------------
+
+
+def _jackknife_oracle() -> str:
+    return """
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             sum(s) AS ss
+      FROM g
+    ), loo AS (
+      SELECT g.event_type,
+             (CAST(tot.ss AS DOUBLE) - CAST(g.s AS DOUBLE))
+               / (tot.nn - g.n) AS theta_i
+      FROM g CROSS JOIN tot
+    ), bar AS (
+      SELECT CAST(sum(CAST(round(theta_i, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               / count(*) AS tb
+      FROM loo
+    )
+    SELECT any_value(tot.k) AS k,
+           round(CAST(any_value(tot.ss) AS DOUBLE) / any_value(tot.nn), 6)
+             AS theta_hat,
+           round(sqrt((any_value(tot.k) - 1.0) / any_value(tot.k)
+                 * CAST(sum(CAST(round((theta_i - bar.tb) * (theta_i - bar.tb),
+                                       12) AS DECIMAL(24,12))) AS DOUBLE)), 6)
+             AS jk_se
+    FROM loo CROSS JOIN tot CROSS JOIN bar
+    """
+
+
+@_q("q227_jackknife_se", _jackknife_oracle())
+def q227_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error of the overall mean
+    event value, with event classes as the resampling blocks — the
+    RNG-free uncertainty estimate (cluster-robust flavor): recompute
+    the mean leaving each block out, SE from the spread of the k
+    leave-one-out estimates. The deterministic sibling of a bootstrap,
+    which an oracle-checked engine cannot do without RNG state.
+
+    Every input is a decimal-exact (sum, count) pair per block, so the
+    k leave-one-out estimates are identical IEEE quotients in both
+    engines; the two cross-block summations (mean of theta_i, sum of
+    squared deviations) are quantized to DECIMAL before summing so
+    block order cannot move the hash. One scan, k-row state, O(1)
+    output at any scale.
+    """
+    g = table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("s"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "nn",
+        "ss",
+        (
+            (F.col("ss").cast("double") - F.col("s").cast("double"))
+            / (F.col("nn") - F.col("n"))
+        ).alias("theta_i"),
+    )
+    bar = loo.agg(
+        (
+            F.sum(F.round("theta_i", 9).cast("decimal(20,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("tb")
+    )
+    dev2 = (F.col("theta_i") - F.col("tb")) * (F.col("theta_i") - F.col("tb"))
+    return loo.crossJoin(F.broadcast(bar)).agg(
+        F.any_value("k").alias("k"),
+        F.round(
+            F.any_value(F.col("ss").cast("double")) / F.any_value("nn"), 6
+        ).alias("theta_hat"),
+        F.round(
+            F.sqrt(
+                (F.any_value("k") - F.lit(1.0))
+                / F.any_value("k")
+                * F.sum(F.round(dev2, 12).cast("decimal(24,12)")).cast("double")
+            ),
+            6,
+        ).alias("jk_se"),
+    )
