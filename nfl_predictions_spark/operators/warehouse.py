@@ -760,3 +760,144 @@ def q221_mv_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — incremental SCD2 merge-apply (proven equal to full rebuild)
+# ---------------------------------------------------------------------------
+
+_SCD2_APPLY_CUTOFF = "1997-01-01"
+
+
+def _scd2_events(df: DataFrame) -> DataFrame:
+    """(custkey, ts, seq, status) change events after run-collapse."""
+    ev = Window.partitionBy("custkey").orderBy("ts", "seq")
+    e = df.withColumn("prev", F.lag("status").over(ev))
+    return e.filter(
+        F.col("prev").isNull() | (F.col("status") != F.col("prev"))
+    ).select("custkey", "ts", "seq", "status")
+
+
+def _scd2_stitch(ch: DataFrame) -> DataFrame:
+    """Change events -> versioned validity rows (version starts at 1)."""
+    vw = Window.partitionBy("custkey").orderBy("ts", "seq")
+    return ch.select(
+        "custkey",
+        "status",
+        F.col("ts").alias("valid_from"),
+        F.col("seq").alias("seq"),
+        F.lead("ts").over(vw).alias("valid_to"),
+        F.row_number().over(vw).cast("long").alias("version"),
+    )
+
+
+@_q(
+    "q228_scd2_merge_apply",
+    # the oracle is the FULL REBUILD over the complete log — identical
+    # to q118's SQL — so a value-hash match proves the incremental
+    # merge-apply algebra reproduces the rebuild exactly
+    """
+    WITH e AS (
+      SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS seq,
+             o_orderstatus AS status,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ), ch AS (
+      SELECT custkey, ts, seq, status FROM e
+      WHERE prev IS NULL OR status <> prev
+    ), v AS (
+      SELECT custkey, status, ts AS valid_from,
+        lead(ts) OVER (PARTITION BY custkey ORDER BY ts, seq) AS valid_to,
+        row_number() OVER (PARTITION BY custkey ORDER BY ts, seq) AS version
+      FROM ch
+    )
+    SELECT custkey, CAST(version AS BIGINT) AS version, status,
+           valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM v ORDER BY custkey, version
+    """,
+)
+def q228_scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a batch of late dimension changes into an existing SCD2
+    dimension incrementally: untouched keys pass through verbatim;
+    for keys present in the delta, closed history rows are kept as-is
+    and only the segment from each key's CURRENT row onward is
+    re-derived (current-row-as-event unioned with the key's delta
+    events, run-collapsed — so a delta event repeating the current
+    status correctly creates NO new version — then re-versioned with
+    the key's old version offset).
+
+    The oracle is the FULL REBUILD over the complete change log
+    (q118's exact SQL), so the hash match proves incremental == rebuild
+    — the q221 proof pattern applied to dimension history. At 100 TB
+    the merge touches O(|delta keys|) dimension rows; the rebuild the
+    oracle runs is the O(|log|) job this operator exists to avoid.
+    """
+    cutoff = F.lit(_SCD2_APPLY_CUTOFF).cast("timestamp")
+    log = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    base, delta = log.filter(F.col("ts") < cutoff), log.filter(
+        F.col("ts") >= cutoff
+    )
+    dim = _scd2_stitch(_scd2_events(base))
+    affected = delta.select("custkey").distinct()
+
+    untouched = dim.join(affected, "custkey", "left_anti")
+    closed = (
+        dim.join(F.broadcast(affected), "custkey")
+        .filter(F.col("valid_to").isNotNull())
+        .select("custkey", "version", "status", "valid_from", "valid_to", "seq")
+    )
+    curr = (
+        dim.join(F.broadcast(affected), "custkey")
+        .filter(F.col("valid_to").isNull())
+        .select(
+            "custkey",
+            F.col("valid_from").alias("ts"),
+            "seq",
+            "status",
+            (F.col("version") - 1).alias("offset"),
+        )
+    )
+    offsets = curr.select("custkey", "offset").unionByName(
+        # brand-new keys (no base history): offset 0
+        affected.join(dim, "custkey", "left_anti").select(
+            "custkey", F.lit(0).alias("offset")
+        )
+    )
+    replay_ev = curr.select("custkey", "ts", "seq", "status").unionByName(
+        delta.join(F.broadcast(affected), "custkey").select(
+            "custkey", "ts", "seq", "status"
+        )
+    )
+    rederived = (
+        _scd2_stitch(_scd2_events(replay_ev))
+        .join(offsets, "custkey")
+        .select(
+            "custkey",
+            (F.col("version") + F.col("offset")).alias("version"),
+            "status",
+            "valid_from",
+            "valid_to",
+            "seq",
+        )
+    )
+    merged = closed.select(
+        "custkey", "version", "status", "valid_from", "valid_to"
+    ).unionByName(
+        rederived.select("custkey", "version", "status", "valid_from", "valid_to")
+    ).unionByName(
+        untouched.select("custkey", "version", "status", "valid_from", "valid_to")
+    )
+    return (
+        merged.withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            "custkey", "version", "status", "valid_from", "valid_to", "is_current"
+        )
+        .orderBy("custkey", "version")
+    )
