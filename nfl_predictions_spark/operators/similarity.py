@@ -1476,3 +1476,135 @@ def q224_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — filtered vector search (pre-filter vs post-filter strategies)
+# ---------------------------------------------------------------------------
+
+_FILT_MOD = 3  # metadata predicate stand-in: cid % 3 == 0
+
+
+def _lsh_sig_fragments() -> tuple[str, str]:
+    """(sig SELECT-list, bands UNION) SQL fragments shared by the LSH
+    oracles — the same literal hyperplanes as _lsh_oracle_sql."""
+    sig_exprs = []
+    for t in range(_N_TABLES):
+        cases = []
+        for j in range(_PLANES_PER_TABLE):
+            plane = "[" + ",".join(
+                repr(_plane_value(t, j, d)) for d in range(_DIM)
+            ) + "]"
+            cases.append(
+                f"CASE WHEN list_dot_product(emb, {plane}) > 0 "
+                f"THEN {1 << j} ELSE 0 END"
+            )
+        sig_exprs.append("(" + " + ".join(cases) + f") AS bucket{t}")
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, bucket{t} AS b FROM sig"
+        for t in range(_N_TABLES)
+    )
+    return ", ".join(sig_exprs), bands
+
+
+def _filtered_ann_oracle() -> str:
+    sig, bands = _lsh_sig_fragments()
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {_N_QUERIES}),
+pre_p AS (
+  SELECT q.qid, c.vec_id AS cid,
+    list_dot_product(qe, c.emb)
+      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb)))
+      AS cos
+  FROM q, e c WHERE c.vec_id % {_FILT_MOD} = 0
+), pre_r AS (
+  SELECT qid, cid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
+  FROM pre_p
+),
+sig AS (SELECT vec_id, {sig} FROM e),
+bands AS ({bands}),
+qb AS (SELECT vec_id AS qid, t, b FROM bands WHERE vec_id < {_N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qb.qid, c.vec_id AS cid
+  FROM qb JOIN bands c ON qb.t = c.t AND qb.b = c.b
+),
+post_p AS (
+  SELECT cand.qid, cand.cid,
+    list_dot_product(qe.emb, ce.emb)
+      / (sqrt(list_dot_product(qe.emb, qe.emb))
+         * sqrt(list_dot_product(ce.emb, ce.emb))) AS cos
+  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.cid
+), post_r AS (
+  SELECT qid, cid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
+  FROM post_p
+), post_f AS (
+  SELECT qid, cid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
+  FROM (SELECT qid, cid, cos FROM post_r
+        WHERE rn <= {_TOP_K} AND cid % {_FILT_MOD} = 0)
+)
+SELECT 'pre' AS strategy, qid, cid, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM pre_r WHERE rn <= {_TOP_K}
+UNION ALL
+SELECT 'post', qid, cid, round(cos, 6), CAST(rn AS BIGINT) FROM post_f
+ORDER BY strategy, qid, rn
+"""
+
+
+@_q("q229_filtered_ann", _filtered_ann_oracle())
+def q229_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — top-k restricted to candidates passing
+    a metadata predicate (cid % {_FILT_MOD} = 0 standing in for any
+    attribute WHERE clause), both classic strategies side by side:
+
+    - 'pre'  — filter THEN search: exact top-k over the filtered set,
+      always returns k (the correctness target; at scale the filter
+      pushes into the candidate scan / the index's bucket join).
+    - 'post' — search THEN filter: take the unfiltered LSH top-k and
+      drop non-matching rows — cheaper, but returns FEWER than k
+      whenever matches were crowded out (visible in the output, which
+      is the point: the row deficit IS the strategy's cost).
+
+    Everything reuses the deterministic LSH machinery, so both
+    strategies are fully value-oracled; the output makes the classic
+    filtered-ANN trade measurable instead of anecdotal.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cands = spread(emb).filter(F.col("vec_id") % _FILT_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (
+        _norm(F.col("qe")) * _norm(F.col("ce"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("cos_raw", 6)), F.asc("cid"))
+    pre = (
+        cands.crossJoin(F.broadcast(queries))
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            F.lit("pre").alias("strategy"),
+            "qid",
+            "cid",
+            F.round("cos_raw", 6).alias("cos"),
+            "rn",
+        )
+    )
+    post_src = q41c_ann_lsh(spark, sf_dir).filter(
+        F.col("cid") % _FILT_MOD == 0
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    post = post_src.select(
+        F.lit("post").alias("strategy"),
+        "qid",
+        "cid",
+        "cos",
+        F.row_number().over(wp).cast("long").alias("rn"),
+    )
+    return pre.unionByName(post).orderBy("strategy", "qid", "rn")
