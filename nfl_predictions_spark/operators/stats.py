@@ -1385,3 +1385,112 @@ def q227_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jk_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — changepoint location (binary segmentation, one split)
+# ---------------------------------------------------------------------------
+
+
+def _changepoint_oracle() -> str:
+    return """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS v,
+             CAST(sum(CAST(round(value * value, 6) AS DECIMAL(24,6)))
+                  AS DOUBLE) AS v2
+      FROM events GROUP BY event_type, day
+    ), r AS (
+      SELECT event_type, day, v, v2,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(v) OVER (PARTITION BY event_type ORDER BY day) AS cs,
+             sum(v2) OVER (PARTITION BY event_type ORDER BY day) AS cs2,
+             sum(v) OVER (PARTITION BY event_type) AS ts_,
+             sum(v2) OVER (PARTITION BY event_type) AS ts2
+      FROM d
+    ), costs AS (
+      SELECT event_type, day, i, n,
+             round((cs2 - cs * cs / i)
+                   + ((ts2 - cs2) - (ts_ - cs) * (ts_ - cs) / (n - i)), 6)
+               AS cost
+      FROM r WHERE i < n
+    ), best AS (
+      SELECT event_type, day, i, n, cost,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cost ASC, i ASC) AS rn
+      FROM costs
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(i AS BIGINT) AS split_idx, day AS split_day, cost AS sse
+    FROM best WHERE rn = 1 ORDER BY event_type
+    """
+
+
+@_q("q230_changepoint_binary_seg", _changepoint_oracle())
+def q230_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per event class (binary
+    segmentation's first split): the day boundary minimizing total
+    within-segment sum of squared errors, computed for EVERY candidate
+    split from running prefix sums — SSE(1..k) + SSE(k+1..n) is pure
+    algebra over (count, sum, sum-of-squares) prefixes, so the whole
+    argmin is two window passes over the daily rollup, no per-split
+    rescan. The location step CUSUM (q150) doesn't give you.
+
+    Exactness: daily moments ride DECIMAL sums; prefix sums are
+    cumulative sums of identical doubles in the same day order (ties
+    impossible — one row per day); the cost expression is the same IEEE
+    tree in both engines, rounded once before the argmin rank with the
+    split index as tie-break.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v"),
+            F.sum(
+                F.round(F.col("value") * F.col("value"), 6).cast("decimal(24,6)")
+            )
+            .cast("double")
+            .alias("v2"),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    r = (
+        d.withColumn("i", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wa))
+        .withColumn("cs", F.sum("v").over(wo))
+        .withColumn("cs2", F.sum("v2").over(wo))
+        .withColumn("ts_", F.sum("v").over(wa))
+        .withColumn("ts2", F.sum("v2").over(wa))
+    )
+    cost = F.round(
+        (F.col("cs2") - F.col("cs") * F.col("cs") / F.col("i"))
+        + (
+            (F.col("ts2") - F.col("cs2"))
+            - (F.col("ts_") - F.col("cs"))
+            * (F.col("ts_") - F.col("cs"))
+            / (F.col("n") - F.col("i"))
+        ),
+        6,
+    )
+    wb = Window.partitionBy("event_type").orderBy(F.asc("cost"), F.asc("i"))
+    return (
+        r.filter(F.col("i") < F.col("n"))
+        .withColumn("cost", cost)
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("i").cast("long").alias("split_idx"),
+            F.col("day").alias("split_day"),
+            F.col("cost").alias("sse"),
+        )
+        .orderBy("event_type")
+    )

@@ -969,3 +969,78 @@ def q218_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — phrase search over a positional inverted index
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("order", "fast")
+
+
+def _phrase_oracle() -> str:
+    terms = _PHRASE
+    joins = []
+    for i in range(1, len(terms)):
+        joins.append(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+            f" AND p{i}.term = '{terms[i]}' AND p{i}.pos = p0.pos + {i}"
+        )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(ts) AS term,
+             CAST(generate_subscripts(ts, 1) AS BIGINT) AS pos
+      FROM tok
+    ), hits AS (
+      SELECT p0.doc_id, p0.pos
+      FROM (SELECT doc_id, pos FROM pos WHERE term = '{terms[0]}') p0
+      {' '.join(joins)}
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id LIMIT 20
+    """
+
+
+@_q("q231_phrase_search", _phrase_oracle())
+def q231_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval ("{' '.join(_PHRASE)}") over a positional
+    inverted index — the IR capability bag-of-words BM25 (q132) cannot
+    express: tokens must be ADJACENT. The index is (doc_id, term, pos)
+    rows from one posexplode; a k-term phrase is a (k-1)-way self-join
+    on (doc_id, pos + i) — and because every join leg is term-filtered
+    FIRST, each leg is a pushed-predicate slice of the index, never the
+    whole corpus (the literal-term pushdown story q132 uses, extended
+    with position arithmetic). At 100 TB the index is bucketed by term;
+    a phrase probe touches k term slices and joins them doc-locally.
+    """
+    pos = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("p0", "term"),
+        )
+        .select("doc_id", "term", (F.col("p0") + 1).cast("long").alias("pos"))
+    )
+    legs = pos.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
+    for i, t in enumerate(_PHRASE[1:], start=1):
+        leg = pos.filter(F.col("term") == t).select(
+            F.col("doc_id").alias(f"d{i}"), F.col("pos").alias(f"p{i}")
+        )
+        legs = legs.join(
+            leg,
+            (F.col(f"d{i}") == F.col("doc_id"))
+            & (F.col(f"p{i}") == F.col("pos") + i),
+        ).select("doc_id", "pos")
+    return (
+        legs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(20)
+    )
