@@ -51,6 +51,13 @@ ALLOW = {
         "q181_quantized_ann_recall",  # same: q41 exact-truth subtree
         "q180_forget_cascade",  # 1-row purge-agg x 1-row total-agg per table
         "q195_tpch_q22",  # TPC-H Q22's 1-row global-average broadcast
+        # round 4
+        "q212_ivf_recall",  # q41 exact-truth + q41d centroid subtrees
+        "q224_ivfpq_ann",  # query x 16-row medoid/codebook broadcasts
+        "q229_filtered_ann",  # pre-filter exact side: 5-row query broadcast
+        "q226_zone_map_pruning",  # 1-row max-orderkey broadcast
+        "q223_temperature_balance",  # 1-row weight-total broadcast
+        "q227_jackknife_se",  # 1-row totals + 1-row jackknife-mean broadcasts
     },
 }
 
