@@ -1494,3 +1494,95 @@ def q230_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 — distribution-free median confidence interval (order statistics)
+# ---------------------------------------------------------------------------
+
+
+def _median_ci_oracle() -> str:
+    return """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), k AS (
+      SELECT event_type, n,
+             greatest(CAST(floor((n - 1.96 * sqrt(n)) / 2) AS BIGINT), 1)
+               AS lo_rank,
+             least(CAST(ceil(1 + (n + 1.96 * sqrt(n)) / 2) AS BIGINT), n)
+               AS hi_rank,
+             (n + 1) // 2 AS med_rank
+      FROM (SELECT DISTINCT event_type, n FROM r) t
+    )
+    SELECT k.event_type, CAST(k.n AS BIGINT) AS n,
+           max(CASE WHEN r.rn = k.med_rank THEN r.value END) AS median,
+           max(CASE WHEN r.rn = k.lo_rank THEN r.value END) AS ci_lo,
+           max(CASE WHEN r.rn = k.hi_rank THEN r.value END) AS ci_hi
+    FROM k JOIN r ON r.event_type = k.event_type
+                 AND r.rn IN (k.lo_rank, k.hi_rank, k.med_rank)
+    GROUP BY k.event_type, k.n ORDER BY k.event_type
+    """
+
+
+@_q("q233_median_ci", _median_ci_oracle())
+def q233_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the per-class
+    median via binomial order statistics: the interval endpoints are
+    the values at ranks (n -/+ 1.96*sqrt(n))/2 — no normality
+    assumption, no resampling, valid for ANY continuous distribution.
+    The uncertainty companion to q152's point median and q227's
+    jackknife SE for means.
+
+    All three endpoints are rank-SELECTED data values on the shared
+    (value, event_id) per-class sort — one window pass, no
+    interpolation, exact bit patterns on the wire. The rank arithmetic
+    is integer-plus-one-sqrt (correctly rounded IEEE), identical in
+    both engines.
+    """
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    lo_rank = F.greatest(
+        F.floor((F.col("n") - 1.96 * F.sqrt(F.col("n"))) / 2).cast("long"),
+        F.lit(1),
+    )
+    hi_rank = F.least(
+        F.ceil(1 + (F.col("n") + 1.96 * F.sqrt(F.col("n"))) / 2).cast("long"),
+        F.col("n"),
+    )
+    med_rank = F.floor((F.col("n") + 1) / 2).cast("long")
+    picked = r.withColumn("lo_rank", lo_rank).withColumn(
+        "hi_rank", hi_rank
+    ).withColumn("med_rank", med_rank)
+    return (
+        picked.filter(
+            (F.col("rn") == F.col("lo_rank"))
+            | (F.col("rn") == F.col("hi_rank"))
+            | (F.col("rn") == F.col("med_rank"))
+        )
+        .groupBy("event_type", "n")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.col("med_rank"), F.col("value"))
+            ).alias("median"),
+            F.max(
+                F.when(F.col("rn") == F.col("lo_rank"), F.col("value"))
+            ).alias("ci_lo"),
+            F.max(
+                F.when(F.col("rn") == F.col("hi_rank"), F.col("value"))
+            ).alias("ci_hi"),
+        )
+        .select(
+            "event_type", F.col("n").cast("long"), "median", "ci_lo", "ci_hi"
+        )
+        .orderBy("event_type")
+    )

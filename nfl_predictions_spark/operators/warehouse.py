@@ -901,3 +901,98 @@ def q228_scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# q232 — aggregate backfill diff (recompute only what corrections touch)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q232_aggregate_backfill_diff",
+    """
+    WITH base AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt,
+             sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY event_type, hr
+    ), corr AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt,
+             sum(CASE WHEN event_id % 13 = 0
+                      THEN CAST(round(value * 2, 6) AS DECIMAL(18,6))
+                      ELSE CAST(round(value, 6) AS DECIMAL(18,6)) END) AS s
+      FROM events WHERE event_id % 17 <> 0
+      GROUP BY event_type, hr
+    )
+    SELECT coalesce(b.event_type, c.event_type) AS event_type,
+           CAST(coalesce(b.hr, c.hr) AS TIMESTAMP) AS hr,
+           coalesce(b.cnt, 0) AS old_cnt, coalesce(c.cnt, 0) AS new_cnt,
+           CAST(coalesce(c.s, 0) - coalesce(b.s, 0) AS DOUBLE) AS sum_delta
+    FROM base b FULL OUTER JOIN corr c
+      ON c.event_type = b.event_type AND c.hr = b.hr
+    WHERE coalesce(b.cnt, 0) <> coalesce(c.cnt, 0)
+       OR coalesce(b.s, 0) <> coalesce(c.s, 0)
+    ORDER BY event_type, hr
+    """,
+)
+def q232_aggregate_backfill_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The backfill planner's core question: after a correction batch
+    (here deterministic: events with id % 17 = 0 retracted, values with
+    id % 13 = 0 doubled), WHICH aggregate buckets actually changed?
+    Recompute both hourly rollups and emit only differing (type, hour)
+    cells with their exact decimal delta — downstream consumers re-read
+    just those partitions instead of the whole history (the partition-
+    overwrite counterpart of q221's row-level retractions).
+
+    Both rollups share the scan; the diff is a rollup-sized full-outer
+    join keyed on the same (type, hour) the rollups grouped by — one
+    shuffle feeds all three. Decimal sums make "changed" an exact
+    predicate, not an epsilon test.
+    """
+    ev = table(spark, sf_dir, "events")
+    rv = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    base = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.sum(rv).alias("s"))
+    corr = (
+        ev.filter(F.col("event_id") % 17 != 0)
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.when(
+                    F.col("event_id") % 13 == 0,
+                    F.round(F.col("value") * 2, 6).cast("decimal(18,6)"),
+                ).otherwise(rv)
+            ).alias("s"),
+        )
+    )
+    b, c = base.alias("b"), corr.alias("c")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        b.join(
+            c,
+            (F.col("c.event_type") == F.col("b.event_type"))
+            & (F.col("c.hr") == F.col("b.hr")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("b.event_type"), F.col("c.event_type")).alias(
+                "event_type"
+            ),
+            F.coalesce(F.col("b.hr"), F.col("c.hr")).alias("hr"),
+            F.coalesce(F.col("b.cnt"), F.lit(0)).alias("old_cnt"),
+            F.coalesce(F.col("c.cnt"), F.lit(0)).alias("new_cnt"),
+            (
+                F.coalesce(F.col("c.s"), zero) - F.coalesce(F.col("b.s"), zero)
+            )
+            .cast("double")
+            .alias("sum_delta"),
+        )
+        .filter(
+            (F.col("old_cnt") != F.col("new_cnt"))
+            | (F.col("sum_delta") != 0.0)
+        )
+        .orderBy("event_type", "hr")
+    )
