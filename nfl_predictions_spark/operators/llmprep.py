@@ -1578,3 +1578,142 @@ def q223_temperature_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — representation parity audit (who is over/under-sampled?)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q234_representation_audit",
+    """
+    WITH cell AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+             CAST(sum(n_tokens) AS BIGINT) AS tt
+      FROM cell
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           CAST(n_docs AS DOUBLE) / td AS doc_share,
+           CAST(n_tokens AS DOUBLE) / tt AS token_share,
+           (CAST(n_tokens AS DOUBLE) / tt) / (CAST(n_docs AS DOUBLE) / td)
+             AS length_bias
+    FROM cell CROSS JOIN tot
+    ORDER BY lang, source
+    """,
+)
+def q234_representation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation audit over the (lang x source) grid: document
+    share vs TOKEN share, and their ratio — the length-bias factor that
+    tells you a stratum is over-weighted in training epochs even when
+    its document count looks fair (long-document sources silently
+    dominate token-weighted training; this is the query that catches
+    it before q223's mixture targets are set).
+
+    One grid-sized aggregate + a 1-row total broadcast; shares are
+    exact BIGINT/BIGINT single divisions and the bias factor is one
+    further division of those identical doubles — no rounding needed
+    anywhere. Scale cost: one corpus scan.
+    """
+    cell = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        )
+    )
+    tot = cell.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_tokens").alias("tt")
+    )
+    doc_share = F.col("n_docs").cast("double") / F.col("td")
+    token_share = F.col("n_tokens").cast("double") / F.col("tt")
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("long"),
+            F.col("n_tokens").cast("long"),
+            doc_share.alias("doc_share"),
+            token_share.alias("token_share"),
+            (token_share / doc_share).alias("length_bias"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q235 — nested scaling-law samples (1% subset of 10% subset of 100%)
+# ---------------------------------------------------------------------------
+
+_NEST_LEVELS = (1, 10, 100)  # percent tiers; each is a SUBSET of the next
+
+
+@_q(
+    "q235_nested_samples",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':nest'),
+                                     1, 8)) AS BIGINT) % 100 AS bucket,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS key_sum
+    FROM h, (SELECT unnest([{", ".join(str(t) for t in _NEST_LEVELS)}]) AS tier)
+    WHERE bucket < tier
+    GROUP BY tier ORDER BY tier
+    """,
+)
+def q235_nested_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaling-law dataset tiers: deterministic 1% / 10% / 100% corpus
+    samples where each tier is a strict SUBSET of the next (the md5
+    bucket < tier rule — the property scaling-law experiments require,
+    so the 1%-model's data is literally contained in the 10%-model's).
+    RNG-free (q108's hash idiom), with per-tier doc/token budgets and a
+    key checksum proving both engines picked identical documents.
+
+    One scan; the tier fan-out is a 3-element unnest against the same
+    bucket column, so adding tiers costs nothing new. At 100 TB this IS
+    how you materialize nested training subsets: one hash predicate per
+    tier, partition-prunable if the corpus is bucket-partitioned.
+    """
+    tiers = F.explode(
+        F.array(*[F.lit(t) for t in _NEST_LEVELS])
+    ).alias("tier")
+    h = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":nest"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("bucket"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        h.select("doc_id", "bucket", "n_tokens", tiers)
+        .filter(F.col("bucket") < F.col("tier"))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("doc_id").cast("long").alias("key_sum"),
+        )
+        .select("tier", F.col("n_docs").cast("long"), "n_tokens", "key_sum")
+        .orderBy("tier")
+    )
