@@ -1608,3 +1608,91 @@ def q229_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wp).cast("long").alias("rn"),
     )
     return pre.unionByName(post).orderBy("strategy", "qid", "rn")
+
+
+# ---------------------------------------------------------------------------
+# q236 — per-dimension robust scaler (median/IQR feature statistics)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q236_robust_scaler_stats",
+    f"""
+    WITH x AS (
+      SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             vec_id
+      FROM embeddings
+    ), r AS (
+      SELECT dim, v,
+             row_number() OVER (PARTITION BY dim ORDER BY v, vec_id) AS rn,
+             count(*) OVER (PARTITION BY dim) AS n
+      FROM x
+    ), k AS (
+      SELECT dim, n,
+             (n + 1) // 2 AS k_med,
+             greatest((n + 3) // 4, 1) AS k_q1,
+             least((3 * n + 1) // 4, n) AS k_q3
+      FROM (SELECT DISTINCT dim, n FROM r)
+    )
+    SELECT k.dim, CAST(k.n AS BIGINT) AS n,
+           max(CASE WHEN r.rn = k.k_med THEN r.v END) AS median,
+           max(CASE WHEN r.rn = k.k_q1 THEN r.v END) AS q1,
+           max(CASE WHEN r.rn = k.k_q3 THEN r.v END) AS q3,
+           max(CASE WHEN r.rn = k.k_q3 THEN r.v END)
+             - max(CASE WHEN r.rn = k.k_q1 THEN r.v END) AS iqr
+    FROM k JOIN r ON r.dim = k.dim AND r.rn IN (k.k_med, k.k_q1, k.k_q3)
+    GROUP BY k.dim, k.n ORDER BY k.dim
+    """,
+)
+def q236_robust_scaler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension robust scaling statistics for the embedding store
+    — median and IQR for all {_DIM} dimensions in ONE pass (the
+    RobustScaler fit step, outlier-immune where mean/std scaling is
+    not). The explode keys every value by its dimension, so the rank
+    windows partition by dim: {_DIM} independent per-dimension sorts
+    that scale out across the cluster, never a global sort. All five
+    outputs are rank-SELECTED actual data values (floor-based quartile
+    ranks, vec_id tie-break) — no interpolation, exact bit patterns,
+    IQR as a single subtraction of identical doubles.
+
+    Applying the transform is then a broadcast join of this
+    {_DIM}-row frame + one Catalyst expression per value — fit cost is
+    the one shuffle here, apply cost is zero-shuffle.
+    """
+    x = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    wr = Window.partitionBy("dim").orderBy("v", "vec_id")
+    wc = Window.partitionBy("dim")
+    r = x.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    k_med = F.floor((F.col("n") + 1) / 2).cast("long")
+    k_q1 = F.greatest(F.floor((F.col("n") + 3) / 4).cast("long"), F.lit(1))
+    k_q3 = F.least(
+        F.floor((3 * F.col("n") + 1) / 4).cast("long"), F.col("n")
+    )
+    picked = (
+        r.withColumn("k_med", k_med)
+        .withColumn("k_q1", k_q1)
+        .withColumn("k_q3", k_q3)
+        .filter(
+            (F.col("rn") == F.col("k_med"))
+            | (F.col("rn") == F.col("k_q1"))
+            | (F.col("rn") == F.col("k_q3"))
+        )
+    )
+    agg = picked.groupBy("dim", "n").agg(
+        F.max(F.when(F.col("rn") == F.col("k_med"), F.col("v"))).alias("median"),
+        F.max(F.when(F.col("rn") == F.col("k_q1"), F.col("v"))).alias("q1"),
+        F.max(F.when(F.col("rn") == F.col("k_q3"), F.col("v"))).alias("q3"),
+    )
+    return agg.select(
+        F.col("dim").cast("long"),
+        F.col("n").cast("long"),
+        "median",
+        "q1",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+    ).orderBy("dim")
