@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nfl_predictions_spark.functions.scalars import dsum
@@ -445,4 +445,89 @@ def q209_null_split_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price").cast("double").alias("total_price"),
         )
         .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q237 — join-output skew profile (where will the join's rows come from?)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q237_join_skew_profile",
+    """
+    WITH co AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY k),
+    cl AS (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY k),
+    prod AS (
+      SELECT co.k, CAST(co.c * cl.c AS BIGINT) AS out_rows
+      FROM co JOIN cl ON cl.k = co.k
+    ), r AS (
+      SELECT k, out_rows,
+             row_number() OVER (ORDER BY out_rows DESC, k) AS rn,
+             count(*) OVER () AS nk,
+             CAST(sum(out_rows) OVER () AS BIGINT) AS total
+      FROM prod
+    ), banded AS (
+      SELECT CASE WHEN rn * 100 <= nk THEN 'top1pct'
+                  WHEN rn * 10 <= nk THEN 'top10pct'
+                  ELSE 'rest' END AS band,
+             out_rows, total
+      FROM r
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(out_rows) AS BIGINT) AS out_rows,
+           CAST(sum(out_rows) AS DOUBLE) / any_value(total) AS share
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def q237_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-output skew diagnosis — q205 profiles one table's key
+    distribution; this profiles the JOIN's: per join key, the exact
+    output contribution is count_left(k) * count_right(k), computed
+    from the two per-key count aggregates (key-space sized, never the
+    join itself). Keys rank into top-1% / top-10% / rest bands with
+    each band's exact share of total join output — the number that
+    decides whether AQE skew splitting, salting (q51b), or a bucketed
+    layout (q52) is worth wiring in BEFORE running the join.
+
+    Integer-exact throughout (counts, products, integer-arithmetic band
+    thresholds rn*100 <= nk); the one division per band is
+    BIGINT/BIGINT. Two map-side-combinable aggs + a key-space join —
+    strictly cheaper than the join being diagnosed.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    co = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_o")
+    )
+    cl = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_l")
+    )
+    prod = co.join(cl, "k").select(
+        "k", (F.col("c_o") * F.col("c_l")).cast("long").alias("out_rows")
+    )
+    wr = Window.orderBy(F.desc("out_rows"), F.asc("k"))
+    wall = Window.partitionBy()
+    r = (
+        prod.withColumn("rn", F.row_number().over(wr))
+        .withColumn("nk", F.count(F.lit(1)).over(wall))
+        .withColumn("total", F.sum("out_rows").over(wall))
+    )
+    band = (
+        F.when(F.col("rn") * 100 <= F.col("nk"), "top1pct")
+        .when(F.col("rn") * 10 <= F.col("nk"), "top10pct")
+        .otherwise("rest")
+    )
+    return (
+        r.select(band.alias("band"), "out_rows", "total")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("out_rows").cast("long").alias("out_rows"),
+            (
+                F.sum("out_rows").cast("double") / F.any_value("total")
+            ).alias("share"),
+        )
+        .select("band", F.col("n_keys").cast("long"), "out_rows", "share")
+        .orderBy("band")
     )
