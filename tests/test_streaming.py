@@ -444,3 +444,65 @@ def test_dedup_ttl_guarantee_boundary(spark, tmp_path):
     copies = Counter(r.event_id for r in out)
     assert copies[1] == 2, copies  # expired key: retry re-emitted
     assert copies[2] == copies[4] == copies[5] == 1
+
+
+def test_checkpoint_recovery_exactly_once(spark):
+    """Kill a streaming query mid-run and resume it from its checkpoint:
+    the file sink must contain exactly the one-shot result — no lost
+    windows, no duplicated windows (exactly-once across restart is THE
+    operational guarantee checkpointing exists for)."""
+    import tempfile
+    import time
+
+    from nfl_predictions_spark.streaming.sources import events_file_stream
+    from nfl_predictions_spark.streaming.windows import (
+        run_to_batch,
+        watermarked_tumbling,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ck = tempfile.mkdtemp(prefix="nflspark_ck_recover_")
+    out = tempfile.mkdtemp(prefix="nflspark_out_recover_")
+
+    def start(available_now: bool):
+        stream = watermarked_tumbling(
+            events_file_stream(spark, SF_SMOKE, with_dups=False)
+        )
+        w = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    # phase 1: process at least one micro-batch, then kill mid-stream
+    q1 = start(available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len([p for p in q1.recentProgress if p["numInputRows"] > 0]) >= 2:
+            break
+        time.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    # phase 2: resume from the same checkpoint, drain the rest
+    q2 = start(available_now=True)
+    q2.awaitTermination(300)
+
+    recovered = {
+        (r["ws"], r["cnt"]) for r in spark.read.parquet(out).collect()
+    }
+    oneshot = {
+        (r["ws"], r["cnt"])
+        for r in run_to_batch(
+            spark,
+            watermarked_tumbling(
+                events_file_stream(spark, SF_SMOKE, with_dups=False)
+            ),
+            mode="append",
+        ).collect()
+    }
+    assert recovered == oneshot
