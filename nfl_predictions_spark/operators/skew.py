@@ -531,3 +531,212 @@ def q237_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", F.col("n_keys").cast("long"), "out_rows", "share")
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# q238 — file-level Bloom pruning (equality-predicate data skipping)
+# ---------------------------------------------------------------------------
+
+_BFP_FILES = 16
+_BFP_M = 4096  # bits per per-file filter (fixed -> SQL stays simple)
+
+
+def _bfp_pos_duck(expr: str, seed: int) -> str:
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('f{seed}' || CAST({expr} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"(({poly}) % {_BFP_M})"
+
+
+def _bfp_pos_spark(key, seed: int):
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"f{seed}"), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % _BFP_M
+
+
+def _bfp_oracle() -> str:
+    k = _BLOOM_K
+    build = " UNION ALL ".join(
+        f"SELECT file_id, {_bfp_pos_duck('l_partkey', s)} AS pos FROM f"
+        for s in range(k)
+    )
+    probe = " UNION ALL ".join(
+        f"SELECT pk, {s} AS seed, {_bfp_pos_duck('pk', s)} AS pos FROM probes"
+        for s in range(k)
+    )
+    return f"""
+    WITH m AS (
+      SELECT max(l_orderkey) AS mx, min(l_partkey) AS pmin,
+             max(l_partkey) AS pmax
+      FROM lineitem
+    ), f AS (
+      SELECT CAST(floor(l_orderkey * {_BFP_FILES}.0 / (mx + 1)) AS BIGINT)
+               AS file_id, l_partkey
+      FROM lineitem CROSS JOIN m
+    ), probes AS (
+      SELECT unnest([pmin, pmin + 1, pmin + 2, pmax + 1, pmax + 2]) AS pk
+      FROM m
+    ), bpos AS (SELECT DISTINCT file_id, pos FROM ({build})),
+    words AS (
+      SELECT file_id, pos // 32 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+      FROM bpos GROUP BY file_id, w
+    ), ppos AS ({probe}),
+    chk AS (
+      SELECT p.pk, fl.file_id,
+             sum(CASE WHEN ((COALESCE(w.word, 0) >> CAST(p.pos % 32 AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS hits
+      FROM ppos p
+      CROSS JOIN (SELECT DISTINCT file_id FROM f) fl
+      LEFT JOIN words w ON w.file_id = fl.file_id AND w.w = p.pos // 32
+      GROUP BY p.pk, fl.file_id
+    ), act AS (
+      SELECT pk, file_id FROM probes JOIN f ON f.l_partkey = probes.pk
+      GROUP BY pk, file_id
+    )
+    SELECT c.pk AS probe_key,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN c.hits = {k} THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_would_read,
+           CAST(sum(CASE WHEN a.file_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_containing,
+           CAST(sum(CASE WHEN c.hits = {k} AND a.file_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_positives
+    FROM chk c LEFT JOIN act a ON a.pk = c.pk AND a.file_id = c.file_id
+    GROUP BY c.pk ORDER BY probe_key
+    """
+
+
+@_q("q238_bloom_file_pruning", _bfp_oracle())
+def q238_bloom_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-predicate data skipping via per-file Bloom filters — the
+    companion q226's min/max zone maps cannot provide: l_partkey is
+    high-cardinality and unclustered within the orderkey-range files, so
+    range stats prune nothing, but a {_BFP_M}-bit per-file Bloom answers
+    "could partkey P be in this file?" from manifest-sized state (what
+    parquet bloom_filter columns / Iceberg puffin files store). Probes
+    cover present keys AND absent keys, and the output separates honest
+    reads from `false_positives` — measuring the filter, not trusting it.
+
+    Build = one scan + a (files x words) bit_or aggregate; probe = a
+    15-row broadcast against that table. Exact containment comes from
+    the same scan's group-by for the certification columns. All hashing
+    is the engine-neutral md5-prefix family; bit arithmetic is identical
+    BIGINT shifts in both engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    m = F.broadcast(
+        li.agg(
+            F.max("l_orderkey").alias("mx"),
+            F.min("l_partkey").alias("pmin"),
+            F.max("l_partkey").alias("pmax"),
+        )
+    )
+    f = li.crossJoin(m).select(
+        F.floor(F.col("l_orderkey") * _BFP_FILES / (F.col("mx") + 1))
+        .cast("long")
+        .alias("file_id"),
+        "l_partkey",
+        "pmin",
+        "pmax",
+    )
+    probes = (
+        f.select("pmin", "pmax")
+        .limit(1)
+        .select(
+            F.explode(
+                F.array(
+                    F.col("pmin"),
+                    F.col("pmin") + 1,
+                    F.col("pmin") + 2,
+                    F.col("pmax") + 1,
+                    F.col("pmax") + 2,
+                )
+            ).alias("pk")
+        )
+    )
+    bpos = f.select(
+        "file_id",
+        F.explode(
+            F.array(*[_bfp_pos_spark(F.col("l_partkey"), s) for s in range(_BLOOM_K)])
+        ).alias("pos"),
+    ).distinct()
+    words = bpos.groupBy(
+        "file_id", (F.col("pos") / 32).cast("long").alias("w")
+    ).agg(
+        # shiftleft's bit-count arg must be a literal in the Python API;
+        # the SQL form accepts a column
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        ).alias("word")
+    )
+    ppos = probes.select(
+        "pk",
+        F.explode(
+            F.array(*[_bfp_pos_spark(F.col("pk"), s) for s in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    files = f.select("file_id").distinct()
+    words2 = words.select(
+        F.col("file_id").alias("wf"), "w", "word"
+    )
+    chk = (
+        ppos.crossJoin(files)
+        .join(
+            words2,
+            (F.col("wf") == F.col("file_id"))
+            & (F.col("w") == (F.col("pos") / 32).cast("long")),
+            "left",
+        )
+        .drop("wf")
+        .groupBy("pk", "file_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "(shiftright(coalesce(word, CAST(0 AS BIGINT)),"
+                        " CAST(pos % 32 AS INT)) & 1) = 1"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("hits")
+        )
+    )
+    act = (
+        probes.join(f, f.l_partkey == probes.pk)
+        .select("pk", "file_id")
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    return (
+        chk.join(act, ["pk", "file_id"], "left")
+        .groupBy(F.col("pk").alias("probe_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(F.col("hits") == _BLOOM_K, 1).otherwise(0))
+            .cast("long")
+            .alias("files_would_read"),
+            F.sum(F.when(F.col("present") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("files_containing"),
+            F.sum(
+                F.when(
+                    (F.col("hits") == _BLOOM_K) & F.col("present").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("false_positives"),
+        )
+        .select(
+            "probe_key",
+            F.col("n_files").cast("long"),
+            "files_would_read",
+            "files_containing",
+            "false_positives",
+        )
+        .orderBy("probe_key")
+    )
