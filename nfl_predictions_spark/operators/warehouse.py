@@ -996,3 +996,85 @@ def q232_aggregate_backfill_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — LSM-level compaction with tombstones (last-writer-wins merge)
+# ---------------------------------------------------------------------------
+
+_LSM_BASE_END = "1996-01-01"
+
+
+@_q(
+    "q239_lsm_compaction",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_LSM_BASE_END}'
+    ),
+    -- closed-form last-writer-wins: level-2 rules override level-1
+    -- rules override base; tombstones remove the key entirely
+    final AS (
+      SELECT pk,
+             CASE WHEN pk % 11 = 0 THEN NULL
+                  WHEN pk % 3 = 0 THEN 'U2'
+                  WHEN pk % 7 = 0 THEN NULL
+                  WHEN pk % 5 = 0 THEN 'U1'
+                  ELSE status END AS status
+      FROM base
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(pk) AS BIGINT) AS key_sum
+    FROM final WHERE status IS NOT NULL
+    GROUP BY status ORDER BY status
+    """,
+)
+def q239_lsm_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM/merge-on-read compaction: three write levels (a base segment
+    plus two delta levels carrying updates AND delete tombstones,
+    derived deterministically from the base key space) merged by the
+    GENERIC algorithm — union all levels, keep each key's
+    highest-version record, drop keys whose winner is a tombstone.
+    This is the read-path merge Hudi MOR / RocksDB compaction performs;
+    q55's MERGE is the single-delta special case.
+
+    The oracle is the closed-form precedence CASE, so the hash match
+    proves the generic rank-and-filter merge implements last-writer-
+    wins exactly — including the tombstone-over-update and
+    update-after-tombstone orderings. Scale shape: one union + one
+    per-key argmax window keyed on pk (the LSM key) — levels never
+    join each other pairwise.
+    """
+    base = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit(_LSM_BASE_END).cast("timestamp"))
+        .select(F.col("o_orderkey").alias("pk"), F.col("o_orderstatus").alias("status"))
+    )
+    l0 = base.select(
+        "pk", F.lit(0).alias("version"), F.lit(False).alias("tombstone"), "status"
+    )
+    l1 = base.filter((F.col("pk") % 5 == 0) | (F.col("pk") % 7 == 0)).select(
+        "pk",
+        F.lit(1).alias("version"),
+        (F.col("pk") % 7 == 0).alias("tombstone"),
+        F.when(F.col("pk") % 7 == 0, None).otherwise(F.lit("U1")).alias("status"),
+    )
+    l2 = base.filter((F.col("pk") % 3 == 0) | (F.col("pk") % 11 == 0)).select(
+        "pk",
+        F.lit(2).alias("version"),
+        (F.col("pk") % 11 == 0).alias("tombstone"),
+        F.when(F.col("pk") % 11 == 0, None).otherwise(F.lit("U2")).alias("status"),
+    )
+    levels = l0.unionByName(l1).unionByName(l2)
+    w = Window.partitionBy("pk").orderBy(F.desc("version"))
+    return (
+        levels.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (~F.col("tombstone")))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("pk").cast("long").alias("key_sum"),
+        )
+        .select("status", F.col("n_keys").cast("long"), "key_sum")
+        .orderBy("status")
+    )
