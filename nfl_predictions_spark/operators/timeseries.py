@@ -1519,3 +1519,92 @@ def q214_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(recur, schema="event_type string, hr timestamp, v double, ewma double")
         .orderBy("event_type", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — rolling cross-series correlation (purchase vs view intensity)
+# ---------------------------------------------------------------------------
+
+_RC_WIN = 24  # trailing hours
+
+
+def _rolling_corr_oracle() -> str:
+    w = _RC_WIN
+    return f"""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY hr
+    ), r AS (
+      SELECT hr, x, y,
+             row_number() OVER (ORDER BY hr) AS rn,
+             sum(x) OVER fr AS sx, sum(y) OVER fr AS sy,
+             sum(x * x) OVER fr AS sxx, sum(y * y) OVER fr AS syy,
+             sum(x * y) OVER fr AS sxy,
+             count(*) OVER fr AS n
+      FROM h
+      WINDOW fr AS (ORDER BY hr ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(hr AS TIMESTAMP) AS hr, x, y,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                        * (n * syy - sy * sy)), 6) AS corr{w}
+    FROM r
+    WHERE rn >= {w}
+      AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    ORDER BY hr
+    """
+
+
+@_q("q240_rolling_corr", _rolling_corr_oracle())
+def q240_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{_RC_WIN}h Pearson correlation between purchase and view
+    intensity — the cross-series co-movement monitor (does browsing
+    still convert?), computed entirely from ONE hourly rollup: both
+    series come out of the same conditional aggregation, and all five
+    correlation moments are integer-count frame sums, so the statistic
+    is exact rational algebra + one sqrt in identical IEEE order —
+    rounded once on the wire, no tolerance. Zero-variance frames are
+    excluded exactly (integer predicate), not epsilon-tested.
+
+    One scan -> calendar-sized series; the frame sums share one sort.
+    At 100 TB the rollup is the only corpus-sized work, and keying it
+    by (hour) keeps the window single-pass."""
+    h = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    fr = Window.orderBy("hr").rowsBetween(-(_RC_WIN - 1), 0)
+    wo = Window.orderBy("hr")
+    r = (
+        h.withColumn("rn", F.row_number().over(wo))
+        .withColumn("sx", F.sum("x").over(fr))
+        .withColumn("sy", F.sum("y").over(fr))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(fr))
+        .withColumn("syy", F.sum(F.col("y") * F.col("y")).over(fr))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(fr))
+        .withColumn("n", F.count(F.lit(1)).over(fr))
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(vx.cast("double") * vy),
+        6,
+    )
+    return (
+        r.filter((F.col("rn") >= _RC_WIN) & (vx > 0) & (vy > 0))
+        .select("hr", "x", "y", corr.alias(f"corr{_RC_WIN}"))
+        .orderBy("hr")
+    )
