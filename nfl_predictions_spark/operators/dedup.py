@@ -901,3 +901,88 @@ def q220_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — IDF-weighted Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+_WJ_THRESHOLD = 0.75
+
+
+def _weighted_jaccard_oracle() -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM tok WHERE len(ts) >= 3),
+    ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM ex),
+    idf AS (
+      SELECT s, CAST(round(ln(CAST((SELECT n FROM nd) AS DOUBLE) / count(*)) + 1.0, 6)
+                     AS DECIMAL(18,6)) AS w
+      FROM ex GROUP BY s
+    ),
+    wex AS (SELECT e.doc_id, e.s, idf.w FROM ex e JOIN idf ON idf.s = e.s),
+    sizes AS (SELECT doc_id, sum(w) AS tw FROM wex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w) AS iw
+      FROM wex a JOIN wex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(CAST(iw AS DOUBLE) / CAST(s1.tw + s2.tw - iw AS DOUBLE), 6)
+             AS wjac
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE CAST(iw AS DOUBLE) / CAST(s1.tw + s2.tw - iw AS DOUBLE) >= {_WJ_THRESHOLD}
+    ORDER BY d1, d2
+    """
+
+
+@_q("q241_weighted_jaccard_pairs", _weighted_jaccard_oracle())
+def q241_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard near-dup pairs: shared BOILERPLATE shingles
+    (high document frequency, low IDF) contribute little; shared RARE
+    content dominates — the similarity plain Jaccard (q39b) cannot
+    express, and the reason production dedup weighs shingles before
+    thresholding (template-heavy corpora look alike under uniform
+    weights).
+
+    Same inverted-index candidate generation (pairs must share a
+    shingle); intersection WEIGHT accumulates in the same shingle-keyed
+    join, and per-doc total weights come from the identical weighted
+    index — one extra |shingles|-sized IDF aggregate over q39b's plan.
+    IDF values are quantized to DECIMAL(18,6) before any sum, so both
+    engines sum identical quantities exactly; ln() only ever feeds the
+    quantizer (NOTES round rules: the one transcendental is rounded at
+    the source, never accumulated raw).
+    """
+    ex = shingle_rows(table(spark, sf_dir, "documents"))
+    nd = ex.select("doc_id").distinct().count()
+    idf = ex.groupBy("s").agg(
+        F.round(F.log(F.lit(float(nd)) / F.count(F.lit(1))) + 1.0, 6)
+        .cast("decimal(18,6)")
+        .alias("w")
+    )
+    wex = ex.join(idf, "s")
+    sizes = wex.groupBy("doc_id").agg(F.sum("w").alias("tw"))
+    inter = (
+        wex.alias("a")
+        .join(
+            wex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.sum(F.col("a.w")).alias("iw"))
+    )
+    wjac = F.col("iw").cast("double") / (
+        F.col("s1.tw") + F.col("s2.tw") - F.col("iw")
+    ).cast("double")
+    return (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(wjac >= _WJ_THRESHOLD)
+        .select("d1", "d2", F.round(wjac, 6).alias("wjac"))
+        .orderBy("d1", "d2")
+    )

@@ -171,3 +171,95 @@ def q129_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("concurrent"), F.asc("d"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q242 — interval-union length (deduplicated active time per user)
+# ---------------------------------------------------------------------------
+
+_IU_SESSION_MIN = 5  # each event opens a 5-minute activity interval
+
+
+@_q(
+    "q242_interval_union_length",
+    f"""
+    WITH iv AS (
+      SELECT user_id, ts AS lo,
+             ts + INTERVAL {_IU_SESSION_MIN} MINUTES AS hi
+      FROM events
+    ), o AS (
+      SELECT user_id, lo, hi,
+             max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv
+    ), grp AS (
+      SELECT user_id, lo, hi,
+             sum(CASE WHEN prev_max IS NULL OR lo > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY lo, hi) AS g
+      FROM o
+    ), merged AS (
+      SELECT user_id, g, min(lo) AS lo, max(hi) AS hi
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(epoch_us(hi) - epoch_us(lo)) / 60000000.0 AS DOUBLE)
+             AS active_minutes
+    FROM merged GROUP BY user_id
+    ORDER BY user_id LIMIT 50
+    """,
+)
+def q242_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated active time per user: every event opens a
+    {_IU_SESSION_MIN}-minute activity interval; overlapping intervals
+    must be UNIONED before summing or busy users double-count (the
+    billing/engagement bug naive sum-of-sessions has). The union is the
+    classic gaps-and-islands sweep — running max of interval ends over
+    the per-user sort; a new island starts exactly when lo exceeds
+    every previous end — so the whole merge is ONE window pass keyed on
+    user_id, no self-join, no explode of minute grains.
+
+    Complements q129 (max concurrency = how DEEP overlaps stack) with
+    total coverage = how WIDE they reach. Durations are exact BIGINT
+    microsecond arithmetic; the minutes conversion is one division of
+    identical integers.
+    """
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr(f"INTERVAL {_IU_SESSION_MIN} MINUTES")).alias("hi"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ws = Window.partitionBy("user_id").orderBy("lo", "hi")
+    grp = iv.withColumn("prev_max", F.max("hi").over(wp)).withColumn(
+        "g",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("lo") > F.col("prev_max")), 1
+            ).otherwise(0)
+        ).over(ws),
+    )
+    merged = grp.groupBy("user_id", "g").agg(
+        F.min("lo").alias("lo"), F.max("hi").alias("hi")
+    )
+    # events.ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the cast
+    # is UTC-for-UTC under the session timezone, so values are unchanged
+    dur_us = F.unix_micros(F.col("hi").cast("timestamp")) - F.unix_micros(
+        F.col("lo").cast("timestamp")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            (F.sum(dur_us) / 60000000.0).cast("double").alias("active_minutes"),
+        )
+        .select("user_id", F.col("n_intervals").cast("long"), "active_minutes")
+        .orderBy("user_id")
+        .limit(50)
+    )
