@@ -191,3 +191,124 @@ def q63b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "view_event_asof", "ts_asof").orderBy(
         "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 — nearest-in-time join (bidirectional as-of)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q243_nearest_asof_join",
+    """
+    WITH v AS (
+      SELECT user_id, ts, max(event_id) AS view_event
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT p.event_id, p.user_id, p.ts, v.view_event, v.ts AS vts,
+             abs(epoch_us(p.ts) - epoch_us(v.ts)) AS gap,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)), v.ts, v.view_event
+             ) AS rn
+      FROM p JOIN v ON v.user_id = p.user_id
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           b.view_event AS nearest_view_event,
+           b.vts AS nearest_view_ts,
+           CAST(b.gap AS BIGINT) AS gap_us,
+           CASE WHEN b.gap = 0 THEN 'same'
+                WHEN b.vts < p.ts THEN 'backward'
+                WHEN b.vts IS NULL THEN NULL
+                ELSE 'forward' END AS direction
+    FROM p LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) b
+      ON b.event_id = p.event_id
+    ORDER BY p.event_id
+    """,
+)
+def q243_nearest_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join: each purchase matched to the user's view
+    with the SMALLEST absolute time gap, in either direction (ties go
+    to the earlier view) — the bidirectional sibling of q63's
+    backward-only as-of, the semantics sensor-fusion and attribution
+    pipelines actually want when "latest before" is wrong half the
+    time.
+
+    Spark side is the efficient sorted-union formulation: views and
+    purchases interleave on ONE per-user sort, a last(ignoreNulls)
+    window finds the backward candidate and a first(ignoreNulls) over
+    the following frame finds the forward one — O(n log n) per user
+    partition, no pairwise join. The oracle is the literal brute force
+    (all purchase x view pairs per user, global argmin) — obviously
+    correct, quadratic, and exactly what the window formulation must
+    reproduce bit-for-bit: gaps are exact BIGINT microseconds.
+    """
+    ev = table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event"))
+        .select(
+            "user_id",
+            "ts",
+            "view_event",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("view_event"),
+        F.lit(1).alias("kind"),
+        "event_id",
+    )
+    u = views.unionByName(purch)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    vts = F.when(F.col("kind") == 0, F.col("ts"))
+    vev = F.when(F.col("kind") == 0, F.col("view_event"))
+    c = (
+        u.withColumn("b_ts", F.last(vts, ignorenulls=True).over(wb))
+        .withColumn("b_ev", F.last(vev, ignorenulls=True).over(wb))
+        .withColumn("f_ts", F.first(vts, ignorenulls=True).over(wf))
+        .withColumn("f_ev", F.first(vev, ignorenulls=True).over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))  # noqa: E731
+    gap_b = us("ts") - us("b_ts")
+    gap_f = us("f_ts") - us("ts")
+    take_backward = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (gap_b <= gap_f)
+    )
+    nearest_ts = F.when(take_backward, F.col("b_ts")).otherwise(F.col("f_ts"))
+    nearest_ev = F.when(take_backward, F.col("b_ev")).otherwise(F.col("f_ev"))
+    gap = F.when(take_backward, gap_b).otherwise(gap_f)
+    direction = (
+        F.when(nearest_ts.isNull(), None)
+        .when(gap == 0, "same")
+        .when(nearest_ts < F.col("ts"), "backward")
+        .otherwise("forward")
+    )
+    return (
+        c.select(
+            "event_id",
+            "user_id",
+            "ts",
+            nearest_ev.alias("nearest_view_event"),
+            nearest_ts.alias("nearest_view_ts"),
+            gap.cast("long").alias("gap_us"),
+            direction.alias("direction"),
+        )
+        .orderBy("event_id")
+    )
