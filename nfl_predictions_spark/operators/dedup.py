@@ -986,3 +986,162 @@ def q241_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", F.round(wjac, 6).alias("wjac"))
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — LSH s-curve measurement (empirical vs theoretical collision rate)
+# ---------------------------------------------------------------------------
+
+_SC_BANDS = 4
+_SC_ROWS_PER_BAND = 4  # 16 md5-derived min-hashes; one md5 yields 4 rows
+
+
+def _sc_hash_duck(g: int, i: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(s || ':mh{g}'), {8 * i + 1}, 8)) AS BIGINT)"
+    )
+
+
+def _scurve_oracle() -> str:
+    nmh = _SC_BANDS * _SC_ROWS_PER_BAND
+    sig_aggs = ", ".join(
+        f"min({_sc_hash_duck(k // 4, k % 4)}) AS mh{k}" for k in range(nmh)
+    )
+    band_hits = " OR ".join(
+        "("
+        + " AND ".join(
+            f"sa.mh{b * _SC_ROWS_PER_BAND + r} = sb.mh{b * _SC_ROWS_PER_BAND + r}"
+            for r in range(_SC_ROWS_PER_BAND)
+        )
+        + ")"
+        for b in range(_SC_BANDS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM tok WHERE len(ts) >= 3),
+    ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig_aggs} FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT d1, d2, i * 1.0 / (s1.sz + s2.sz - i) AS j
+      FROM inter JOIN sizes s1 ON s1.doc_id = d1
+                 JOIN sizes s2 ON s2.doc_id = d2
+    ), coll AS (
+      SELECT jac.d1, jac.d2, jac.j,
+             CASE WHEN {band_hits} THEN 1 ELSE 0 END AS hit
+      FROM jac JOIN sig sa ON sa.doc_id = jac.d1
+               JOIN sig sb ON sb.doc_id = jac.d2
+    ), dec AS (
+      SELECT least(CAST(floor(j * 10) AS BIGINT), 9) AS decile, hit FROM coll
+    ), th AS (
+      SELECT decile, (decile + 0.5) / 10 AS m FROM (
+        SELECT DISTINCT decile FROM dec)
+    )
+    SELECT d.decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(d.hit) AS BIGINT) AS n_collide,
+           CAST(sum(d.hit) AS DOUBLE) / count(*) AS emp_rate,
+           1 - (1 - m*m*m*m) * (1 - m*m*m*m) * (1 - m*m*m*m) * (1 - m*m*m*m)
+             AS theo_rate
+    FROM dec d JOIN th ON th.decile = d.decile
+    GROUP BY d.decile, th.m ORDER BY d.decile
+    """
+
+
+@_q("q244_lsh_scurve", _scurve_oracle())
+def q244_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure the LSH s-curve on the actual corpus instead of trusting
+    the formula: for every candidate pair (inverted index — pairs
+    sharing a shingle), bucket by exact Jaccard decile and compare the
+    EMPIRICAL band-collision rate of a {_SC_BANDS}x{_SC_ROWS_PER_BAND}
+    MinHash index against the theoretical 1-(1-s^r)^b at the decile
+    midpoint — the parameter-tuning harness behind q39's production
+    16x4 choice ("measure, don't guess" applied to the index's own
+    design).
+
+    The study index uses md5-slice min-hashes (ONE md5 per shingle
+    yields all 4 rows of a band group), so unlike the xxhash production
+    signatures the whole measurement is engine-neutral and fully
+    value-oracled: empirical rates are exact BIGINT ratios and the
+    theory column is pure repeated multiplication — no pow(), no ulp
+    exposure. Collision checks are per-pair column equalities on the
+    broadcast-joinable signature table.
+    """
+    nmh = _SC_BANDS * _SC_ROWS_PER_BAND
+    ex = shingle_rows(table(spark, sf_dir, "documents"))
+
+    def h(k: int):
+        g, i = k // 4, k % 4
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("s"), F.lit(f":mh{g}"))), 8 * i + 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(h(k)).alias(f"mh{k}") for k in range(nmh)]
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    jac = (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (F.col("i") / (F.col("s1.sz") + F.col("s2.sz") - F.col("i"))).alias("j"),
+        )
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("d1"), *[F.col(f"mh{k}").alias(f"a{k}") for k in range(nmh)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("d2"), *[F.col(f"mh{k}").alias(f"b{k}") for k in range(nmh)]
+    )
+    band_hit = None
+    for b in range(_SC_BANDS):
+        cond = None
+        for r in range(_SC_ROWS_PER_BAND):
+            k = b * _SC_ROWS_PER_BAND + r
+            eq = F.col(f"a{k}") == F.col(f"b{k}")
+            cond = eq if cond is None else (cond & eq)
+        band_hit = cond if band_hit is None else (band_hit | cond)
+    coll = (
+        jac.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            F.least(F.floor(F.col("j") * 10).cast("long"), F.lit(9)).alias(
+                "decile"
+            ),
+            F.when(band_hit, 1).otherwise(0).alias("hit"),
+        )
+    )
+    m = (F.col("decile") + 0.5) / 10
+    s4 = m * m * m * m
+    theo = 1 - (1 - s4) * (1 - s4) * (1 - s4) * (1 - s4)
+    return (
+        coll.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("hit").cast("long").alias("n_collide"),
+            (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("emp_rate"),
+        )
+        .select(
+            "decile", F.col("n_pairs").cast("long"), "n_collide", "emp_rate",
+            theo.alias("theo_rate"),
+        )
+        .orderBy("decile")
+    )
