@@ -1717,3 +1717,107 @@ def q235_nested_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tier", F.col("n_docs").cast("long"), "n_tokens", "key_sum")
         .orderBy("tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — worst-window fluency gate (local quality, not just doc means)
+# ---------------------------------------------------------------------------
+
+_WW_WIN = 20  # tokens per window
+_WW_OUT = 20  # worst docs reported
+
+
+def _worst_window_oracle() -> str:
+    w = _WW_WIN
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+             CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos
+      FROM documents
+    ), freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+    lp AS (
+      SELECT tok.doc_id, tok.pos,
+             CAST(round(ln(freq.c * 1.0 / n.n), 6) AS DECIMAL(18,6)) AS lp
+      FROM tok JOIN freq ON freq.t = tok.t CROSS JOIN n
+    ), win AS (
+      SELECT doc_id, pos,
+             sum(lp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+               AS wsum,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS n_tokens
+      FROM lp
+    ), worst AS (
+      SELECT doc_id, n_tokens, pos - {w - 1} AS win_start, wsum,
+             row_number() OVER (PARTITION BY doc_id ORDER BY wsum ASC, pos ASC)
+               AS pick
+      FROM win WHERE rn >= {w}
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(win_start AS BIGINT) AS win_start,
+           CAST(wsum AS DOUBLE) / {w} AS worst_mean_lp
+    FROM worst WHERE pick = 1
+    ORDER BY worst_mean_lp ASC, doc_id LIMIT {_WW_OUT}
+    """
+
+
+@_q("q246_worst_window_logprob", _worst_window_oracle())
+def q246_worst_window_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local fluency gate: a document's MEAN log-probability (q110)
+    hides a garbage span inside an otherwise-fluent page, so quality
+    filters also gate on the WORST {_WW_WIN}-token window — this finds
+    each doc's minimum sliding-window unigram log-probability and
+    reports the {_WW_OUT} worst offenders with the window position (the
+    span a reviewer inspects).
+
+    Per-token logprobs are ln(c/N) QUANTIZED to DECIMAL(18,6) at the
+    source (the q241 rule: the transcendental feeds the quantizer,
+    never an accumulation), so the sliding frame sums and the min-pick
+    are exact decimal arithmetic — cross-engine hash-equal. Shape: one
+    token explode + broadcast vocab join + per-doc frame windows on the
+    shared (doc, pos) sort.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "t")
+    ).select("doc_id", "t", (F.col("p0") + 1).cast("long").alias("pos"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = freq.agg(F.sum("c").alias("n"))
+    lp = (
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "pos",
+            F.round(F.log(F.col("c") / F.col("n")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    fr = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WW_WIN - 1), 0)
+    )
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    wc = Window.partitionBy("doc_id")
+    win = (
+        lp.withColumn("wsum", F.sum("lp").over(fr))
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("n_tokens", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") >= _WW_WIN)
+    )
+    wp = Window.partitionBy("doc_id").orderBy(F.asc("wsum"), F.asc("pos"))
+    worst = (
+        win.withColumn("pick", F.row_number().over(wp))
+        .filter(F.col("pick") == 1)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long"),
+            (F.col("pos") - (_WW_WIN - 1)).cast("long").alias("win_start"),
+            (F.col("wsum").cast("double") / _WW_WIN).alias("worst_mean_lp"),
+        )
+    )
+    return worst.orderBy(F.asc("worst_mean_lp"), F.asc("doc_id")).limit(_WW_OUT)

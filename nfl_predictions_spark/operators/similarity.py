@@ -1696,3 +1696,71 @@ def q236_robust_scaler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q3",
         (F.col("q3") - F.col("q1")).alias("iqr"),
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# q245 — semantic decontamination (embedding-level eval-set leakage)
+# ---------------------------------------------------------------------------
+
+_SD_N_EVAL = 20
+_SD_THRESHOLD = 0.95
+
+
+@_q(
+    "q245_semantic_decontam",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    ev AS (SELECT vec_id AS eid, emb AS ee FROM e WHERE vec_id < {_SD_N_EVAL}),
+    corpus AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id >= {_SD_N_EVAL}),
+    hits AS (
+      SELECT c.cid, v.eid,
+             round(list_dot_product(ce, ee)
+               / (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(ee, ee))),
+               6) AS cos
+      FROM corpus c, ev v
+    ), flagged AS (
+      SELECT cid, eid, cos,
+             row_number() OVER (PARTITION BY cid ORDER BY cos DESC, eid) AS rn
+      FROM hits WHERE cos >= {_SD_THRESHOLD}
+    )
+    SELECT cid, eid AS nearest_eval, cos
+    FROM flagged WHERE rn = 1 ORDER BY cid
+    """,
+)
+def q245_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: corpus vectors within cosine
+    {_SD_THRESHOLD} of ANY eval vector are leakage suspects — the
+    semantic layer n-gram decontamination (q91/q133) cannot see
+    (paraphrases share no 8-gram). Output: each flagged corpus id with
+    its closest eval item as the audit evidence.
+
+    The eval side broadcasts ({_SD_N_EVAL} vectors — in production, the
+    benchmark suite), the corpus NEVER shuffles, and the cosine is
+    q41's oracle-exact fold. At 100 TB this is one broadcast-map scan;
+    the LSH/IVF indexes (q41c/q41d) pre-filter candidates when the eval
+    set itself is large.
+    """
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    ev = emb.filter(F.col("vec_id") < _SD_N_EVAL).select(
+        F.col("vec_id").alias("eid"), F.col("emb").alias("ee")
+    )
+    corpus = emb.filter(F.col("vec_id") >= _SD_N_EVAL).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce")
+    )
+    cos = F.round(
+        _dot(F.col("ce"), F.col("ee"))
+        / (_norm(F.col("ce")) * _norm(F.col("ee"))),
+        6,
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("cos"), F.asc("eid"))
+    return (
+        corpus.crossJoin(F.broadcast(ev))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _SD_THRESHOLD)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("eid").alias("nearest_eval"), "cos")
+        .orderBy("cid")
+    )
