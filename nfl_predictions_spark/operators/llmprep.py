@@ -1821,3 +1821,182 @@ def q246_worst_window_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return worst.orderBy(F.asc("worst_mean_lp"), F.asc("doc_id")).limit(_WW_OUT)
+
+
+# ---------------------------------------------------------------------------
+# q247 — curriculum training-order materialization
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q247_curriculum_order",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             ntile(10) OVER (ORDER BY len(string_split(text, ' ')) DESC,
+                             doc_id) AS decile
+      FROM documents
+    ), ord AS (
+      SELECT doc_id, decile,
+             row_number() OVER (
+               ORDER BY decile ASC,
+                        md5(CAST(doc_id AS VARCHAR) || ':cur'), doc_id) AS pos
+      FROM q
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(pos) AS BIGINT) AS first_pos,
+           CAST(max(pos) AS BIGINT) AS last_pos,
+           CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM ord GROUP BY decile ORDER BY decile
+    """,
+)
+def q247_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a curriculum training ORDER: docs grouped into
+    quality deciles (longest-first here as the stand-in quality signal),
+    easy-tier-first, deterministically shuffled WITHIN each tier by md5
+    (no RNG state — the q108 idiom applied to ordering). The
+    position-weighted checksum sum(pos * doc_id) pins the exact global
+    permutation, not just tier membership — reordering any two docs
+    changes it.
+
+    Data ordering is a first-class training lever (curriculum /
+    anti-curriculum schedules); this materializes one reproducibly. The
+    global row_number is the only total order — at scale it becomes the
+    q109 two-phase prefix-sum rank over (tier, md5) so no single
+    partition ever sorts the corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " "))
+    q = docs.select(
+        "doc_id",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc(nt), F.asc("doc_id")))
+        .alias("decile"),
+    )
+    pos = F.row_number().over(
+        Window.orderBy(
+            F.asc("decile"),
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cur"))),
+            F.asc("doc_id"),
+        )
+    )
+    ordd = q.withColumn("pos", pos.cast("long"))
+    return (
+        ordd.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("order_checksum"),
+        )
+        .select(
+            F.col("decile").cast("long"),
+            F.col("n_docs").cast("long"),
+            F.col("first_pos").cast("long"),
+            F.col("last_pos").cast("long"),
+            F.col("order_checksum").cast("long"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 — cross-split near-dup leakage audit
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _SHINGLE_SQL
+
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM tok WHERE len(ts) >= 3),
+    ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
+    ), sp AS (
+      SELECT doc_id,
+        CASE WHEN (ascii(substr(md5(text), 1, 1)) * 256
+                   + ascii(substr(md5(text), 2, 1))) % 100 < 90 THEN 'train'
+             WHEN (ascii(substr(md5(text), 1, 1)) * 256
+                   + ascii(substr(md5(text), 2, 1))) % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents
+    ), tagged AS (
+      SELECT least(a.split, b.split) AS s1, greatest(a.split, b.split) AS s2,
+             CASE WHEN a.split <> b.split THEN 1 ELSE 0 END AS leak,
+             p.d1, p.d2
+      FROM pairs p JOIN sp a ON a.doc_id = p.d1 JOIN sp b ON b.doc_id = p.d2
+    )
+    SELECT s1 AS split_a, s2 AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(leak) AS BIGINT) AS n_leaks,
+           CAST(sum(d1 + d2) AS BIGINT) AS pair_checksum
+    FROM tagged GROUP BY s1, s2 ORDER BY split_a, split_b
+    """
+
+
+@_q("q248_split_leakage_audit", _split_leakage_oracle())
+def q248_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did near-duplicates leak ACROSS the train/val/test boundary?
+    Content-hash splitting (q108) sends each doc independently, so a
+    near-dup pair can straddle splits and inflate eval — the classic
+    dedup-before-split bug. This joins the exact near-dup pair set
+    (q39b's 0.8-Jaccard edges) against each side's split assignment and
+    reports every (split, split) combination with leak counts and a
+    pair checksum — the audit that says "dedup FIRST, then split".
+
+    Pure composition: the pair set is q39b's plan, the split rule is
+    q108's expression, and the tagging join is pair-sized. Zero new
+    scan cost beyond the near-dup candidate generation the pipeline
+    already runs.
+    """
+    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = q39b_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    bucket = (
+        F.ascii(F.substring(F.md5("text"), 1, 1)) * 256
+        + F.ascii(F.substring(F.md5("text"), 2, 1))
+    ) % 100
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    a = sp.select(F.col("doc_id").alias("d1"), F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("d2"), F.col("split").alias("sb"))
+    tagged = (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            F.when(F.col("sa") != F.col("sb"), 1).otherwise(0).alias("leak"),
+            (F.col("d1") + F.col("d2")).alias("ck"),
+        )
+    )
+    return (
+        tagged.groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("leak").cast("long").alias("n_leaks"),
+            F.sum("ck").cast("long").alias("pair_checksum"),
+        )
+        .select(
+            "split_a", "split_b", F.col("n_pairs").cast("long"),
+            "n_leaks", "pair_checksum",
+        )
+        .orderBy("split_a", "split_b")
+    )
