@@ -402,3 +402,95 @@ def q216_unigram_viterbi_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame
         .limit(_UNI_OUT)
         .orderBy(F.desc("freq"), F.asc("word"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — tokenizer compression report (BPE efficiency per source)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_compression_oracle(rounds: int = _ROUNDS) -> str:
+    """Per-source compression of the learned BPE: chars and BPE tokens
+    aggregated over each source's corpus slice."""
+    sql = _bpe_cte_prefix(rounds)
+    sql += r""", d0 AS (
+      SELECT doc_id,
+             ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s,
+             len(w) AS n_chars
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""", d{r} AS (
+      SELECT doc_id, replace(s, ' ' || lhs || '  ' || rhs || ' ',
+                             ' ' || lhs || rhs || ' ') AS s, n_chars
+      FROM d{r - 1} CROSS JOIN b{r}
+    )"""
+    sql += f""", per AS (
+      SELECT doc_id, count(*) AS n_words, sum(n_chars) AS n_chars,
+             sum(len(string_split(trim(s), '  '))) AS n_tok
+      FROM d{rounds} GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(sum(per.n_words) AS BIGINT) AS n_words,
+           CAST(sum(per.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(per.n_tok) AS BIGINT) AS n_tokens_bpe,
+           CAST(sum(per.n_chars) AS DOUBLE) / sum(per.n_tok) AS chars_per_token,
+           CAST(sum(per.n_tok) AS DOUBLE) / sum(per.n_words) AS tokens_per_word
+    FROM per JOIN documents d ON d.doc_id = per.doc_id
+    GROUP BY d.source ORDER BY d.source"""
+    return sql
+
+
+@_q("q249_bpe_compression", _bpe_compression_oracle())
+def q249_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer efficiency report: chars-per-token and tokens-per-word
+    of the learned BPE (q160's merges) per SOURCE — the fertility
+    metric that decides whether a tokenizer serves every corpus slice
+    fairly (a domain with low chars/token burns the training budget).
+    Token budgets (q109, q130) should count MODEL tokens; this is the
+    audit tying that model to corpus composition.
+
+    Reuses q162's corpus-wide apply (explode + literal replaces); adds
+    one |sources|-sized rollup. Ratios are exact BIGINT/BIGINT single
+    divisions.
+    """
+    merges = learn_merges(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    s = _encode_sym(F.col("w"))
+    for _, lhs, rhs, merged, _c in merges:
+        s = F.replace(s, F.lit(f" {lhs}  {rhs} "), F.lit(f" {merged} "))
+    per = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            F.length("w").alias("n_chars"),
+            F.size(F.split(F.trim(s), "  ")).alias("n_tok"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tok").alias("n_tok"),
+        )
+    )
+    return (
+        per.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_tokens_bpe"),
+            (F.sum("n_chars").cast("double") / F.sum("n_tok")).alias(
+                "chars_per_token"
+            ),
+            (F.sum("n_tok").cast("double") / F.sum("n_words")).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("source")
+    )
