@@ -58,6 +58,10 @@ ALLOW = {
         "q226_zone_map_pruning",  # 1-row max-orderkey broadcast
         "q223_temperature_balance",  # 1-row weight-total broadcast
         "q227_jackknife_se",  # 1-row totals + 1-row jackknife-mean broadcasts
+        "q245_semantic_decontam",  # 20-row eval-set broadcast (the q91 shape)
+        "q238_bloom_file_pruning",  # 1-row maxima + 15-row probe broadcasts
+        "q234_representation_audit",  # 1-row corpus-totals broadcast
+        "q246_worst_window_logprob",  # 1-row vocab-total broadcast (q110 shape)
     },
 }
 
