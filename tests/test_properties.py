@@ -136,3 +136,32 @@ def test_mutual_nn_pairs_are_symmetric_subset_of_best(spark):
         # mutual-NN pairing is a matching: no doc appears twice
     docs = [d for p in seen for d in p]
     assert len(docs) == len(set(docs))
+
+
+def test_lsh_scurve_is_monotone_at_extremes(spark):
+    """The measured s-curve must slope the right way: the top Jaccard
+    decile collides (nearly) always, far above the bottom decile."""
+    from nfl_predictions_spark.operators.dedup import q244_lsh_scurve
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["decile"]: r for r in q244_lsh_scurve(spark, SF_SMOKE).collect()}
+    lo, hi = min(rows), max(rows)
+    assert rows[hi]["emp_rate"] > rows[lo]["emp_rate"]
+    assert rows[hi]["emp_rate"] >= 0.9
+    for r in rows.values():
+        assert 0.0 <= r["emp_rate"] <= 1.0 and 0.0 <= r["theo_rate"] <= 1.0
+
+
+def test_scd2_merge_apply_equals_full_rebuild_in_engine(spark):
+    """q228's incremental merge must equal q118's full rebuild row for
+    row IN-ENGINE too (the oracle proves it cross-engine; this pins it
+    without DuckDB in the loop)."""
+    from nfl_predictions_spark.operators.warehouse import (
+        q118_scd2_dimension,
+        q228_scd2_merge_apply,
+    )
+    from tests.conftest import SF_SMOKE
+
+    inc = sorted(map(tuple, q228_scd2_merge_apply(spark, SF_SMOKE).collect()))
+    full = sorted(map(tuple, q118_scd2_dimension(spark, SF_SMOKE).collect()))
+    assert inc == full
