@@ -1586,3 +1586,112 @@ def q233_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — AUC + calibration for a deterministic scorer (rank-sum, exact)
+# ---------------------------------------------------------------------------
+
+
+def _auc_oracle() -> str:
+    return """
+    WITH hr AS (
+      SELECT CAST(extract('hour' FROM ts) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM events GROUP BY h
+    ), sc AS (
+      SELECT e.event_id,
+             CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(hr.pos AS DOUBLE) / hr.n AS score
+      FROM events e JOIN hr ON hr.h = CAST(extract('hour' FROM e.ts) AS BIGINT)
+    ), rk AS (
+      SELECT y, score,
+             avg(rnk) OVER (PARTITION BY score) AS tie_rank
+      FROM (SELECT y, score,
+                   CAST(row_number() OVER (ORDER BY score, event_id) AS DOUBLE)
+                     AS rnk
+            FROM sc)
+    ), agg AS (
+      SELECT CAST(sum(y) AS BIGINT) AS np,
+             CAST(count(*) - sum(y) AS BIGINT) AS nn,
+             sum(CASE WHEN y = 1 THEN tie_rank ELSE 0 END) AS rsum
+      FROM rk
+    ), cal AS (
+      SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM sc GROUP BY bin
+    )
+    SELECT cal.bin, cal.n, cal.n_pos,
+           CAST(cal.n_pos AS DOUBLE) / cal.n AS pos_rate,
+           round((agg.rsum - agg.np * (agg.np + 1) / 2.0) / (agg.np * agg.nn), 6)
+             AS auc
+    FROM cal CROSS JOIN agg ORDER BY cal.bin
+    """
+
+
+@_q("q250_auc_calibration", _auc_oracle())
+def q250_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed AUC + calibration table for a deterministic scorer
+    (hour-of-day purchase propensity predicting "is a purchase") — the
+    two model-eval numbers every ranking/propensity pipeline reports.
+
+    AUC comes from the Mann-Whitney rank-sum with proper TIE handling
+    (average rank per tied score group — scores here are 24 distinct
+    ratios, so ties are the norm, and the naive untied formula is
+    simply wrong): ranks are integers averaged over exact windows, so
+    (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) is exact rational
+    arithmetic rounded once. Calibration = decile-binned exact positive
+    rates next to the same AUC on every row. One global (score,
+    event_id) sort is the only corpus-wide work; at scale the rank-sum
+    decomposes by score bucket exactly like q109's two-phase prefix
+    sum.
+    """
+    ev = table(spark, sf_dir, "events")
+    hr = ev.groupBy(F.hour("ts").cast("long").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "pos"
+        ),
+    )
+    sc = (
+        ev.join(F.broadcast(hr), F.hour(ev.ts).cast("long") == hr.h)
+        .select(
+            "event_id",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+            (F.col("pos").cast("double") / F.col("n")).alias("score"),
+        )
+    )
+    wr = Window.orderBy("score", "event_id")
+    wt = Window.partitionBy("score")
+    rk = sc.withColumn(
+        "rnk", F.row_number().over(wr).cast("double")
+    ).withColumn("tie_rank", F.avg("rnk").over(wt))
+    agg = rk.agg(
+        F.sum("y").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("nn"),
+        F.sum(F.when(F.col("y") == 1, F.col("tie_rank")).otherwise(0.0)).alias(
+            "rsum"
+        ),
+    )
+    auc = F.round(
+        (F.col("rsum") - F.col("np") * (F.col("np") + 1) / 2.0)
+        / (F.col("np") * F.col("nn")),
+        6,
+    )
+    cal = sc.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+    return (
+        cal.crossJoin(F.broadcast(agg))
+        .select(
+            "bin",
+            F.col("n").cast("long"),
+            F.col("n_pos").cast("long"),
+            (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
+            auc.alias("auc"),
+        )
+        .orderBy("bin")
+    )
