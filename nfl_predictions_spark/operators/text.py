@@ -9,7 +9,9 @@ formulas in the DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nfl_predictions_spark.sources.tables import spread, table
@@ -1043,4 +1045,159 @@ def q231_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q251 — retrieval-quality evaluation (P@k, MRR, NDCG@k) of the BM25 stack
+# ---------------------------------------------------------------------------
+
+# exact log2(rank+1) discounts as literals: 10 doubles both engines share
+_DCG_DISCOUNTS = [1.0 / math.log2(r + 1) for r in range(1, _BM25_TOP_K + 1)]
+
+
+def _retrieval_eval_oracle() -> str:
+    qterms = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    qsizes = ", ".join(f"({qid}, {len(terms)})" for qid, terms in _BM25_QUERIES)
+    discounts = ", ".join(
+        f"({r + 1}, {d!r})" for r, d in enumerate(_DCG_DISCOUNTS)
+    )
+    bm25 = ORACLE["q132_bm25_retrieval"]
+    return f"""
+    WITH ranked AS ({bm25}),
+    qt(qid, term) AS (VALUES {qterms}),
+    qs(qid, n_terms) AS (VALUES {qsizes}),
+    disc(rn, d) AS (VALUES {discounts}),
+    rel AS (
+      -- graded relevance: number of the query's terms the doc contains
+      SELECT qt.qid, t.doc_id, CAST(count(DISTINCT qt.term) AS BIGINT) AS rel
+      FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents) t
+      JOIN qt ON qt.term = t.term
+      GROUP BY qt.qid, t.doc_id
+    ),
+    hits AS (
+      SELECT r.qid, r.rn,
+             coalesce(rel.rel, 0) AS rel,
+             qs.n_terms,
+             CASE WHEN coalesce(rel.rel, 0) = qs.n_terms THEN 1 ELSE 0 END
+               AS is_full
+      FROM ranked r
+      JOIN qs ON qs.qid = r.qid
+      LEFT JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+    ),
+    ideal AS (
+      SELECT rel.qid, rel.rel,
+             row_number() OVER (PARTITION BY rel.qid
+                                ORDER BY rel.rel DESC, rel.doc_id) AS irn
+      FROM rel
+    ),
+    m AS (
+      SELECT h.qid,
+             CAST(sum(h.is_full) AS BIGINT) AS full_hits,
+             CAST(sum(h.is_full) AS DOUBLE) / {_BM25_TOP_K} AS p_at_k,
+             coalesce(max(CASE WHEN h.is_full = 1
+                               THEN round(1.0 / h.rn, 6) END), 0.0) AS mrr,
+             sum(CAST(round(h.rel * disc.d, 9) AS DECIMAL(20,9))) AS dcg
+      FROM hits h JOIN disc ON disc.rn = h.rn
+      GROUP BY h.qid
+    ),
+    idcg AS (
+      SELECT i.qid,
+             sum(CAST(round(i.rel * disc.d, 9) AS DECIMAL(20,9))) AS idcg
+      FROM ideal i JOIN disc ON disc.rn = i.irn
+      WHERE i.irn <= {_BM25_TOP_K}
+      GROUP BY i.qid
+    )
+    SELECT m.qid, m.full_hits, m.p_at_k, m.mrr,
+           round(CAST(m.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6)
+             AS ndcg_at_k
+    FROM m JOIN idcg ON idcg.qid = m.qid
+    ORDER BY m.qid
+    """
+
+
+@_q("q251_retrieval_eval", _retrieval_eval_oracle())
+def q251_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the BM25 index (q132) against a deterministic relevance
+    rule — graded relevance = how many of the query's terms a document
+    contains, "fully relevant" = all of them — reporting Precision@{_BM25_TOP_K},
+    MRR (first fully-relevant hit), and graded NDCG@{_BM25_TOP_K} per
+    query: the three numbers an IR / RAG-retrieval pipeline watches.
+
+    Exactness: discounts 1/log2(rank+1) are {_BM25_TOP_K} shared
+    LITERALS (no runtime transcendentals), per-rank gain terms are
+    quantized to DECIMAL(20,9) before summing, MRR is a selected
+    rounded reciprocal, and P@k is an exact ratio. The ideal ranking
+    (IDCG) ties deterministically on doc_id. Composition: q132's plan
+    is the candidate side; relevance needs one term-filtered distinct
+    scan (same pushed-literal shape as BM25's tf).
+    """
+    ranked = q132_bm25_retrieval(spark, sf_dir)
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "qid int, term string",
+    )
+    qs = spark.createDataFrame(
+        [(qid, len(terms)) for qid, terms in _BM25_QUERIES],
+        "qid int, n_terms int",
+    )
+    disc = spark.createDataFrame(
+        [(r + 1, d) for r, d in enumerate(_DCG_DISCOUNTS)], "rn long, d double"
+    )
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .join(F.broadcast(qt), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.countDistinct("term").alias("rel"))
+    )
+    hits = (
+        ranked.join(F.broadcast(qs), "qid")
+        .join(toks, ["qid", "doc_id"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+        .withColumn(
+            "is_full", F.when(F.col("rel") == F.col("n_terms"), 1).otherwise(0)
+        )
+        .join(F.broadcast(disc), "rn")
+    )
+    m = hits.groupBy("qid").agg(
+        F.sum("is_full").cast("long").alias("full_hits"),
+        (F.sum("is_full").cast("double") / _BM25_TOP_K).alias("p_at_k"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("is_full") == 1, F.round(1.0 / F.col("rn"), 6))
+            ),
+            F.lit(0.0),
+        ).alias("mrr"),
+        F.sum(
+            F.round(F.col("rel") * F.col("d"), 9).cast("decimal(20,9)")
+        ).alias("dcg"),
+    )
+    wi = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("doc_id"))
+    idcg = (
+        toks.withColumn("irn", F.row_number().over(wi))
+        .filter(F.col("irn") <= _BM25_TOP_K)
+        .join(F.broadcast(disc.select(F.col("rn").alias("irn"), "d")), "irn")
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.round(F.col("rel") * F.col("d"), 9).cast("decimal(20,9)")
+            ).alias("idcg")
+        )
+    )
+    return (
+        m.join(idcg, "qid")
+        .select(
+            "qid",
+            "full_hits",
+            "p_at_k",
+            "mrr",
+            F.round(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
+            ).alias("ndcg_at_k"),
+        )
+        .orderBy("qid")
     )
