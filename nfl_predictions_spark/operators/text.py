@@ -1201,3 +1201,101 @@ def q251_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — hard-negative mining for retrieval training
+# ---------------------------------------------------------------------------
+
+_HN_PER_ROLE = 3
+
+
+def _hard_negatives_oracle() -> str:
+    qterms = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    qsizes = ", ".join(f"({qid}, {len(terms)})" for qid, terms in _BM25_QUERIES)
+    bm25 = ORACLE["q132_bm25_retrieval"]
+    return f"""
+    WITH ranked AS ({bm25}),
+    qt(qid, term) AS (VALUES {qterms}),
+    qs(qid, n_terms) AS (VALUES {qsizes}),
+    rel AS (
+      SELECT qt.qid, t.doc_id, CAST(count(DISTINCT qt.term) AS BIGINT) AS rel
+      FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents) t
+      JOIN qt ON qt.term = t.term
+      GROUP BY qt.qid, t.doc_id
+    ), tagged AS (
+      SELECT r.qid, r.doc_id, r.rn, coalesce(rel.rel, 0) AS rel,
+             CASE WHEN coalesce(rel.rel, 0) = qs.n_terms
+                  THEN 'positive' ELSE 'hard_negative' END AS role
+      FROM ranked r
+      JOIN qs ON qs.qid = r.qid
+      LEFT JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+    ), picked AS (
+      SELECT qid, doc_id, rn, rel, role,
+             row_number() OVER (PARTITION BY qid, role ORDER BY rn) AS pick
+      FROM tagged
+    )
+    SELECT qid, role, doc_id, CAST(rn AS BIGINT) AS bm25_rank, rel
+    FROM picked WHERE pick <= {_HN_PER_ROLE}
+    ORDER BY qid, role, bm25_rank
+    """
+
+
+@_q("q253_hard_negatives", _hard_negatives_oracle())
+def q253_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining for retrieval models: per
+    query, the top-{_HN_PER_ROLE} fully-relevant BM25 hits become
+    POSITIVES and the top-{_HN_PER_ROLE} highly-ranked-but-not-fully-
+    relevant hits become HARD NEGATIVES — lexically confusable
+    documents, exactly the negatives that teach an embedding model
+    more than random ones (the standard DPR/contrastive recipe).
+
+    Pure composition: q132's ranking is the candidate pool, q251's
+    term-coverage rule supplies relevance, and the role split is one
+    rank window over the already-tiny top-k frame. Deterministic end
+    to end — the mined pairs are reproducible across runs and engines,
+    which is what makes a training set auditable.
+    """
+    ranked = q132_bm25_retrieval(spark, sf_dir)
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "qid int, term string",
+    )
+    qs = spark.createDataFrame(
+        [(qid, len(terms)) for qid, terms in _BM25_QUERIES],
+        "qid int, n_terms int",
+    )
+    rel = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .join(F.broadcast(qt), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.countDistinct("term").alias("rel"))
+    )
+    tagged = (
+        ranked.join(F.broadcast(qs), "qid")
+        .join(rel, ["qid", "doc_id"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+        .withColumn(
+            "role",
+            F.when(F.col("rel") == F.col("n_terms"), "positive").otherwise(
+                "hard_negative"
+            ),
+        )
+    )
+    wp = Window.partitionBy("qid", "role").orderBy("rn")
+    return (
+        tagged.withColumn("pick", F.row_number().over(wp))
+        .filter(F.col("pick") <= _HN_PER_ROLE)
+        .select(
+            "qid",
+            "role",
+            "doc_id",
+            F.col("rn").cast("long").alias("bm25_rank"),
+            F.col("rel").cast("long"),
+        )
+        .orderBy("qid", "role", "bm25_rank")
+    )

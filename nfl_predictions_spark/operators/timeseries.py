@@ -1608,3 +1608,127 @@ def q240_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hr", "x", "y", corr.alias(f"corr{_RC_WIN}"))
         .orderBy("hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# q252 — additive seasonal decomposition summary (trend/seasonal/residual)
+# ---------------------------------------------------------------------------
+
+_SD_HALF = 12  # centered moving-average half-width (25h window)
+
+
+def _decompose_oracle() -> str:
+    h = _SD_HALF
+    return f"""
+    WITH s AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, hr
+    ), t AS (
+      SELECT event_type, hr, v,
+             CAST(sum(CAST(v AS DECIMAL(18,6))) OVER fr AS DOUBLE)
+               / count(*) OVER fr AS trend,
+             count(*) OVER fr AS w,
+             CAST(extract('hour' FROM hr) AS BIGINT) AS hod
+      FROM s
+      WINDOW fr AS (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)
+    ), r AS (
+      SELECT event_type, hod, v - trend AS resid
+      FROM t WHERE w = {2 * h + 1}
+    ), si AS (
+      SELECT event_type, hod,
+             CAST(sum(CAST(round(resid, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS sidx
+      FROM r GROUP BY event_type, hod
+    ), amp AS (
+      SELECT event_type, round(max(sidx) - min(sidx), 6) AS seasonal_amplitude
+      FROM si GROUP BY event_type
+    ), fin AS (
+      SELECT r.event_type, r.resid - si.sidx AS e
+      FROM r JOIN si ON si.event_type = r.event_type AND si.hod = r.hod
+    ), rv AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             round(CAST(sum(CAST(round(e * e, 6) AS DECIMAL(24,6)))
+                        AS DOUBLE) / count(*), 6) AS residual_var
+      FROM fin GROUP BY event_type
+    )
+    SELECT rv.event_type, rv.n_hours, amp.seasonal_amplitude, rv.residual_var
+    FROM rv JOIN amp ON amp.event_type = rv.event_type
+    ORDER BY rv.event_type
+    """
+
+
+@_q("q252_seasonal_decompose", _decompose_oracle())
+def q252_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition summary (STL-lite) per event
+    class: centered {2 * _SD_HALF + 1}-hour moving-average trend
+    (complete windows only), hour-of-day seasonal indexes from the
+    detrended residuals, and the variance that REMAINS after removing
+    both — the number that says how much structure the series still
+    hides. Reported per class: complete-window hours, seasonal
+    amplitude (max-min index), residual variance.
+
+    Exactness discipline: every cross-row sum (hourly rollup, MA frame,
+    seasonal means, squared residuals) quantizes to DECIMAL first; the
+    only divisions are by integer counts — identical IEEE in both
+    engines, rounded once on the wire. Three window/group passes over
+    the calendar-sized series; the corpus is touched once.
+    """
+    h = _SD_HALF
+    s = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    fr = (
+        Window.partitionBy("event_type").orderBy("hr").rowsBetween(-h, h)
+    )
+    t = (
+        s.withColumn(
+            "trend",
+            F.sum(F.col("v").cast("decimal(18,6)")).over(fr).cast("double")
+            / F.count(F.lit(1)).over(fr),
+        )
+        .withColumn("w", F.count(F.lit(1)).over(fr))
+        .withColumn("hod", F.hour("hr").cast("long"))
+    )
+    r = t.filter(F.col("w") == 2 * h + 1).select(
+        "event_type", "hod", (F.col("v") - F.col("trend")).alias("resid")
+    )
+    si = r.groupBy("event_type", "hod").agg(
+        (
+            F.sum(F.round("resid", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("sidx")
+    )
+    amp = si.groupBy("event_type").agg(
+        F.round(F.max("sidx") - F.min("sidx"), 6).alias("seasonal_amplitude")
+    )
+    fin = r.join(si, ["event_type", "hod"]).select(
+        "event_type", (F.col("resid") - F.col("sidx")).alias("e")
+    )
+    rv = fin.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(
+            F.sum(
+                F.round(F.col("e") * F.col("e"), 6).cast("decimal(24,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("residual_var"),
+    )
+    return (
+        rv.join(amp, "event_type")
+        .select(
+            "event_type",
+            F.col("n_hours").cast("long"),
+            "seasonal_amplitude",
+            "residual_var",
+        )
+        .orderBy("event_type")
+    )
