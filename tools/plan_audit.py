@@ -62,6 +62,9 @@ ALLOW = {
         "q238_bloom_file_pruning",  # 1-row maxima + 15-row probe broadcasts
         "q234_representation_audit",  # 1-row corpus-totals broadcast
         "q246_worst_window_logprob",  # 1-row vocab-total broadcast (q110 shape)
+        "q251_retrieval_eval",  # BM25 subtree's 1-row corpus-stats broadcast
+        "q253_hard_negatives",  # same BM25 subtree
+        "q250_auc_calibration",  # 1-row rank-sum aggregate broadcast
     },
 }
 
