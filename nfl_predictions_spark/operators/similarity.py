@@ -1764,3 +1764,75 @@ def q245_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", F.col("eid").alias("nearest_eval"), "cos")
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — quantile normalization reference distribution
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q255_quantile_normalization",
+    f"""
+    WITH x AS (
+      SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             vec_id
+      FROM embeddings
+    ), r AS (
+      SELECT dim, v,
+             row_number() OVER (PARTITION BY dim ORDER BY v, vec_id) AS rnk
+      FROM x
+    ), ref AS (
+      SELECT rnk,
+             CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS ref_v,
+             CAST(count(*) AS BIGINT) AS n_dims
+      FROM r GROUP BY rnk
+    )
+    SELECT rnk, n_dims, round(ref_v, 6) AS ref_value
+    FROM ref
+    WHERE rnk % 100 = 1 OR rnk IN (SELECT max(rnk) FROM ref)
+    ORDER BY rnk
+    """,
+)
+def q255_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization reference distribution for the embedding
+    store: rank every dimension's values independently, then average
+    the rank-r values ACROSS dimensions — the genomics-standard
+    transform that forces all {_DIM} features onto one common
+    distribution (apply-side: each value maps to ref_value at its
+    rank). Emitted at every 100th rank plus the maximum (the
+    distribution is smooth; the driver row stays bounded while the full
+    reference is the same frame un-sampled).
+
+    Shape: {_DIM} independent per-dimension rank windows (q236's
+    partitioned sort — no global sort), then a rank-keyed aggregate
+    whose width is the number of dimensions — the shuffle carries
+    (n_rows_per_dim x {_DIM}) rank rows once. Cross-dim averages ride
+    DECIMAL-quantized sums; ranks tie-break on vec_id in both engines.
+    """
+    x = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    wr = Window.partitionBy("dim").orderBy("v", "vec_id")
+    r = x.withColumn("rnk", F.row_number().over(wr).cast("long"))
+    ref = r.groupBy("rnk").agg(
+        (
+            F.sum(F.round("v", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ref_v"),
+        F.count(F.lit(1)).alias("n_dims"),
+    )
+    max_rnk = ref.agg(F.max("rnk").alias("mx"))
+    return (
+        ref.crossJoin(F.broadcast(max_rnk))
+        .filter((F.col("rnk") % 100 == 1) | (F.col("rnk") == F.col("mx")))
+        .select(
+            "rnk",
+            F.col("n_dims").cast("long"),
+            F.round("ref_v", 6).alias("ref_value"),
+        )
+        .orderBy("rnk")
+    )

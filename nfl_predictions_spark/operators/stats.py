@@ -1695,3 +1695,100 @@ def q250_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q254 — Huber robust mean (IRLS, fixed unrolled iterations)
+# ---------------------------------------------------------------------------
+
+_HUBER_C = 50.0  # clipping scale in value units
+_HUBER_ITERS = 2
+
+
+def _huber_oracle() -> str:
+    c = _HUBER_C
+    sql = """
+    WITH v AS (
+      SELECT event_type, CAST(round(value, 6) AS DECIMAL(18,6)) AS x
+      FROM events
+    ), m0 AS (
+      SELECT event_type,
+             CAST(sum(x) AS DOUBLE) / count(*) AS mu
+      FROM v GROUP BY event_type
+    )"""
+    for it in range(1, _HUBER_ITERS + 1):
+        sql += f""", w{it} AS (
+      SELECT v.event_type, v.x,
+             CASE WHEN abs(CAST(v.x AS DOUBLE) - m{it - 1}.mu) <= {c}
+                  THEN 1.0
+                  ELSE {c} / abs(CAST(v.x AS DOUBLE) - m{it - 1}.mu) END AS w
+      FROM v JOIN m{it - 1} ON m{it - 1}.event_type = v.event_type
+    ), m{it} AS (
+      SELECT event_type,
+             CAST(sum(CAST(round(w * CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)))
+                  AS DOUBLE)
+               / CAST(sum(CAST(round(w, 6) AS DECIMAL(18,6))) AS DOUBLE) AS mu
+      FROM w{it} GROUP BY event_type
+    )"""
+    sql += f"""
+    SELECT m0.event_type,
+           round(m0.mu, 6) AS plain_mean,
+           round(m{_HUBER_ITERS}.mu, 6) AS huber_mean
+    FROM m0 JOIN m{_HUBER_ITERS} ON m{_HUBER_ITERS}.event_type = m0.event_type
+    ORDER BY m0.event_type
+    """
+    return sql
+
+
+@_q("q254_huber_mean", _huber_oracle())
+def q254_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of the per-class mean via {_HUBER_ITERS}
+    unrolled IRLS steps: points within {_HUBER_C} of the current
+    estimate get weight 1, outliers get the down-weight c/|residual| —
+    the smooth middle ground between the mean (outlier-hostile) and
+    the median (discards magnitude). Reported next to the plain mean so
+    the robustness delta is visible.
+
+    Each iteration is ONE map-side-combinable weighted aggregation over
+    the fact table with the previous k-row estimate broadcast — the
+    fixed-iteration relational-IRLS shape (same family as q165's
+    Lloyd). Weights and weighted values are quantized to DECIMAL before
+    summing; the weight formula is abs/compare/divide — IEEE-identical
+    — so the oracle (the same iterations as CTE stages) matches
+    hash-exact.
+    """
+    c = _HUBER_C
+    v = table(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 6).cast("decimal(18,6)").alias("x")
+    )
+    mu = v.groupBy("event_type").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    plain = mu
+    for _ in range(_HUBER_ITERS):
+        resid = F.abs(F.col("x").cast("double") - F.col("mu"))
+        w = F.when(resid <= c, F.lit(1.0)).otherwise(F.lit(c) / resid)
+        mu = (
+            v.join(F.broadcast(mu), "event_type")
+            .select(
+                "event_type",
+                F.round(w * F.col("x").cast("double"), 6)
+                .cast("decimal(18,6)")
+                .alias("wx"),
+                F.round(w, 6).cast("decimal(18,6)").alias("w"),
+            )
+            .groupBy("event_type")
+            .agg(
+                (
+                    F.sum("wx").cast("double") / F.sum("w").cast("double")
+                ).alias("mu")
+            )
+        )
+    return (
+        plain.select("event_type", F.round("mu", 6).alias("plain_mean"))
+        .join(
+            mu.select("event_type", F.round("mu", 6).alias("huber_mean")),
+            "event_type",
+        )
+        .orderBy("event_type")
+    )
