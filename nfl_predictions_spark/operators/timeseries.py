@@ -1732,3 +1732,105 @@ def q252_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q256 — session quality rollup (bounce rate, depth, rank-exact duration)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q256_session_quality",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL
+                      OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM e
+    ), per AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS depth,
+             date_diff('microsecond', min(ts), max(ts)) AS dur_us
+      FROM s GROUP BY user_id, sid
+    ), rk AS (
+      SELECT depth, dur_us,
+             row_number() OVER (ORDER BY dur_us, user_id, sid) AS rn,
+             count(*) OVER () AS n
+      FROM per
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS bounce_rate,
+           CAST(sum(depth) AS DOUBLE) / count(*) AS avg_depth,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN dur_us END) AS BIGINT)
+             AS median_duration_us
+    FROM rk
+    """,
+)
+def q256_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality rollup on the q124 gap rule (30-min): bounce
+    rate (single-event sessions), average depth, and the RANK-EXACT
+    median session duration — the engagement dashboard every product
+    team runs on clickstream, in one corpus pass + one sessions-sized
+    order statistic.
+
+    Ratios are exact BIGINT divisions; the median duration is a
+    selected integer-microsecond value on a (dur, user, sid) total
+    order — no interpolation. The sessionize windows reuse q124's
+    single (user_id) partitioning; only the sessions-sized frame ever
+    re-sorts for the median pick.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    s = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev_ts").isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    per = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("depth"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("dur_us"),
+    )
+    wr = Window.orderBy("dur_us", "user_id", "sid")
+    wall = Window.partitionBy()
+    rk = per.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wall)
+    )
+    return rk.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        (
+            F.sum(F.when(F.col("depth") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+        (F.sum("depth").cast("double") / F.count(F.lit(1))).alias("avg_depth"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("dur_us")
+            )
+        )
+        .cast("long")
+        .alias("median_duration_us"),
+    )
