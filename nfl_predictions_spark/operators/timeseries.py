@@ -1834,3 +1834,181 @@ def q256_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("median_duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q257 — imputation quality harness (LOCF vs linear, held-out truth)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q257_imputation_eval",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, hr
+    ), r AS (
+      SELECT event_type, hr, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+      FROM h
+    ), imp AS (
+      SELECT event_type, hr, v,
+             rn % 5 = 3 AND prev_v IS NOT NULL AND next_v IS NOT NULL AS held,
+             prev_v, next_v
+      FROM (
+        SELECT event_type, hr, v, rn,
+               lag(v) OVER (PARTITION BY event_type ORDER BY rn) AS prev_v,
+               lead(v) OVER (PARTITION BY event_type ORDER BY rn) AS next_v
+        FROM r
+      )
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN held THEN 1 ELSE 0 END) AS BIGINT) AS n_held,
+           round(CAST(sum(CASE WHEN held THEN
+                   CAST(round(abs(v - prev_v), 6) AS DECIMAL(18,6))
+                 ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN held THEN 1 ELSE 0 END), 6) AS mae_locf,
+           round(CAST(sum(CASE WHEN held THEN
+                   CAST(round(abs(v - (prev_v + next_v) / 2), 6)
+                        AS DECIMAL(18,6))
+                 ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN held THEN 1 ELSE 0 END), 6) AS mae_linear
+    FROM imp GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q257_imputation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which gap-fill strategy (q64 LOCF vs q176 linear) actually fits
+    THIS data? Hold out every 5th hourly point (deterministic rn % 5
+    mask, interior points only), impute it both ways from its
+    neighbors, and report per-class MAE for each — the harness that
+    turns the imputation choice from a convention into a measurement.
+
+    One rollup + one lag/lead window on the shared per-class sort;
+    absolute errors are quantized to DECIMAL before the mean so the
+    comparison is exact. (At this data's hourly granularity linear
+    interpolation should win wherever the series trends — the output
+    shows by how much.)
+    """
+    h = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    r = (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn("prev_v", F.lag("v").over(w))
+        .withColumn("next_v", F.lead("v").over(w))
+        .withColumn(
+            "held",
+            (F.col("rn") % 5 == 3)
+            & F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull(),
+        )
+    )
+    dheld = F.when(F.col("held"), 1).otherwise(0)
+    e_locf = F.when(
+        F.col("held"),
+        F.round(F.abs(F.col("v") - F.col("prev_v")), 6).cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    e_lin = F.when(
+        F.col("held"),
+        F.round(
+            F.abs(F.col("v") - (F.col("prev_v") + F.col("next_v")) / 2), 6
+        ).cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.sum(dheld).cast("long").alias("n_held"),
+            F.round(F.sum(e_locf).cast("double") / F.sum(dheld), 6).alias(
+                "mae_locf"
+            ),
+            F.round(F.sum(e_lin).cast("double") / F.sum(dheld), 6).alias(
+                "mae_linear"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q258 — daily percentile bands (rank-exact p50/p90/p99 monitoring series)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q258_percentile_bands",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value, event_id,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY date_trunc('day', ts)) AS n
+      FROM events
+    ), k AS (
+      SELECT day, n,
+             (n + 1) // 2 AS k50,
+             greatest(CAST(ceil(n * 0.9) AS BIGINT), 1) AS k90,
+             greatest(CAST(ceil(n * 0.99) AS BIGINT), 1) AS k99
+      FROM (SELECT DISTINCT day, n FROM d)
+    )
+    SELECT k.day, CAST(k.n AS BIGINT) AS n,
+           max(CASE WHEN d.rn = k.k50 THEN d.value END) AS p50,
+           max(CASE WHEN d.rn = k.k90 THEN d.value END) AS p90,
+           max(CASE WHEN d.rn = k.k99 THEN d.value END) AS p99
+    FROM k JOIN d ON d.day = k.day AND d.rn IN (k.k50, k.k90, k.k99)
+    GROUP BY k.day, k.n ORDER BY k.day
+    """,
+)
+def q258_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90/p99 value bands — the SLO/monitoring series every
+    latency or spend dashboard draws, rank-exact (selected data values
+    at ceil-based ranks with event_id tie-break, q152's discipline
+    applied per day) so two engines — or two days of the same pipeline
+    — can never disagree by an interpolation ulp.
+
+    One window pass partitioned by day (the same partitioning the
+    output needs); each day's sort is independent and scales out. The
+    three order statistics come from the same ranked pass via
+    conditional aggregation — no per-percentile rescans.
+    """
+    wd = Window.partitionBy(F.date_trunc("day", F.col("ts"))).orderBy(
+        "value", "event_id"
+    )
+    wc = Window.partitionBy(F.date_trunc("day", F.col("ts")))
+    d = (
+        table(spark, sf_dir, "events")
+        .select("ts", "value", "event_id")
+        .withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    k50 = F.floor((F.col("n") + 1) / 2).cast("long")
+    k90 = F.greatest(F.ceil(F.col("n") * 0.9).cast("long"), F.lit(1))
+    k99 = F.greatest(F.ceil(F.col("n") * 0.99).cast("long"), F.lit(1))
+    picked = (
+        d.withColumn("k50", k50)
+        .withColumn("k90", k90)
+        .withColumn("k99", k99)
+        .filter(
+            (F.col("rn") == F.col("k50"))
+            | (F.col("rn") == F.col("k90"))
+            | (F.col("rn") == F.col("k99"))
+        )
+    )
+    return (
+        picked.groupBy("day", "n")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("k50"), F.col("value"))).alias("p50"),
+            F.max(F.when(F.col("rn") == F.col("k90"), F.col("value"))).alias("p90"),
+            F.max(F.when(F.col("rn") == F.col("k99"), F.col("value"))).alias("p99"),
+        )
+        .select("day", F.col("n").cast("long"), "p50", "p90", "p99")
+        .orderBy("day")
+    )
