@@ -593,3 +593,121 @@ def q215_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("size"), F.asc("community"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# q260 — dedup savings report (cluster-size histogram + corpus shrinkage)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_savings_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _SHINGLE_SQL
+
+    return f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+                           FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM tok WHERE len(ts) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT d1, d2 FROM inter
+              JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+              WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    walk(id, root) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b, least(w.root, e.b) FROM walk w JOIN edges e ON e.a = w.id
+    ), comp AS (
+      SELECT id AS doc_id, min(root) AS component FROM walk GROUP BY id
+    ), toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), tagged AS (
+      SELECT t.doc_id, t.n_tok, comp.component
+      FROM toks t LEFT JOIN comp ON comp.doc_id = t.doc_id
+    ), clusters AS (
+      SELECT component, count(*) AS cl_size
+      FROM tagged WHERE component IS NOT NULL GROUP BY component
+    ), hist AS (
+      SELECT cl_size, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM clusters GROUP BY cl_size
+    ), summary AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) - sum(CASE WHEN component IS NOT NULL THEN 1
+                                      ELSE 0 END) AS BIGINT)
+               + (SELECT CAST(count(*) AS BIGINT) FROM clusters)
+               AS surviving_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      FROM tagged
+    )
+    SELECT CAST(h.cl_size AS BIGINT) AS cl_size, h.n_clusters,
+           s.n_docs, s.surviving_docs,
+           round(1.0 - CAST(s.surviving_docs AS DOUBLE) / s.n_docs, 6)
+             AS shrink_rate
+    FROM hist h CROSS JOIN summary s
+    ORDER BY cl_size
+    """
+
+
+@_q("q260_dedup_savings", _dedup_savings_oracle())
+def q260_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup headline numbers: near-dup cluster SIZE histogram (how
+    concentrated is duplication?) next to corpus shrinkage — docs
+    before vs after keeping one survivor per cluster — the
+    capacity-planning figure every dedup run reports before anyone
+    approves deleting data.
+
+    Composition: q39b's exact pair set closed under transitivity
+    (q66's machinery), one cluster-size rollup, one histogram over the
+    clusters-sized frame, and an exact survivors count
+    (unclustered docs + one per cluster). The shrink rate is a single
+    BIGINT/BIGINT division.
+    """
+    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
+    from nfl_predictions_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = q39b_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    comp = connected_components(pairs, "d1", "d2").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    toks = docs.select("doc_id")
+    tagged = toks.join(comp, "doc_id", "left")
+    clusters = (
+        tagged.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cl_size"))
+    )
+    hist = clusters.groupBy("cl_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    summary = tagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.when(F.col("component").isNull(), 1).otherwise(0))
+        ).alias("unclustered"),
+    ).crossJoin(clusters.agg(F.count(F.lit(1)).alias("n_clusters_total")))
+    summary = summary.select(
+        "n_docs",
+        (F.col("unclustered") + F.col("n_clusters_total")).alias(
+            "surviving_docs"
+        ),
+    )
+    return (
+        hist.crossJoin(F.broadcast(summary))
+        .select(
+            F.col("cl_size").cast("long"),
+            F.col("n_clusters").cast("long"),
+            F.col("n_docs").cast("long"),
+            F.col("surviving_docs").cast("long"),
+            F.round(
+                1.0 - F.col("surviving_docs").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("shrink_rate"),
+        )
+        .orderBy("cl_size")
+    )

@@ -2012,3 +2012,94 @@ def q258_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.col("n").cast("long"), "p50", "p90", "p99")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q259 — cohort LTV curves (cumulative revenue by cohort age)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q259_cohort_ltv",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ), rev AS (
+      SELECT e.user_id, f.cohort,
+             CAST(date_diff('week', f.cohort,
+                            CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT)
+               AS age_w,
+             CAST(round(e.value, 6) AS DECIMAL(18,6)) AS v
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ), cs AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM first_seen GROUP BY cohort
+    ), byage AS (
+      SELECT cohort, age_w, sum(v) AS wrev FROM rev GROUP BY cohort, age_w
+    ), cum AS (
+      SELECT cohort, age_w,
+             sum(wrev) OVER (PARTITION BY cohort ORDER BY age_w) AS cum_rev
+      FROM byage
+    )
+    SELECT c.cohort, c.age_w, cs.cohort_users,
+           CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+           round(CAST(c.cum_rev AS DOUBLE) / cs.cohort_users, 6)
+             AS ltv_per_user
+    FROM cum c JOIN cs ON cs.cohort = c.cohort
+    ORDER BY c.cohort, c.age_w
+    """,
+)
+def q259_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen week,
+    purchase revenue accumulated by cohort AGE (weeks since signup) —
+    the revenue counterpart of q143's retention triangle and the curve
+    every growth model extrapolates. Per (cohort, age): cohort size,
+    cumulative revenue, LTV per user.
+
+    Revenue rides DECIMAL sums end-to-end — including the running
+    cumulative window, summed in age order so both engines accumulate
+    identically; LTV is one division by an exact BIGINT. Two shuffles
+    (first-seen per user, cohort-age rollup); the cumulative window
+    runs over the cohort-sized frame.
+    """
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("age_w"),
+            F.round("value", 6).cast("decimal(18,6)").alias("v"),
+        )
+    )
+    cs = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    byage = rev.groupBy("cohort", "age_w").agg(F.sum("v").alias("wrev"))
+    wcum = Window.partitionBy("cohort").orderBy("age_w")
+    cum = byage.withColumn("cum_rev", F.sum("wrev").over(wcum))
+    return (
+        cum.join(cs, "cohort")
+        .select(
+            "cohort",
+            "age_w",
+            F.col("cohort_users").cast("long"),
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("cohort_users"), 6
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "age_w")
+    )
