@@ -1480,3 +1480,78 @@ def q211_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top20pct_rev_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q262 — audience overlap matrix (pairwise user-set Jaccard by event type)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q262_audience_overlap",
+    """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM du GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             CAST(count(*) AS BIGINT) AS i
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY t1, t2
+    )
+    SELECT i.t1, i.t2, s1.n AS n1, s2.n AS n2, i.i AS n_both,
+           CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) AS jaccard
+    FROM inter i
+    JOIN sz s1 ON s1.event_type = i.t1
+    JOIN sz s2 ON s2.event_type = i.t2
+    ORDER BY t1, t2
+    """,
+)
+def q262_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: pairwise Jaccard of the USER sets
+    behind each event type — the segmentation sanity check (are
+    "click" users and "purchase" users the same people?) and the same
+    inverted-index self-join shape as document near-dup (q39b) applied
+    to behavioral sets: pairs meet only through a shared user, never
+    via a type x type cross product.
+
+    Distinct (type, user) rows are the index; set sizes and
+    intersections are exact BIGINTs; Jaccard is one exact division.
+    One shuffle on user_id for the self-join, one on event_type for
+    sizes — both key-sized.
+    """
+    du = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sz = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sz.alias("s1"), F.col("t1") == F.col("s1.event_type"))
+        .join(sz.alias("s2"), F.col("t2") == F.col("s2.event_type"))
+        .select(
+            "t1",
+            "t2",
+            F.col("s1.n").cast("long").alias("n1"),
+            F.col("s2.n").cast("long").alias("n2"),
+            F.col("i").cast("long").alias("n_both"),
+            (
+                F.col("i").cast("double")
+                / (F.col("s1.n") + F.col("s2.n") - F.col("i"))
+            ).alias("jaccard"),
+        )
+        .orderBy("t1", "t2")
+    )

@@ -1299,3 +1299,67 @@ def q253_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "role", "bm25_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q261 — per-source token entropy (lexical diversity of corpus slices)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q261_source_token_entropy",
+    """
+    WITH tok AS (
+      SELECT d.source, unnest(string_split(d.text, ' ')) AS t
+      FROM documents d
+    ), c AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, t
+    ), n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY source),
+    h AS (
+      SELECT c.source,
+             CAST(round(-(c.c * 1.0 / n.n) * log2(c.c * 1.0 / n.n), 9)
+                  AS DECIMAL(20,9)) AS term
+      FROM c JOIN n ON n.source = c.source
+    )
+    SELECT h.source,
+           (SELECT CAST(count(*) AS BIGINT) FROM c c2 WHERE c2.source = h.source)
+             AS vocab,
+           any_value(n.n) AS n_tokens,
+           round(CAST(sum(h.term) AS DOUBLE), 6) AS entropy_bits
+    FROM h JOIN n ON n.source = h.source
+    GROUP BY h.source ORDER BY h.source
+    """,
+)
+def q261_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution — the
+    lexical-diversity number that separates a varied corpus slice from
+    a template farm with the same token COUNT (low entropy = repetitive
+    vocabulary = less training signal per token; pairs with q234's
+    length-bias and q218's novelty for mixture decisions).
+
+    Each -p*log2(p) term is quantized to DECIMAL(20,9) at the source
+    (the q246 rule for transcendentals) so the per-source sums are
+    order-independent and cross-engine exact; vocab and token counts
+    are exact BIGINTs. One tokenized scan, vocabulary-sized state.
+    """
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("t"))
+    )
+    c = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = F.col("c") / F.col("n")
+    term = F.round(-p * F.log2(p), 9).cast("decimal(20,9)")
+    return (
+        c.join(F.broadcast(n), "source")
+        .select("source", "vocab", "n", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.any_value("vocab").cast("long").alias("vocab"),
+            F.any_value("n").cast("long").alias("n_tokens"),
+            F.round(F.sum("term").cast("double"), 6).alias("entropy_bits"),
+        )
+        .orderBy("source")
+    )
