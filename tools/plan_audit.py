@@ -65,6 +65,8 @@ ALLOW = {
         "q251_retrieval_eval",  # BM25 subtree's 1-row corpus-stats broadcast
         "q253_hard_negatives",  # same BM25 subtree
         "q250_auc_calibration",  # 1-row rank-sum aggregate broadcast
+        "q255_quantile_normalization",  # 1-row max-rank broadcast
+        "q260_dedup_savings",  # 1-row corpus-summary broadcast
     },
 }
 
