@@ -711,3 +711,101 @@ def q260_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cl_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 — hierarchical rollup (BOM-style recursive aggregation)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q265_hierarchy_rollup",
+    """
+    WITH RECURSIVE pc AS (
+      -- derived part taxonomy: parent = child // 10 (root = 0);
+      -- every part carries its own retail price as node cost
+      SELECT p_partkey AS node, p_partkey // 10 AS parent,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    ), up AS (
+      -- climb from every node to each of its ancestors
+      SELECT node, parent AS anc, cents FROM pc WHERE node > 0
+      UNION ALL
+      SELECT up.node, pc.parent, up.cents
+      FROM up JOIN pc ON pc.node = up.anc WHERE up.anc > 0
+    ), contrib AS (
+      SELECT anc, cents FROM up
+      UNION ALL
+      SELECT node, cents FROM pc  -- every node contributes to itself
+    ), agg AS (
+      SELECT anc AS node, CAST(count(*) AS BIGINT) AS subtree_parts,
+             CAST(sum(cents) AS BIGINT) AS subtree_cents
+      FROM contrib GROUP BY anc
+    )
+    SELECT a.node, a.subtree_parts,
+           CAST(a.subtree_cents AS DOUBLE) / 100.0 AS subtree_cost
+    FROM agg a
+    WHERE a.subtree_parts > 1
+    ORDER BY a.subtree_parts DESC, a.node LIMIT 50
+    """,
+)
+def q265_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (bill-of-materials / category-tree) rollup: every
+    node's subtree part count and total cost, over a derived taxonomy
+    (parent = partkey // 10 — a clean 10-ary tree with integer-cents
+    node costs). The classic recursive aggregation org charts, BOMs,
+    and category trees all need.
+
+    Spark side runs the ITERATIVE climb: each round joins the frontier
+    of (node, ancestor) pairs one level up — depth is log10(maxkey)
+    (~6 rounds), each round one key-partitioned equi-join, lineage cut
+    by localCheckpoint (the q95 loop shape). The oracle is the same
+    climb as a recursive CTE. Costs are integer cents throughout, so
+    subtree sums are exact at any depth.
+    """
+    from nfl_predictions_spark.sources.tables import table
+
+    pc = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.floor(F.col("p_partkey") / 10).cast("long").alias("parent"),
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    edges = pc.select("node", "parent").localCheckpoint(eager=True)
+    # climb: (node, anc) pairs accumulated level by level
+    frontier = pc.filter(F.col("node") > 0).select(
+        "node", F.col("parent").alias("anc"), "cents"
+    )
+    all_up = frontier
+    while True:
+        frontier = (
+            frontier.filter(F.col("anc") > 0)
+            .join(
+                edges.select(
+                    F.col("node").alias("anc"), F.col("parent").alias("nxt")
+                ),
+                "anc",
+            )
+            .select("node", F.col("nxt").alias("anc"), "cents")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        all_up = all_up.unionByName(frontier)
+    contrib = all_up.select(F.col("anc").alias("tgt"), "cents").unionByName(
+        pc.select(F.col("node").alias("tgt"), "cents")
+    )
+    return (
+        contrib.groupBy(F.col("tgt").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("subtree_parts"),
+            F.sum("cents").alias("subtree_cents"),
+        )
+        .filter(F.col("subtree_parts") > 1)
+        .select(
+            "node",
+            F.col("subtree_parts").cast("long"),
+            (F.col("subtree_cents").cast("double") / 100.0).alias("subtree_cost"),
+        )
+        .orderBy(F.desc("subtree_parts"), F.asc("node"))
+        .limit(50)
+    )

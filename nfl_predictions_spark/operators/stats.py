@@ -1792,3 +1792,97 @@ def q254_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 — weekly distribution-drift series (smoothed KL on decile bins)
+# ---------------------------------------------------------------------------
+
+_WD_BINS = 10
+_WD_SMOOTH = 0.5  # additive smoothing per bin
+
+
+def _weekly_drift_oracle() -> str:
+    k, sm = _WD_BINS, _WD_SMOOTH
+    return f"""
+    WITH b AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             least(CAST(floor(value / 20.0) AS BIGINT), {k - 1}) AS bin
+      FROM events WHERE value >= 0
+    ), grid AS (
+      SELECT w.week, g.bin FROM (SELECT DISTINCT week FROM b) w,
+           (SELECT unnest(range(0, {k})) AS bin) g
+    ), c AS (
+      SELECT grid.week, grid.bin, CAST(count(b.bin) AS BIGINT) AS c
+      FROM grid LEFT JOIN b ON b.week = grid.week AND b.bin = grid.bin
+      GROUP BY grid.week, grid.bin
+    ), p AS (
+      SELECT week, bin,
+             (c + {sm}) / (sum(c) OVER (PARTITION BY week) + {k * sm}) AS p
+      FROM c
+    ), pair AS (
+      SELECT cur.week, cur.bin, cur.p AS pc, prev.p AS pp
+      FROM p cur JOIN p prev
+        ON prev.bin = cur.bin AND prev.week = cur.week - INTERVAL 7 DAY
+    )
+    SELECT week,
+           round(CAST(sum(CAST(round(pc * ln(pc / pp), 9) AS DECIMAL(20,9)))
+                      AS DOUBLE), 6) AS kl_vs_prev
+    FROM pair GROUP BY week ORDER BY week
+    """
+
+
+@_q("q264_weekly_drift", _weekly_drift_oracle())
+def q264_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week distribution drift MONITORING SERIES: the value
+    distribution is binned into {_WD_BINS} fixed buckets, smoothed
+    (+{_WD_SMOOTH} per bin so empty cells never produce infinities),
+    and each week scores KL(current || previous) — the alarm series a
+    data-quality monitor plots, where q146 answers a one-shot
+    train/val question.
+
+    Per-bin KL terms quantize ln() output to DECIMAL(20,9) at the
+    source (q246's transcendental rule) so the weekly sums are
+    order-independent; bin probabilities are exact rationals from
+    integer counts plus a constant. Shape: one scan, a weeks x bins
+    dense grid (LEFT JOIN so zero bins survive), one lag-join on the
+    week key.
+    """
+    k, sm = _WD_BINS, _WD_SMOOTH
+    b = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value") >= 0)
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            F.least(
+                F.floor(F.col("value") / 20.0).cast("long"), F.lit(k - 1)
+            ).alias("bin"),
+        )
+    )
+    weeks = b.select("week").distinct()
+    bins = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("bin")
+    grid = weeks.select("week", bins)
+    c = (
+        grid.join(b.withColumn("one", F.lit(1)), ["week", "bin"], "left")
+        .groupBy("week", "bin")
+        .agg(F.count("one").alias("c"))
+    )
+    wk = Window.partitionBy("week")
+    p = c.withColumn(
+        "p", (F.col("c") + sm) / (F.sum("c").over(wk) + k * sm)
+    )
+    cur = p.select("week", "bin", F.col("p").alias("pc"))
+    prev = p.select(
+        (F.date_add(F.col("week"), 7)).alias("week"),
+        "bin",
+        F.col("p").alias("pp"),
+    )
+    pair = cur.join(prev, ["week", "bin"])
+    term = F.round(
+        F.col("pc") * F.log(F.col("pc") / F.col("pp")), 9
+    ).cast("decimal(20,9)")
+    return (
+        pair.groupBy("week")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("kl_vs_prev"))
+        .orderBy("week")
+    )

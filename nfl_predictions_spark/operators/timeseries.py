@@ -2103,3 +2103,105 @@ def q259_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_w")
     )
+
+
+# ---------------------------------------------------------------------------
+# q263 — Holt linear-trend smoothing (level+trend double recurrence)
+# ---------------------------------------------------------------------------
+
+_HOLT_A = 0.4  # level smoothing
+_HOLT_B = 0.2  # trend smoothing
+
+
+def _holt_oracle() -> str:
+    a, b = _HOLT_A, _HOLT_B
+    return f"""
+    WITH RECURSIVE h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, hr
+    ), r AS (
+      SELECT event_type, hr, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+      FROM h
+    ), e AS (
+      SELECT r1.event_type, r1.rn, r1.hr, r1.v,
+             r1.v AS lev, r2.v - r1.v AS tr
+      FROM r r1 JOIN r r2 ON r2.event_type = r1.event_type AND r2.rn = 2
+      WHERE r1.rn = 1
+      UNION ALL
+      SELECT r.event_type, r.rn, r.hr, r.v,
+             {a} * r.v + {1 - a} * (e.lev + e.tr),
+             {b} * (({a} * r.v + {1 - a} * (e.lev + e.tr)) - e.lev)
+               + {1 - b} * e.tr
+      FROM e JOIN r ON r.event_type = e.event_type AND r.rn = e.rn + 1
+    )
+    SELECT event_type, CAST(hr AS TIMESTAMP) AS hr, v,
+           floor(lev * 1e6 + 0.5) / 1e6 AS level,
+           floor(tr * 1e6 + 0.5) / 1e6 AS trend,
+           floor((lev + tr) * 1e6 + 0.5) / 1e6 AS forecast_next
+    FROM e ORDER BY event_type, hr
+    """
+
+
+@_q("q263_holt_linear", _holt_oracle())
+def q263_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per event class — the
+    2-parameter big sibling of q214's EWMA: a coupled level+trend
+    recurrence whose one-step forecast (level + trend) adapts to drift
+    the flat EWMA lags behind. Initialized classically (level = first
+    point, trend = second - first).
+
+    Same architecture as q214: decimal-exact hourly rollup, then ONE
+    applyInPandas pass per key running the recurrence in arrival order;
+    the recursive-CTE oracle executes the IDENTICAL IEEE sequence
+    (alpha*v + (1-alpha)*(lev+tr), beta*dlev + (1-beta)*tr, emitted via
+    floor(x*1e6+0.5)), so the match is hash-exact with no tolerance —
+    a double recurrence certified end to end.
+    """
+    import math
+
+    import pandas as pd
+
+    a, b = _HOLT_A, _HOLT_B
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+
+    def recur(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hr").reset_index(drop=True)
+        if len(pdf) < 2:
+            return pdf.iloc[0:0].assign(level=0.0, trend=0.0, forecast_next=0.0)
+        lev = tr = 0.0
+        levs, trs, fcs = [], [], []
+        for i, v in enumerate(pdf["v"]):
+            if i == 0:
+                lev, tr = v, pdf["v"][1] - v
+            else:
+                new_lev = a * v + (1 - a) * (lev + tr)
+                tr = b * (new_lev - lev) + (1 - b) * tr
+                lev = new_lev
+            q = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+            levs.append(q(lev))
+            trs.append(q(tr))
+            fcs.append(q(lev + tr))
+        pdf["level"], pdf["trend"], pdf["forecast_next"] = levs, trs, fcs
+        return pdf
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(
+            recur,
+            schema=(
+                "event_type string, hr timestamp, v double, level double,"
+                " trend double, forecast_next double"
+            ),
+        )
+        .orderBy("event_type", "hr")
+    )
