@@ -1363,3 +1363,113 @@ def q261_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q266 — per-document keyphrase tagging (top bigram by corpus lift)
+# ---------------------------------------------------------------------------
+
+_KP_MIN_COUNT = 5  # corpus support floor for a candidate bigram
+
+
+@_q(
+    "q266_doc_keyphrases",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    uni AS (
+      SELECT unnest(ts) AS t FROM tok
+    ), uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+    bi AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, (SELECT unnest(range(1, 200)) AS i)
+      WHERE i < len(ts)
+    ), bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS bcnt
+      FROM bi GROUP BY w1, w2 HAVING count(*) >= {_KP_MIN_COUNT}
+    ), lifts AS (
+      SELECT bc.w1, bc.w2,
+             CAST(bc.bcnt AS DOUBLE) * n.n / (c1.c * c2.c) AS lift
+      FROM bc JOIN uc c1 ON c1.t = bc.w1 JOIN uc c2 ON c2.t = bc.w2
+      CROSS JOIN n
+    ), tagged AS (
+      SELECT b.doc_id, b.w1 || ' ' || b.w2 AS phrase, l.lift,
+             row_number() OVER (PARTITION BY b.doc_id
+               ORDER BY round(l.lift, 6) DESC, b.w1, b.w2) AS rn
+      FROM (SELECT DISTINCT doc_id, w1, w2 FROM bi) b
+      JOIN lifts l ON l.w1 = b.w1 AND l.w2 = b.w2
+    )
+    SELECT doc_id, phrase, round(lift, 6) AS lift
+    FROM tagged WHERE rn = 1 AND doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def q266_doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyphrase tagging: each doc labeled with its most
+    CHARACTERISTIC bigram — highest corpus lift (observed bigram rate
+    over the independence expectation, support >= {_KP_MIN_COUNT}) among
+    the bigrams it contains — the cheap doc-enrichment step behind
+    faceted browse and topic tagging (rank by lift, not raw count, or
+    every doc gets tagged with stopword pairs). First 100 docs emitted
+    as the driver sample; the plan is corpus-wide.
+
+    Lift is exact (BIGINT counts, one double expression in identical
+    order, ranked on the rounded value with lexical tie-breaks); the
+    bigram stats table is vocabulary-pair-sized and broadcastable; the
+    per-doc argmax is one window over each doc's distinct bigrams.
+    """
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    uni = tok.select(F.explode("ts").alias("t"))
+    uc = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = uc.agg(F.sum("c").alias("n"))
+    m = F.size("ts") - 1
+    bi = (
+        tok.filter(m >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", 1, m).alias("w1"),
+                    F.slice("ts", 2, m).alias("w2"),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+        .filter(F.col("bcnt") >= _KP_MIN_COUNT)
+    )
+    c1 = uc.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    c2 = uc.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    lifts = (
+        bc.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.col("bcnt").cast("double") * F.col("n")
+                / (F.col("c1") * F.col("c2"))
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("lift", 6)), F.asc("w1"), F.asc("w2")
+    )
+    return (
+        bi.distinct()
+        .join(lifts, ["w1", "w2"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("doc_id") < 100))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            F.round("lift", 6).alias("lift"),
+        )
+        .orderBy("doc_id")
+    )
