@@ -64,13 +64,20 @@ def _registry():
     # The first ~50 entries are the driver's conformance window. Rounds 1-2
     # proved the full §2B canonical set (Q01..Q40 green twice); round 3
     # proved the llmprep/curation/warehouse/skew/timeseries/text/multimodal
-    # /modern suites (50 rows, 0 failures). Round 4 rotates onto the
-    # round-3 mass that has only local-sweep evidence: 8 sentinels (one
-    # per proven family, so a regression anywhere still shows) + 42
-    # first-time entries — TPC-H macro tier, statistics, BPE tokenizer,
-    # k-means/covariance, MV/CDC/audit, ANN recall certification, the new
-    # dedup family, frontier/skyline, packing/BM25/retrieval, and the
-    # curation-selection suite. All 42 are oracle-backed.
+    # /modern suites (50 rows, 0 failures); round 4 proved the TPC-H macro
+    # tier, statistics, tokenizer, MV/CDC, ANN-recall, dedup, and
+    # curation-selection suites (50 rows, all hash-green). Round 5 rotates
+    # onto the q213-q266 block that so far has only local-sweep +
+    # driver_sim evidence (VERDICT r04 next-round #2): the same 8
+    # sentinels (one proven-green entry per family, so a regression
+    # anywhere still shows) + 42 first-time oracle-backed entries —
+    # sketches, graph, composed ANN (PQ/IVFPQ/filtered), stream-stream
+    # join, warehouse maintenance (SCD2/backfill/LSM/zone-map/bloom),
+    # timeseries (EWMA/rolling-corr/seasonal/Holt), robust statistics,
+    # text retrieval (phrase/eval/hard-negatives/keyphrases), and
+    # curation (representation audit/curriculum/leakage). The 12
+    # remaining q213-q266 entries plus the round-2 llmprep leftovers
+    # (q106-q129) are round 6's rotation.
     window = [
         # sentinels — one proven-green entry per family
         "q12_agg_pricing_summary",
@@ -81,57 +88,57 @@ def _registry():
         "q39_minhash_lsh_pairs",
         "q40_token_stats",
         "q41_ann_topk",
-        # TPC-H macro tier (composed multi-join warehouse plans)
-        "q156_tpch_q3",
-        "q157_tpch_q5",
-        "q158_tpch_q10",
-        "q159_tpch_q18",
-        "q172_tpch_q17",
-        "q173_tpch_q21",
-        "q193_tpch_q4",
-        "q194_tpch_q14",
-        "q195_tpch_q22",
-        # statistics suite
-        "q137_grouped_ols",
-        "q148_contingency_chi2",
-        "q149_welch_ttest",
-        "q152_exact_grouped_median",
-        "q153_mad_outliers",
-        "q163_cov_matrix",
-        "q183_histogram_median",
-        "q197_ab_proportion_ztest",
-        # BPE tokenizer training + apply
-        "q160_bpe_merges",
-        "q162_bpe_tokenize",
-        # clustering / view maintenance / CDC / quality audit
-        "q165_kmeans_lloyd",
-        "q164_incremental_mv",
-        "q170_snapshot_diff",
-        "q166_constraint_audit",
-        # ANN recall certification
-        "q167_ann_recall",
-        "q181_quantized_ann_recall",
-        # round-3 dedup family
-        "q133_containment_decontam",
-        "q134_cluster_dedup_survivors",
-        "q135_prefix_filter_jaccard",
-        "q174_sorted_neighborhood",
-        # frontier / skyline
-        "q161_skyline",
-        # LLM-prep: packing, retrieval, fusion, selection
-        "q130_sequence_packing",
-        "q132_bm25_retrieval",
-        "q136_hybrid_rrf",
-        "q177_dataset_mixture",
-        "q178_set_cover_selection",
-        "q190_stratified_kfold",
-        # event analytics + curation picks
-        "q151_frequent_pairs",
-        "q143_cohort_retention",
-        "q146_split_drift",
-        "q150_cusum_drawdown",
-        "q179_scd2_pit_lookup",
-        "q210_growth_accounting",
+        # sketches / graph / tokenizer
+        "q213_countmin_heavy_hitters",
+        "q215_label_propagation",
+        "q216_unigram_viterbi_tokenize",
+        # composed ANN production paths
+        "q219_pq_ann",
+        "q224_ivfpq_ann",
+        "q229_filtered_ann",
+        # streaming + Arrow surfaces
+        "q225_stream_stream_left_join",
+        "q222_map_in_arrow",
+        # warehouse maintenance / storage layout
+        "q221_mv_retraction",
+        "q226_zone_map_pruning",
+        "q228_scd2_merge_apply",
+        "q232_aggregate_backfill_diff",
+        "q237_join_skew_profile",
+        "q238_bloom_file_pruning",
+        "q239_lsm_compaction",
+        # timeseries
+        "q214_ewma_smoothing",
+        "q230_changepoint_binary_seg",
+        "q240_rolling_corr",
+        "q242_interval_union_length",
+        "q243_nearest_asof_join",
+        "q252_seasonal_decompose",
+        "q263_holt_linear",
+        "q264_weekly_drift",
+        # robust statistics
+        "q217_theilsen_slope",
+        "q236_robust_scaler_stats",
+        "q250_auc_calibration",
+        "q255_quantile_normalization",
+        # text retrieval / dedup
+        "q218_ngram_novelty",
+        "q231_phrase_search",
+        "q241_weighted_jaccard_pairs",
+        "q245_semantic_decontam",
+        "q251_retrieval_eval",
+        "q253_hard_negatives",
+        "q260_dedup_savings",
+        "q261_source_token_entropy",
+        "q266_doc_keyphrases",
+        # curation / mixture
+        "q223_temperature_balance",
+        "q234_representation_audit",
+        "q235_nested_samples",
+        "q247_curriculum_order",
+        "q248_split_leakage_audit",
+        # hierarchy
+        "q265_hierarchy_rollup",
     ]
     ordered: dict[str, Callable] = {}
     for name in window:

@@ -60,8 +60,20 @@ def q40f_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer -> StopWordsRemover -> CountVectorizer -> IDF, then the
     top TF-IDF term per source (rows-only: CountVectorizer's vocabulary
     order for tied frequencies is not contractual, so the SQL oracle
-    would over-pin; determinism within a session is tested instead)."""
+    would over-pin; determinism within a session is tested instead).
+
+    The per-doc top-3 extraction is fully relational (VERDICT r04 #5 —
+    this was the engine's last row-at-a-time Python UDF outside q29's
+    declared parity surface): instead of walking each doc's SparseVector
+    in Python, the fitted models' vocabulary + idf arrays (both
+    vocab-sized driver state, the same bound as MLlib's own broadcast of
+    cv_model) become a broadcast (term, idx, idf) dimension; tf counts
+    come from the exploded token stream, score = tf * idf reproduces
+    IDFModel.transform exactly (same doubles, same (-score, idx)
+    tie-break), and the top-3 window runs JVM-side. Scales: no dense
+    vocab-length arrays ever materialize per row."""
     from pyspark.ml.feature import CountVectorizer, IDF, StopWordsRemover, Tokenizer
+    from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     tok = Tokenizer(inputCol="text", outputCol="raw_tokens")
@@ -71,28 +83,40 @@ def q40f_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv_model = cv.fit(staged)
     tf = cv_model.transform(staged)
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
-    scored = idf_model.transform(tf)
-    vocab = cv_model.vocabulary
+    idf_vals = idf_model.idf.toArray().tolist()
+    vocab_df = spark.createDataFrame(
+        [(i, t, idf_vals[i]) for i, t in enumerate(cv_model.vocabulary)],
+        "idx: long, term: string, idf: double",
+    )
 
-    @F.udf("array<struct<term:string,score:double>>")
-    def top_terms(v):
-        if v is None:
-            return []
-        pairs = sorted(
-            zip(v.indices.tolist(), v.values.tolist()), key=lambda p: (-p[1], p[0])
-        )[:3]
-        return [(vocab[i], round(s, 4)) for i, s in pairs]
-
-    per_doc = scored.select("doc_id", "source", F.explode(top_terms("tfidf")).alias("t"))
+    counts = (
+        staged.select("doc_id", "source", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).alias("tfc"))
+        .join(F.broadcast(vocab_df), "term")
+        .select(
+            "doc_id",
+            "source",
+            "term",
+            "idx",
+            (F.col("tfc").cast("double") * F.col("idf")).alias("raw_score"),
+        )
+    )
+    # rank on the RAW double (exactly what the SparseVector walk did);
+    # round only the emitted value
+    doc_w = Window.partitionBy("doc_id").orderBy(F.desc("raw_score"), F.asc("idx"))
+    per_doc = (
+        counts.withColumn("drn", F.row_number().over(doc_w))
+        .filter(F.col("drn") <= 3)
+        .withColumn("score", F.round("raw_score", 4))
+    )
     return (
-        per_doc.groupBy("source", F.col("t.term").alias("term"))
-        .agg(F.count("*").alias("doc_hits"), F.round(F.sum("t.score"), 4).alias("score_sum"))
+        per_doc.groupBy("source", "term")
+        .agg(F.count("*").alias("doc_hits"), F.round(F.sum("score"), 4).alias("score_sum"))
         .withColumn(
             "rn",
             F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-                    "source"
-                ).orderBy(F.desc("score_sum"), F.asc("term"))
+                Window.partitionBy("source").orderBy(F.desc("score_sum"), F.asc("term"))
             ),
         )
         .filter(F.col("rn") <= 3)

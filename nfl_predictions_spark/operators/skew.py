@@ -176,6 +176,23 @@ def write_bucketed_tables(
         f"orders_{tag}": ("orders", "o_orderkey"),
         f"lineitem_{tag}": ("lineitem", "l_orderkey"),
     }
+    # GC stale copies of THIS sf_dir (ADVICE r04 #3: every fixture
+    # regeneration mints a new fingerprint tag; without cleanup the old
+    # bucketed copies accumulate unboundedly in the warehouse). Same
+    # sf-prefix + different tag == superseded.
+    import shutil
+    from urllib.parse import urlparse
+
+    sf_base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for old in sorted(done):
+        for src in ("orders", "lineitem"):
+            if old.startswith(f"{src}_{sf_base}_b") and old not in specs:
+                spark.sql(f"DROP TABLE IF EXISTS buckets.{old}")
+                shutil.rmtree(
+                    os.path.join(warehouse, "buckets.db", old), ignore_errors=True
+                )
+                done.discard(old)
     for tbl, (src, key) in specs.items():
         if tbl not in done:
             # A previous session may have left the managed location on

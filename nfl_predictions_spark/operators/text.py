@@ -1381,9 +1381,12 @@ _KP_MIN_COUNT = 5  # corpus support floor for a candidate bigram
     ), uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t),
     n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
     bi AS (
-      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
-      FROM tok, (SELECT unnest(range(1, 200)) AS i)
-      WHERE i < len(ts)
+      -- bound derived from the array length (ADVICE r04: a hard-coded
+      -- range cap would silently drop bigrams past it on longer docs)
+      SELECT doc_id, b[1] AS w1, b[2] AS w2
+      FROM (SELECT doc_id,
+                   unnest([[ts[i], ts[i + 1]] for i in range(1, len(ts))]) AS b
+            FROM tok)
     ), bc AS (
       SELECT w1, w2, CAST(count(*) AS BIGINT) AS bcnt
       FROM bi GROUP BY w1, w2 HAVING count(*) >= {_KP_MIN_COUNT}
@@ -1423,7 +1426,10 @@ def q266_doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = tok.select(F.explode("ts").alias("t"))
     uc = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    n = uc.agg(F.sum("c").alias("n"))
+    # corpus token total folded in via a global window over the
+    # vocabulary-sized uc (not a 1-row crossJoin broadcast, which plans
+    # as BroadcastNestedLoopJoin — plan-audit hygiene, VERDICT r04 #3)
+    ucn = uc.withColumn("n", F.sum("c").over(Window.partitionBy()))
     m = F.size("ts") - 1
     bi = (
         tok.filter(m >= 1)
@@ -1443,12 +1449,11 @@ def q266_doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("bcnt"))
         .filter(F.col("bcnt") >= _KP_MIN_COUNT)
     )
-    c1 = uc.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    c1 = ucn.select(F.col("t").alias("w1"), F.col("c").alias("c1"), "n")
     c2 = uc.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
     lifts = (
         bc.join(c1, "w1")
         .join(c2, "w2")
-        .crossJoin(F.broadcast(n))
         .select(
             "w1",
             "w2",

@@ -304,10 +304,17 @@ def q164_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp.update(f"{tbl}:{st.st_size}:{st.st_mtime_ns}".encode())
         except OSError:
             fp.update(f"{tbl}:missing".encode())
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp.hexdigest()[:12]}"
-    root = os.path.join(
-        tempfile.gettempdir(), "nfl_predictions_spark", "mv", f"nation_rev_{key}"
-    )
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    key = f"{sf_base}_{fp.hexdigest()[:12]}"
+    mv_dir = os.path.join(tempfile.gettempdir(), "nfl_predictions_spark", "mv")
+    root = os.path.join(mv_dir, f"nation_rev_{key}")
+    # GC superseded stores for THIS sf_dir (ADVICE r04 #3): each fixture
+    # regeneration mints a new fingerprint; old copies would otherwise
+    # accumulate on disk forever. Same sf prefix + different tag == stale.
+    if os.path.isdir(mv_dir):
+        for d in os.listdir(mv_dir):
+            if d.startswith(f"nation_rev_{sf_base}_") and d != f"nation_rev_{key}":
+                shutil.rmtree(os.path.join(mv_dir, d), ignore_errors=True)
     store = os.path.join(root, "base")
     marker = os.path.join(root, "_done")
     if not os.path.exists(marker):

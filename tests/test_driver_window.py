@@ -11,7 +11,7 @@ from __future__ import annotations
 import __spark_entry__ as entrymod
 
 EXPECTED_WINDOW = [
-    # sentinels
+    # sentinels (unchanged since round 4)
     "q12_agg_pricing_summary",
     "q16_window_lag_default",
     "q06_join_broadcast",
@@ -20,57 +20,50 @@ EXPECTED_WINDOW = [
     "q39_minhash_lsh_pairs",
     "q40_token_stats",
     "q41_ann_topk",
-    # TPC-H macro tier
-    "q156_tpch_q3",
-    "q157_tpch_q5",
-    "q158_tpch_q10",
-    "q159_tpch_q18",
-    "q172_tpch_q17",
-    "q173_tpch_q21",
-    "q193_tpch_q4",
-    "q194_tpch_q14",
-    "q195_tpch_q22",
-    # statistics
-    "q137_grouped_ols",
-    "q148_contingency_chi2",
-    "q149_welch_ttest",
-    "q152_exact_grouped_median",
-    "q153_mad_outliers",
-    "q163_cov_matrix",
-    "q183_histogram_median",
-    "q197_ab_proportion_ztest",
-    # tokenizer
-    "q160_bpe_merges",
-    "q162_bpe_tokenize",
-    # clustering / MV / CDC / audit
-    "q165_kmeans_lloyd",
-    "q164_incremental_mv",
-    "q170_snapshot_diff",
-    "q166_constraint_audit",
-    # ANN recall certification
-    "q167_ann_recall",
-    "q181_quantized_ann_recall",
-    # round-3 dedup family
-    "q133_containment_decontam",
-    "q134_cluster_dedup_survivors",
-    "q135_prefix_filter_jaccard",
-    "q174_sorted_neighborhood",
-    # frontier
-    "q161_skyline",
-    # LLM-prep picks
-    "q130_sequence_packing",
-    "q132_bm25_retrieval",
-    "q136_hybrid_rrf",
-    "q177_dataset_mixture",
-    "q178_set_cover_selection",
-    "q190_stratified_kfold",
-    # event analytics + curation
-    "q151_frequent_pairs",
-    "q143_cohort_retention",
-    "q146_split_drift",
-    "q150_cusum_drawdown",
-    "q179_scd2_pit_lookup",
-    "q210_growth_accounting",
+    # round-5 rotation: 42 first-time entries from the q213-q266 block
+    # (VERDICT r04 next-round #2)
+    "q213_countmin_heavy_hitters",
+    "q215_label_propagation",
+    "q216_unigram_viterbi_tokenize",
+    "q219_pq_ann",
+    "q224_ivfpq_ann",
+    "q229_filtered_ann",
+    "q225_stream_stream_left_join",
+    "q222_map_in_arrow",
+    "q221_mv_retraction",
+    "q226_zone_map_pruning",
+    "q228_scd2_merge_apply",
+    "q232_aggregate_backfill_diff",
+    "q237_join_skew_profile",
+    "q238_bloom_file_pruning",
+    "q239_lsm_compaction",
+    "q214_ewma_smoothing",
+    "q230_changepoint_binary_seg",
+    "q240_rolling_corr",
+    "q242_interval_union_length",
+    "q243_nearest_asof_join",
+    "q252_seasonal_decompose",
+    "q263_holt_linear",
+    "q264_weekly_drift",
+    "q217_theilsen_slope",
+    "q236_robust_scaler_stats",
+    "q250_auc_calibration",
+    "q255_quantile_normalization",
+    "q218_ngram_novelty",
+    "q231_phrase_search",
+    "q241_weighted_jaccard_pairs",
+    "q245_semantic_decontam",
+    "q251_retrieval_eval",
+    "q253_hard_negatives",
+    "q260_dedup_savings",
+    "q261_source_token_entropy",
+    "q266_doc_keyphrases",
+    "q223_temperature_balance",
+    "q234_representation_audit",
+    "q235_nested_samples",
+    "q247_curriculum_order",
+    "q248_split_leakage_audit",
+    "q265_hierarchy_rollup",
 ]
 
 

@@ -22,7 +22,8 @@ ALLOW = {
     "BatchEvalPython": {
         "q29_udf_parity",  # the declared row-UDF parity query
         "q54_python_udtf",  # UDTFs evaluate in Python by definition
-        "q40f_tfidf_top_terms",  # MLlib text pipeline's internal UDF
+        # q40f was allowlisted here through r04; its top-terms UDF is now
+        # a relational broadcast-join + window (VERDICT r04 #5)
     },
     "CartesianProduct": {
         "q41_ann_topk",  # 5-row broadcast side, intended
