@@ -138,8 +138,14 @@ def q156_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q157_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: the 6-table join tree with the "local supplier"
-    twist (customer and supplier must share a nation). nation and
-    region are broadcast; the compound supplier join key
+    twist (customer and supplier must share a nation). The ASIA
+    region filter is pushed through the broadcast nation/region dims
+    onto BOTH fact-side inputs before any big join (classic star-schema
+    dimension pushdown): customer and supplier each pre-filter to the 5
+    ASIA nations via a broadcast hash join, so the custkey and suppkey
+    shuffles move ~1/5 of the rows the late-decode plan shuffled —
+    round 4 measured that plan at 5.1x sf0.1->sf1 decade growth
+    (VERDICT r04 next-round #4). The compound supplier join key
     (l_suppkey, c_nationkey) rides the already-shuffled fact side.
     Output is |nations|-sized, so the final sort is trivial."""
     customer = table(spark, sf_dir, "customer")
@@ -150,17 +156,30 @@ def q157_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(asia), customer.c_nationkey == asia.n_nationkey
+    ).select("c_custkey", "c_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(asia.select(F.col("n_nationkey").alias("sn"))),
+        supplier.s_nationkey == F.col("sn"),
+        "left_semi",
+    ).select("s_suppkey", "s_nationkey")
     rev = F.sum(_revenue())
+    # ASIA suppliers join lineitem FIRST (broadcast at bench scale; AQE
+    # re-plans if the filtered dim outgrows the threshold): this is the
+    # most selective broadcast-able edge in the tree, so the lineitem
+    # rows entering the big l_orderkey shuffle drop ~5x. The residual
+    # c_nationkey = s_nationkey "local supplier" predicate applies after
+    # the orders/customer join as a filter on already-joined rows.
+    li = lineitem.join(supp, lineitem.l_suppkey == supp.s_suppkey)
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey)
-        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .join(
-            supplier,
-            (lineitem.l_suppkey == supplier.s_suppkey)
-            & (customer.c_nationkey == supplier.s_nationkey),
-        )
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
         .groupBy("n_name")
         .agg(rev.alias("rev_exact"))
         .orderBy(F.desc("rev_exact"), "n_name")
@@ -245,30 +264,37 @@ def q158_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q159_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: the HAVING-subquery pattern. The big-orders key
-    set is computed first (one lineitem agg); at any scale it is a tiny
-    fraction of orderkeys, so AQE converts the semi join into a
-    broadcast probe at runtime — the orders/customer sides never
-    shuffle against the full lineitem table twice."""
+    """TPC-H Q18 shape: the HAVING-subquery pattern. Because the final
+    per-(customer, order) sum is functionally determined by o_orderkey,
+    the per-order quantity aggregate computed for the HAVING filter IS
+    the output measure — so lineitem is scanned and shuffled exactly
+    once (one groupBy on l_orderkey), and the filtered aggregate (a tiny
+    fraction of orderkeys at any scale) joins orders as a broadcast-able
+    inner join instead of the classic re-join + re-aggregate of the full
+    lineitem table. Round 4 measured the re-join form at 5.7x sf0.1->sf1
+    wall growth (worst in SCALING.md); this form removes the second
+    full-lineitem shuffle entirely (VERDICT r04 next-round #4)."""
     customer = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     lineitem = table(spark, sf_dir, "lineitem")
     big = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 300)
-        .select("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("q_raw"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q_dec"),
+        )
+        .filter(F.col("q_raw") > 300)
+        .select(
+            F.col("l_orderkey").alias("bk"),
+            F.round("q_dec", 2).cast("double").alias("sum_qty"),
+        )
     )
     return (
-        orders.join(big.withColumnRenamed("l_orderkey", "bk"),
-                    orders.o_orderkey == F.col("bk"), "left_semi")
+        orders.join(big, orders.o_orderkey == F.col("bk"))
         .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("sum_qty")
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "sum_qty",
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
