@@ -1,11 +1,14 @@
 """Driver-facing ML queries (SURVEY.md §2B Q37).
 
-GBT predictions are not SQL-expressible, so q37/q37b/q87 have no
+Raw GBT predictions are not SQL-expressible, so q37/q37b have no
 DuckDB oracle (the driver records the weaker rows-only check); the
 semantic and golden tests live in tests/test_ml.py. The pipeline's
 deterministic prefix — StringIndexer label assignment and the
 assembled feature vector — IS SQL-expressible, and q37c checks it
-value-for-value against DuckDB on the driver's events table.
+value-for-value against DuckDB on the driver's events table. q87's
+feature importances are likewise fully oracle-backed since round 5:
+the saved models' tree-node parquet is the shared input, and the
+gain aggregation replays identically in DuckDB.
 """
 
 from __future__ import annotations
@@ -219,32 +222,128 @@ ORDER BY l.event_id
 """
 
 
-def q87_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-model GBT feature importances (normalized total gain) for the
-    reference's 8-feature vector — the model-explanation query a user of
-    the reference's two saved pipelines asks first. Importance vectors
-    are training-artifact-specific (not SQL-expressible -> rows-only);
-    determinism comes from the seeded pipeline, and invariants (all
-    features present, weights sum to 1, non-negative) are pinned in
-    tests/test_ml.py. Reference models: assets/static/assets/
-    nfl_model_pass/stages/2_GBTRegressor_*/ (maxIter 20, seed 12345)."""
-    import pandas as pd
+_Q87_NODES = os.path.join(_CACHE_ROOT, "q87_nodes.parquet")
+
+
+def dump_tree_nodes(spark: SparkSession) -> str:
+    """Normalize both pipelines' saved GBT tree tables (the reference's
+    own on-disk model schema: stages/2_GBTRegressor_*/data with treeID +
+    nodeData(gain, split.featureIndex, impurityStats)) into ONE parquet
+    at a deterministic path: (model, treeID, fidx, feature, gain, cnt)
+    for internal nodes, plus treeID=-1 dimension rows carrying the full
+    8-feature list. Written once per model-cache generation (atomic
+    tempdir rename, the q164 idiom); both the Spark query and the DuckDB
+    oracle then read the SAME bytes."""
+    import glob as _glob
+    import shutil
 
     pass_model, run_model = trained_models(spark)
-    rows = []
+    if os.path.exists(os.path.join(_Q87_NODES, "_SUCCESS")):
+        return _Q87_NODES
+    feats = list(pass_model.stages[-2].getInputCols())
+    parts = []
     for model_name, pipeline in (("pass", pass_model), ("run", run_model)):
-        gbt = pipeline.stages[-1]
-        assembler = pipeline.stages[-2]
-        feats = list(assembler.getInputCols())
-        imps = gbt.featureImportances
-        for i, feat in enumerate(feats):
-            rows.append((model_name, feat, round(float(imps[i]), 6)))
-    pdf = pd.DataFrame(rows, columns=["model", "feature", "importance"])
+        (data_dir,) = _glob.glob(
+            os.path.join(_CACHE_ROOT, f"nfl_model_{model_name}", "stages",
+                         "*GBTRegressor*", "data")
+        )
+        nodes = (
+            spark.read.parquet(data_dir)
+            .select(
+                F.lit(model_name).alias("model"),
+                F.col("treeID"),
+                F.col("nodeData.split.featureIndex").alias("fidx"),
+                F.col("nodeData.gain").alias("gain"),
+                F.element_at("nodeData.impurityStats", 1).alias("cnt"),
+            )
+            .filter(F.col("fidx") >= 0)  # internal nodes only
+        )
+        dim = spark.createDataFrame(
+            [(model_name, -1, i, 0.0, 0.0) for i in range(len(feats))],
+            "model: string, treeID: int, fidx: int, gain: double, cnt: double",
+        )
+        parts.append(nodes.unionByName(dim))
+    fmap = spark.createDataFrame(
+        list(enumerate(feats)), "fidx: int, feature: string"
+    )
+    out = parts[0].unionByName(parts[1]).join(F.broadcast(fmap), "fidx")
+    build = tempfile.mkdtemp(prefix=".q87_nodes_", dir=_CACHE_ROOT)
+    tgt = os.path.join(build, "data")
+    out.coalesce(1).write.mode("overwrite").parquet(tgt)
+    try:
+        os.rename(tgt, _Q87_NODES)
+    except OSError:
+        pass  # lost the race: reuse winner
+    shutil.rmtree(build, ignore_errors=True)
+    return _Q87_NODES
+
+
+def q87_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-model GBT feature importances — MLlib's exact algorithm
+    (per internal node: gain * instance count; per tree: normalize to
+    sum 1; sum across trees; global normalize) re-expressed as a
+    relational gain-walk over the dumped tree-node table, so a DuckDB
+    oracle can replay it value-for-value (VERDICT r04 next-round #7 —
+    formerly rows-only via gbt.featureImportances; parity with the MLlib
+    scalar is pinned in tests/test_ml.py). Every order-dependent double
+    sum is quantized to decimal at the source (the q246 rule), making
+    the result hash-exact across engines. Reference models:
+    assets/static/assets/nfl_model_pass/stages/2_GBTRegressor_*/
+    (maxIter 20, seed 12345)."""
+    path = dump_tree_nodes(spark)
+    nodes = spark.read.parquet(path)
+    # GBTs accumulate gain x count RAW across the whole ensemble and
+    # normalize ONCE (perTreeNormalization=false in treeModels.scala —
+    # pinned by tests/test_ml.py's independent py4j node walk; the
+    # per-tree-normalized RandomForest variant differs by ~1e-2).
+    term = F.round(F.col("gain") * F.col("cnt"), 9).cast("decimal(30,9)")
+    tot = (
+        nodes.filter(F.col("treeID") >= 0)
+        .select("model", "fidx", term.alias("term"))
+        .groupBy("model", "fidx")
+        .agg(F.sum("term").alias("s"))
+    )
+    grand = tot.groupBy("model").agg(F.sum("s").alias("g"))
+    dim = nodes.filter(F.col("treeID") == -1).select("model", "fidx", "feature")
     return (
-        spark.createDataFrame(pdf)
-        .select("model", "feature", F.col("importance").cast("double"))
+        dim.join(tot, ["model", "fidx"], "left")
+        .join(grand, "model")
+        .select(
+            "model",
+            "feature",
+            F.round(
+                F.coalesce(
+                    F.col("s").cast("double") / F.col("g").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("importance"),
+        )
         .orderBy("model", F.desc("importance"), "feature")
     )
 
 
 QUERIES["q87_ml_feature_importance"] = q87_ml_feature_importance
+ORACLE["q87_ml_feature_importance"] = f"""
+WITH nodes AS (
+  -- GBT importances: RAW gain x count across the ensemble, ONE final
+  -- normalization (perTreeNormalization=false for GBTs in MLlib)
+  SELECT model, fidx,
+         CAST(round(gain * cnt, 9) AS DECIMAL(30,9)) AS term
+  FROM read_parquet('{_Q87_NODES}/*.parquet') WHERE treeID >= 0
+), tot AS (
+  SELECT model, fidx, sum(term) AS s FROM nodes GROUP BY model, fidx
+), grand AS (
+  SELECT model, sum(s) AS g FROM tot GROUP BY model
+), dim AS (
+  SELECT DISTINCT model, fidx, feature
+  FROM read_parquet('{_Q87_NODES}/*.parquet') WHERE treeID = -1
+)
+SELECT d.model, d.feature,
+       round(COALESCE(CAST(t.s AS DOUBLE) / CAST(gr.g AS DOUBLE), 0.0), 6)
+         AS importance
+FROM dim d
+LEFT JOIN tot t ON t.model = d.model AND t.fidx = d.fidx
+JOIN grand gr ON gr.model = d.model
+ORDER BY d.model, importance DESC, d.feature
+"""

@@ -184,6 +184,30 @@ def test_model_rmse_reasonable(spark, models, synthetic):
     assert rmse < stats.sd
 
 
+def test_feature_importance_matches_mllib_scalar(spark, models):
+    """q87's relational gain-walk over the dumped tree-node parquet must
+    reproduce gbt.featureImportances itself at round-6 for BOTH models —
+    the fidelity pin behind promoting q87 from rows-only to oracle-backed
+    (VERDICT r04 next-round #7)."""
+    from nfl_predictions_spark.ml.queries import q87_ml_feature_importance
+    from tests.conftest import SF_SMOKE
+
+    pass_model, run_model = models
+    expected = {}
+    for name, pipeline in (("pass", pass_model), ("run", run_model)):
+        gbt = pipeline.stages[-1]
+        feats = list(pipeline.stages[-2].getInputCols())
+        for i, f in enumerate(feats):
+            expected[(name, f)] = round(float(gbt.featureImportances[i]), 6)
+    got = {
+        (r.model, r.feature): r.importance
+        for r in q87_ml_feature_importance(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 2e-6, (k, got[k], expected[k])
+
+
 def test_feature_importance_invariants(spark):
     """Both models: importances cover the 8-feature vector, are
     non-negative, and sum to ~1 (normalized total gain)."""
