@@ -56,22 +56,95 @@ def q39d_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q40f_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer -> StopWordsRemover -> CountVectorizer -> IDF, then the
-    top TF-IDF term per source (rows-only: CountVectorizer's vocabulary
-    order for tied frequencies is not contractual, so the SQL oracle
-    would over-pin; determinism within a session is tested instead).
+#: StopWordsRemover.loadDefaultStopWords('english') — inlined so the
+#: q40f DuckDB oracle (a static SQL string) can carry the same filter;
+#: parity with the MLlib loader is pinned in tests/test_northstar.py.
+_EN_STOPWORDS = (
+    'i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves', 'you',
+    'your', 'yours', 'yourself', 'yourselves', 'he', 'him', 'his',
+    'himself', 'she', 'her', 'hers', 'herself', 'it', 'its', 'itself',
+    'they', 'them', 'their', 'theirs', 'themselves', 'what', 'which',
+    'who', 'whom', 'this', 'that', 'these', 'those', 'am', 'is', 'are',
+    'was', 'were', 'be', 'been', 'being', 'have', 'has', 'had', 'having',
+    'do', 'does', 'did', 'doing', 'a', 'an', 'the', 'and', 'but', 'if',
+    'or', 'because', 'as', 'until', 'while', 'of', 'at', 'by', 'for',
+    'with', 'about', 'against', 'between', 'into', 'through', 'during',
+    'before', 'after', 'above', 'below', 'to', 'from', 'up', 'down', 'in',
+    'out', 'on', 'off', 'over', 'under', 'again', 'further', 'then',
+    'once', 'here', 'there', 'when', 'where', 'why', 'how', 'all', 'any',
+    'both', 'each', 'few', 'more', 'most', 'other', 'some', 'such', 'no',
+    'nor', 'not', 'only', 'own', 'same', 'so', 'than', 'too', 'very', 's',
+    't', 'can', 'will', 'just', 'don', 'should', 'now', "i'll", "you'll",
+    "he'll", "she'll", "we'll", "they'll", "i'd", "you'd", "he'd",
+    "she'd", "we'd", "they'd", "i'm", "you're", "he's", "she's", "it's",
+    "we're", "they're", "i've", "we've", "you've", "they've", "isn't",
+    "aren't", "wasn't", "weren't", "haven't", "hasn't", "hadn't", "don't",
+    "doesn't", "didn't", "won't", "wouldn't", "shan't", "shouldn't",
+    "mustn't", "can't", "couldn't", 'cannot', 'could', "here's", "how's",
+    "let's", 'ought', "that's", "there's", "what's", "when's", "where's",
+    "who's", "why's", 'would',
+)
 
-    The per-doc top-3 extraction is fully relational (VERDICT r04 #5 —
-    this was the engine's last row-at-a-time Python UDF outside q29's
-    declared parity surface): instead of walking each doc's SparseVector
-    in Python, the fitted models' vocabulary + idf arrays (both
-    vocab-sized driver state, the same bound as MLlib's own broadcast of
-    cv_model) become a broadcast (term, idx, idf) dimension; tf counts
-    come from the exploded token stream, score = tf * idf reproduces
-    IDFModel.transform exactly (same doubles, same (-score, idx)
-    tie-break), and the top-3 window runs JVM-side. Scales: no dense
-    vocab-length arrays ever materialize per row."""
+
+_SW_SQL = ", ".join("'" + w.replace("'", "''") + "'" for w in _EN_STOPWORDS)
+
+_Q40F_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, source, unnest(toks) AS t FROM docs
+), kept AS (
+  SELECT * FROM tok WHERE t <> '' AND t NOT IN ({_SW_SQL})
+), dfreq AS (
+  SELECT t, count(DISTINCT doc_id) AS df FROM kept GROUP BY t HAVING count(DISTINCT doc_id) >= 2
+), n AS (SELECT count(*) AS n FROM documents),
+idf AS (
+  SELECT t, ln((n.n + 1.0) / (df + 1.0)) AS idf FROM dfreq, n
+), tf AS (
+  SELECT doc_id, source, t, count(*) AS tfc FROM kept GROUP BY doc_id, source, t
+), scored AS (
+  SELECT tf.doc_id, tf.source, tf.t AS term,
+         CAST(round(tf.tfc * idf.idf, 6) AS DECIMAL(20,6)) AS score6
+  FROM tf JOIN idf ON idf.t = tf.t
+), top3 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score6 DESC, term) AS drn
+    FROM scored) WHERE drn <= 3
+), agg AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS doc_hits,
+         round(CAST(sum(score6) AS DOUBLE), 4) AS score_sum
+  FROM top3 GROUP BY source, term
+)
+SELECT source, term, doc_hits, score_sum, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY score_sum DESC, term) AS rn FROM agg)
+WHERE rn <= 3 ORDER BY source, rn
+"""
+
+
+@_q("q40f_tfidf_top_terms", _Q40F_ORACLE)
+def q40f_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer -> StopWordsRemover -> CountVectorizer(minDF=2) -> IDF,
+    then the top-3 TF-IDF terms per doc rolled up to top-3 per source.
+
+    Fully relational after the MLlib fits (VERDICT r04 #5 — this was the
+    engine's last row-at-a-time Python UDF outside q29's declared parity
+    surface): instead of walking each doc's SparseVector in Python, the
+    fitted models' vocabulary + idf arrays (vocab-sized driver state,
+    the same bound as MLlib's own broadcast of cv_model) become a
+    broadcast (term, idf) dimension; tf counts come from the exploded
+    token stream, and score = tf * idf reproduces IDFModel.transform.
+    No dense vocab-length arrays ever materialize per row.
+
+    Oracle-backed since round 5 (formerly rows-only): ranking uses the
+    round-6 decimal-quantized score with a LEXICAL tie-break (not the
+    CountVectorizer vocabulary index, whose order for tied document
+    frequencies is not contractual), and the stopword list is inlined
+    as _EN_STOPWORDS — so DuckDB can replay the whole computation from
+    the documents table: df >= 2 vocabulary, idf = ln((N+1)/(df+1)),
+    exact decimal score sums."""
     from pyspark.ml.feature import CountVectorizer, IDF, StopWordsRemover, Tokenizer
     from pyspark.sql.window import Window
 
@@ -85,34 +158,31 @@ def q40f_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     idf_vals = idf_model.idf.toArray().tolist()
     vocab_df = spark.createDataFrame(
-        [(i, t, idf_vals[i]) for i, t in enumerate(cv_model.vocabulary)],
-        "idx: long, term: string, idf: double",
+        [(t, idf_vals[i]) for i, t in enumerate(cv_model.vocabulary)],
+        "term: string, idf: double",
     )
 
+    score6 = F.round(F.col("tfc").cast("double") * F.col("idf"), 6).cast(
+        "decimal(20,6)"
+    )
     counts = (
         staged.select("doc_id", "source", F.explode("tokens").alias("term"))
+        .filter(F.col("term") != "")
         .groupBy("doc_id", "source", "term")
         .agg(F.count(F.lit(1)).alias("tfc"))
         .join(F.broadcast(vocab_df), "term")
-        .select(
-            "doc_id",
-            "source",
-            "term",
-            "idx",
-            (F.col("tfc").cast("double") * F.col("idf")).alias("raw_score"),
-        )
+        .select("doc_id", "source", "term", score6.alias("score6"))
     )
-    # rank on the RAW double (exactly what the SparseVector walk did);
-    # round only the emitted value
-    doc_w = Window.partitionBy("doc_id").orderBy(F.desc("raw_score"), F.asc("idx"))
-    per_doc = (
-        counts.withColumn("drn", F.row_number().over(doc_w))
-        .filter(F.col("drn") <= 3)
-        .withColumn("score", F.round("raw_score", 4))
+    doc_w = Window.partitionBy("doc_id").orderBy(F.desc("score6"), F.asc("term"))
+    per_doc = counts.withColumn("drn", F.row_number().over(doc_w)).filter(
+        F.col("drn") <= 3
     )
     return (
         per_doc.groupBy("source", "term")
-        .agg(F.count("*").alias("doc_hits"), F.round(F.sum("score"), 4).alias("score_sum"))
+        .agg(
+            F.count("*").alias("doc_hits"),
+            F.round(F.sum("score6").cast("double"), 4).alias("score_sum"),
+        )
         .withColumn(
             "rn",
             F.row_number().over(
@@ -123,9 +193,6 @@ def q40f_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", "doc_hits", "score_sum", F.col("rn").cast("long").alias("rn"))
         .orderBy("source", "rn")
     )
-
-
-QUERIES["q40f_tfidf_top_terms"] = q40f_tfidf_top_terms
 
 
 # ---------------------------------------------------------------------------

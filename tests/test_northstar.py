@@ -116,6 +116,18 @@ def test_tfidf_deterministic_in_session(spark):
     assert a == b and len(a) > 0
 
 
+def test_inlined_stopwords_match_mllib_loader(spark):
+    """q40f's DuckDB oracle carries _EN_STOPWORDS inline (a static SQL
+    string can't call the MLlib loader); if a Spark upgrade ever changes
+    loadDefaultStopWords('english'), this catches the drift before the
+    oracle silently diverges from StopWordsRemover's behavior."""
+    from pyspark.ml.feature import StopWordsRemover
+
+    from nfl_predictions_spark.operators.ml_text import _EN_STOPWORDS
+
+    assert list(_EN_STOPWORDS) == StopWordsRemover.loadDefaultStopWords("english")
+
+
 def test_ann_ivf_recall(spark):
     """IVF with nprobe/nlist = 4/16 must beat the cell-fraction baseline
     decisively and always find the query's own vector (a query probes
