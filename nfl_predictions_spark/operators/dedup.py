@@ -1145,3 +1145,167 @@ def q244_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q267 — Fellegi–Sunter probabilistic record linkage (blocked)
+# ---------------------------------------------------------------------------
+
+#: Declared conditional-agreement probability P(field agrees | pair is a
+#: match) — the standard untrained prior; u-probabilities are estimated
+#: from the data (random-pair agreement odds), which is where all the
+#: discriminative power comes from.
+_FS_M = 0.9
+
+#: Comparison-field expressions, written once in engine-neutral SQL so
+#: the Spark plan and the DuckDB oracle derive bit-identical values.
+#: kbal: thousand-dollar balance bucket; centd: cents digit (half-up on
+#: the 2-decimal double, same IEEE op sequence both engines); idd: the
+#: entity's numeric id mod 7 (a name-derived token field).
+_FS_FIELDS = {
+    "kbal": "CAST(floor({bal} / 1000.0) AS BIGINT)",
+    "centd": "CAST(floor(abs({bal}) * 100 + 0.5) AS BIGINT) % 10",
+    "idd": "CAST(regexp_extract({name}, '([0-9]+)', 1) AS BIGINT) % 7",
+}
+
+
+def _fs_weights(spark: SparkSession, sf_dir: str) -> dict[str, tuple[float, float]]:
+    """Frequency-estimated Fellegi–Sunter weights.
+
+    u_k = P(field k agrees | random cross pair) = sum_v pA(v) * pB(v),
+    from exact per-value marginal counts. Both sides' three marginals
+    come from ONE stacked scan each (explode of (field, value) structs →
+    a single tiny groupBy) — at 100 TB this is one pass over each input,
+    shuffling only (field, value, count) rows whose cardinality is the
+    sum of the three value-domain sizes (≤ ~29 here), then a bounded
+    driver-side product-sum: the same bounded-by-construction collect
+    class as the engine's k×d centroid pulls. Weights are quantized
+    half-up to 6 decimals with the identical floor(x*1e6 + 0.5)/1e6 op
+    sequence the oracle uses (NOTES.md: Python round() is banker's —
+    never use it for driver-facing values)."""
+    import math
+
+    def marginals(df: DataFrame, bal: str, name: str) -> tuple[dict, int]:
+        fields = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("field"),
+                    F.expr(e.format(bal=bal, name=name)).alias("value"),
+                )
+                for k, e in _FS_FIELDS.items()
+            ]
+        )
+        rows = (
+            df.select(F.explode(fields).alias("fv"))
+            .groupBy("fv.field", "fv.value")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        counts: dict[str, dict[int, int]] = {k: {} for k in _FS_FIELDS}
+        for r in rows:
+            counts[r["field"]][r["value"]] = r["cnt"]
+        n = sum(counts["kbal"].values())
+        return counts, n
+
+    ca, na = marginals(table(spark, sf_dir, "customer"), "c_acctbal", "c_name")
+    cb, nb = marginals(table(spark, sf_dir, "supplier"), "s_acctbal", "s_name")
+    weights = {}
+    for k in _FS_FIELDS:
+        # exact integer product-sum, one double division — the same
+        # arithmetic (and therefore the same double) as the oracle's
+        # SUM(cA*cB) / (nA*nB)
+        u = sum(ca[k].get(v, 0) * cb[k][v] for v in cb[k]) / (na * nb)
+        wa = math.floor(math.log(_FS_M / u) * 1e6 + 0.5) / 1e6
+        wd = math.floor(math.log((1 - _FS_M) / (1 - u)) * 1e6 + 0.5) / 1e6
+        weights[k] = (wa, wd)
+    return weights
+
+
+def _fs_oracle() -> str:
+    fa = {k: e.format(bal="c_acctbal", name="c_name") for k, e in _FS_FIELDS.items()}
+    fb = {k: e.format(bal="s_acctbal", name="s_name") for k, e in _FS_FIELDS.items()}
+    margins = []
+    for k in _FS_FIELDS:
+        margins.append(
+            f"ma_{k} AS (SELECT {fa[k]} AS v, count(*) AS c FROM customer GROUP BY 1), "
+            f"mb_{k} AS (SELECT {fb[k]} AS v, count(*) AS c FROM supplier GROUP BY 1), "
+            f"u_{k} AS (SELECT SUM(a.c * b.c) / "
+            f"((SELECT count(*) FROM customer) * (SELECT count(*) FROM supplier)) AS u "
+            f"FROM ma_{k} a JOIN mb_{k} b ON a.v = b.v), "
+            f"w_{k} AS (SELECT "
+            f"floor(ln({_FS_M} / u) * 1e6 + 0.5) / 1e6 AS wa, "
+            f"floor(ln({1 - _FS_M} / (1 - u)) * 1e6 + 0.5) / 1e6 AS wd FROM u_{k})"
+        )
+    per_field = ", ".join(
+        f"CASE WHEN {fa[k]} = {fb[k]} THEN 'A' ELSE 'D' END AS p_{k}, "
+        f"CAST(CASE WHEN {fa[k]} = {fb[k]} THEN w_{k}.wa ELSE w_{k}.wd END "
+        f"AS DECIMAL(20,6)) AS w_{k}"
+        for k in _FS_FIELDS
+    )
+    return (
+        "WITH " + ", ".join(margins) + ", pairs AS ("
+        f"SELECT c_custkey, s_suppkey, {per_field} "
+        "FROM customer JOIN supplier ON c_nationkey = s_nationkey, "
+        + ", ".join(f"w_{k}" for k in _FS_FIELDS)
+        + ") SELECT c_custkey, s_suppkey, "
+        "p_kbal || p_centd || p_idd AS pattern, "
+        "CAST(w_kbal + w_centd + w_idd AS DOUBLE) AS score "
+        "FROM pairs ORDER BY score DESC, c_custkey, s_suppkey LIMIT 20"
+    )
+
+
+@_q("q267_record_linkage", _fs_oracle())
+def q267_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Fellegi–Sunter probabilistic record linkage, the classic
+    entity-resolution scorer (Fellegi & Sunter 1969) — a different
+    family from the token-similarity dedup suite (q38/q39/q98): field-
+    wise agreement evidence with data-estimated odds, not string
+    distance. Links customers to suppliers within nation blocks.
+
+    m = P(agree | match) is the declared 0.9 prior; u = P(agree |
+    random pair) is estimated from exact per-value marginal frequencies
+    (one stacked single-scan groupBy per side, bounded collect — see
+    ``_fs_weights``). Agreement weight ln(m/u), disagreement weight
+    ln((1-m)/(1-u)), both quantized half-up at 6 decimals; a pair's
+    score is the exact DECIMAL sum over fields, so ranking is
+    cross-engine deterministic.
+
+    Scale shape: the candidate generator is a blocked equi-join on
+    nationkey (never all-pairs — identical discipline to the LSH
+    banding in q39); scoring is literal-weight codegen arithmetic with
+    zero per-row Python; the final top-20 is a bounded TakeOrdered, not
+    a global sort. At 100 TB: one scan per side for marginals, one
+    blocked join, no driver state beyond ~29 frequency rows."""
+    w = _fs_weights(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    for k, e in _FS_FIELDS.items():
+        cust = cust.withColumn(f"a_{k}", F.expr(e.format(bal="c_acctbal", name="c_name")))
+        supp = supp.withColumn(f"b_{k}", F.expr(e.format(bal="s_acctbal", name="s_name")))
+    pairs = cust.join(
+        F.broadcast(supp), cust.c_nationkey == supp.s_nationkey
+    )
+    pat = F.concat(
+        *[
+            F.when(F.col(f"a_{k}") == F.col(f"b_{k}"), F.lit("A")).otherwise(F.lit("D"))
+            for k in _FS_FIELDS
+        ]
+    )
+    score = None
+    for k in _FS_FIELDS:
+        wk = (
+            F.when(F.col(f"a_{k}") == F.col(f"b_{k}"), F.lit(w[k][0]))
+            .otherwise(F.lit(w[k][1]))
+            .cast("decimal(20,6)")
+        )
+        score = wk if score is None else (score + wk)
+    return (
+        pairs.select(
+            "c_custkey",
+            "s_suppkey",
+            pat.alias("pattern"),
+            score.cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), "c_custkey", "s_suppkey")
+        .limit(20)
+    )

@@ -1555,3 +1555,65 @@ def q262_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t1", "t2")
     )
+
+
+def calendar_dim_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once) a calendar dimension parquet spanning the events
+    table's date range, with the ISO week attribute queries filter on.
+    Derived fully distributed: min/max aggregate -> sequence -> explode,
+    no driver-side date math."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "nfl_predictions_spark",
+        f"calendar_dim_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            table(spark, sf_dir, "events")
+            .agg(
+                F.min(F.col("ts").cast("date")).alias("d0"),
+                F.max(F.col("ts").cast("date")).alias("d1"),
+            )
+            .select(F.explode(F.sequence("d0", "d1")).alias("cal_date"))
+            .withColumn("iso_week", F.weekofyear("cal_date"))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
+@_q(
+    "q269_dynamic_partition_pruning",
+    "SELECT CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM events WHERE weekofyear(CAST(ts AS DATE)) = 2 "
+    "GROUP BY 1 ORDER BY 1",
+)
+def q269_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema scan where the partition filter is only knowable at
+    runtime: the fact (events partitioned by day, q48's layout) joins a
+    calendar dimension filtered on an attribute (ISO week), and Spark's
+    dynamic partition pruning turns the dim's broadcast result into a
+    runtime PartitionFilters entry on the fact scan — 7 of ~30
+    directories read, not all of them (asserted on the formatted plan in
+    tests/test_relational.py::test_q269_dpp_plan).
+
+    This is the mechanism that makes dimension-driven queries viable on
+    a 100 TB date-partitioned fact: the static optimizer cannot prune
+    (the predicate is on the dim), but DPP reuses the broadcast exchange
+    to skip fact partitions at zero extra cost. The oracle states the
+    equivalent direct predicate."""
+    fact = spark.read.parquet(events_by_day_path(spark, sf_dir))
+    dim = spark.read.parquet(calendar_dim_path(spark, sf_dir)).filter(
+        F.col("iso_week") == 2
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.event_date == dim.cal_date)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_date")
+    )

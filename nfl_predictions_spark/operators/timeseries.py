@@ -2205,3 +2205,85 @@ def q263_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# q268 — M4 visualization-oriented decimation (min/max/first/last per pixel)
+# ---------------------------------------------------------------------------
+
+_M4_ORACLE = """
+WITH pts AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value
+  FROM events
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, event_id) AS r_first,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC) AS r_last,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY value, ts, event_id) AS r_min,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY value DESC, ts DESC, event_id DESC) AS r_max
+  FROM pts
+)
+SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_points,
+       max(CASE WHEN r_first = 1 THEN ts END) AS t_first,
+       max(CASE WHEN r_first = 1 THEN value END) AS v_first,
+       max(CASE WHEN r_last = 1 THEN ts END) AS t_last,
+       max(CASE WHEN r_last = 1 THEN value END) AS v_last,
+       max(CASE WHEN r_min = 1 THEN ts END) AS t_min,
+       max(CASE WHEN r_min = 1 THEN value END) AS v_min,
+       max(CASE WHEN r_max = 1 THEN ts END) AS t_max,
+       max(CASE WHEN r_max = 1 THEN value END) AS v_max
+FROM ranked GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+@_q("q268_m4_decimation", _M4_ORACLE)
+def q268_m4_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 aggregation (Jugel et al., VLDB 2014): per (series, pixel
+    bucket) keep exactly the first, last, min-value, and max-value
+    points — the error-free downsampling for line-chart rendering.
+    Output cardinality is bounded by pixels × series regardless of
+    input size, which is the whole point at 100 TB: a dashboard reads
+    ~3,600 rows, not 10^11.
+
+    Spark shape: ONE hash aggregate (map-side combinable, single
+    shuffle on (series, bucket)) — each of the four corner points is a
+    lexicographic ``min``/``max`` over a struct whose field order IS
+    the deterministic tie-break (ts, event_id for first/last; value,
+    ts, event_id for low/high), so no window, no second pass, and ties
+    resolve identically in both engines. The oracle replays the same
+    tie-breaks as four ranking windows."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    first_s = F.min(F.struct("ts", "event_id", "value")).alias("first_s")
+    last_s = F.max(F.struct("ts", "event_id", "value")).alias("last_s")
+    min_s = F.min(F.struct("value", "ts", "event_id")).alias("min_s")
+    max_s = F.max(F.struct("value", "ts", "event_id")).alias("max_s")
+    return (
+        ev.groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_points"), first_s, last_s, min_s, max_s)
+        .select(
+            "event_type",
+            "bucket",
+            "n_points",
+            F.col("first_s.ts").alias("t_first"),
+            F.col("first_s.value").alias("v_first"),
+            F.col("last_s.ts").alias("t_last"),
+            F.col("last_s.value").alias("v_last"),
+            F.col("min_s.ts").alias("t_min"),
+            F.col("min_s.value").alias("v_min"),
+            F.col("max_s.ts").alias("t_max"),
+            F.col("max_s.value").alias("v_max"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -534,3 +534,38 @@ def test_ivfpq_recall_certified(spark):
     assert len(recalls) == 5
     assert min(recalls) >= 0.3
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_record_linkage_weights_and_scores(spark):
+    """Fellegi-Sunter sanity: every agreement weight is positive and
+    every disagreement weight negative (m=0.9 exceeds all random-pair
+    agreement rates on these fields); each emitted score must equal the
+    decimal sum of the weights its pattern implies; and the candidate
+    join must be nation-blocked (equi-join, never a cross product)."""
+    from decimal import Decimal
+
+    from tests.conftest import SF_SMOKE
+
+    from nfl_predictions_spark.operators.dedup import (
+        _FS_FIELDS,
+        _fs_weights,
+        q267_record_linkage,
+    )
+
+    w = _fs_weights(spark, SF_SMOKE)
+    for k in _FS_FIELDS:
+        wa, wd = w[k]
+        assert wa > 0 > wd, (k, wa, wd)
+    df = q267_record_linkage(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) == 20
+    keys = list(_FS_FIELDS)
+    q6 = Decimal("0.000001")
+    for r in rows:
+        expect = sum(
+            Decimal(repr(w[k][0] if p == "A" else w[k][1])).quantize(q6)
+            for k, p in zip(keys, r.pattern)
+        )
+        assert Decimal(repr(r.score)).quantize(q6) == expect, (r, expect)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -93,3 +93,22 @@ def test_topk_plan_no_global_sort(spark):
 
     plan = q20_topk(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q269_dpp_plan(spark):
+    """The dim-side week filter must reach the fact scan as a RUNTIME
+    partition filter (dynamic partition pruning) — the static optimizer
+    cannot see it, so its presence proves the DPP rewrite fired. Result
+    must cover exactly the 7 ISO-week-2 directories."""
+    from nfl_predictions_spark.operators.extended import (
+        q269_dynamic_partition_pruning,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    df = q269_dynamic_partition_pruning(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = df.collect()
+    assert len(rows) == 7
+    assert all(r.event_date.isocalendar()[1] == 2 for r in rows)

@@ -178,3 +178,25 @@ def test_continuous_aggregate_single_scan_matches_direct(spark):
         }
         got = {r.bucket: (r.cnt, r.val) for r in rows if r.resolution == res}
         assert got == direct, res
+
+
+def test_m4_decimation_invariants(spark):
+    """M4 corners must bracket each other (low <= first/last <= high),
+    bucket point counts must sum to the table's row count (decimation
+    loses points, never buckets), and the plan must be a single hash
+    aggregate — no window exchange."""
+    from tests.conftest import SF_SMOKE
+
+    from nfl_predictions_spark.operators.timeseries import q268_m4_decimation
+
+    df = q268_m4_decimation(spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.v_min <= r.v_first <= r.v_max
+        assert r.v_min <= r.v_last <= r.v_max
+        assert r.t_first <= r.t_last
+    total = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(r.n_points for r in rows) == total
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
