@@ -1617,3 +1617,97 @@ def q269_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_date")
     )
+
+
+_RECON_BUCKETS = 64
+
+#: Engine-neutral row fingerprint + bucket, written once in SQL so the
+#: Spark plan and the DuckDB oracle hash bit-identically: md5 over a
+#: canonical '|'-joined string (doubles canonicalized to integer cents
+#: first — raw double->string formatting differs between engines), a
+#: 10-hex slice as the per-row 40-bit fingerprint, an 8-hex slice of a
+#: separate key-only hash as the bucket.
+_RECON_ROW = (
+    "CAST(event_id AS STRING) || '|' || event_type || '|' || "
+    "CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING)"
+)
+
+
+def _recon_cols(kind: str):
+    key_hex = F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":rb"))), 1, 8)
+    row_hex = F.substring(F.md5(F.expr(_RECON_ROW)), 1, 10)
+    return [
+        F.pmod(F.conv(key_hex, 16, 10).cast("long"), F.lit(_RECON_BUCKETS)).alias("bucket"),
+        F.conv(row_hex, 16, 10).cast("long").alias(f"fp_{kind}"),
+    ]
+
+
+def _recon_side_sql(src: str, kind: str) -> str:
+    return f"""
+    SELECT CAST(('0x' || substr(md5(CAST(event_id AS STRING) || ':rb'), 1, 8)) AS BIGINT)
+             % {_RECON_BUCKETS} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_{kind},
+           CAST(SUM(CAST(('0x' || substr(md5({_RECON_ROW}), 1, 10)) AS BIGINT)) AS BIGINT)
+             AS fpsum_{kind}
+    FROM {src} GROUP BY 1
+    """
+
+
+@_q(
+    "q270_replica_reconciliation",
+    f"WITH base AS ({_recon_side_sql('events', 'base')}), "
+    f"rep AS ({_recon_side_sql('events', 'replica')}) "
+    "SELECT base.bucket, n_base, n_replica, fpsum_base, fpsum_replica, "
+    "(n_base = n_replica AND fpsum_base = fpsum_replica) AS consistent "
+    "FROM base JOIN rep ON base.bucket = rep.bucket ORDER BY base.bucket",
+)
+def q270_replica_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-replica consistency audit without moving rows — the
+    hash-bucket reconciliation a warehouse runs between a base table
+    and any derived/replicated layout (here: events vs its
+    day-partitioned copy from ``events_by_day_path``, the store q48 and
+    q269 query). Each side reduces to {_RECON_BUCKETS} (bucket, count,
+    fingerprint-sum) rows — commutative md5-slice sums, so partition
+    and merge order cannot matter — and the comparison join is
+    bucket-count-sized. At 100 TB each side is one map-side-combinable
+    aggregate over its own layout (no shuffle wider than 64 rows
+    per side), which is why this beats row-level anti-joins for drift
+    detection; a mismatched bucket then bounds the row-level re-check
+    to 1/{_RECON_BUCKETS} of the table. 40-bit row fingerprints keep
+    BIGINT sums exact up to ~8M rows per bucket; production widens the
+    sum to DECIMAL(38,0).
+
+    The Spark side REALLY reads the replica (a stale or corrupted
+    store would fail the consistent flags and the driver hash); the
+    oracle replays both sides from the base table, pinning every
+    fingerprint value."""
+    base = (
+        table(spark, sf_dir, "events")
+        .select(*_recon_cols("base"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_base"), F.sum("fp_base").alias("fpsum_base"))
+    )
+    rep = (
+        spark.read.parquet(events_by_day_path(spark, sf_dir))
+        .select(*_recon_cols("replica"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_replica"),
+            F.sum("fp_replica").alias("fpsum_replica"),
+        )
+    )
+    return (
+        base.join(rep, "bucket")
+        .select(
+            "bucket",
+            "n_base",
+            "n_replica",
+            "fpsum_base",
+            "fpsum_replica",
+            (
+                (F.col("n_base") == F.col("n_replica"))
+                & (F.col("fpsum_base") == F.col("fpsum_replica"))
+            ).alias("consistent"),
+        )
+        .orderBy("bucket")
+    )

@@ -112,3 +112,39 @@ def test_q269_dpp_plan(spark):
     rows = df.collect()
     assert len(rows) == 7
     assert all(r.event_date.isocalendar()[1] == 2 for r in rows)
+
+
+def test_q270_reconciliation_detects_drift(spark):
+    """All buckets must reconcile on the healthy store, counts must sum
+    to the table size — and the fingerprint must actually be sensitive:
+    perturbing one row's value changes its bucket's fingerprint sum."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.extended import (
+        _recon_cols,
+        q270_replica_reconciliation,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    rows = q270_replica_reconciliation(spark, SF_SMOKE).collect()
+    assert rows and all(r.consistent for r in rows)
+    total = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(r.n_base for r in rows) == total
+
+    ev = table(spark, SF_SMOKE, "events")
+    good = ev.select(*_recon_cols("x")).groupBy("bucket").agg(F.sum("fp_x").alias("s"))
+    bad = (
+        ev.withColumn(
+            "value",
+            F.when(F.col("event_id") == 0, F.col("value") + 0.01).otherwise(
+                F.col("value")
+            ),
+        )
+        .select(*_recon_cols("x"))
+        .groupBy("bucket")
+        .agg(F.sum("fp_x").alias("s"))
+    )
+    diff = good.alias("g").join(bad.alias("b"), "bucket").filter(
+        F.col("g.s") != F.col("b.s")
+    )
+    assert diff.count() == 1
