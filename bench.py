@@ -114,6 +114,12 @@ HEADLINE = [
     "q231_phrase_search",
     "q245_semantic_decontam",
     "q240_rolling_corr",
+    # round-5 additions: record linkage, M4 decimation, dynamic
+    # partition pruning, replica reconciliation
+    "q267_record_linkage",
+    "q268_m4_decimation",
+    "q269_dynamic_partition_pruning",
+    "q270_replica_reconciliation",
 ]
 
 _METRIC_FIELDS = {

@@ -39,10 +39,20 @@ def test_incremental_mv_second_run_reads_view_store(spark):
 
     q164_incremental_mv(spark, SF_SMOKE).collect()  # ensure store exists
     key = os.path.basename(os.path.normpath(SF_SMOKE))
-    store = os.path.join(
-        tempfile.gettempdir(), "nfl_predictions_spark", "mv", f"nation_rev_{key}", "base"
+    # store dirs carry a source-data fingerprint suffix (stale-copy GC,
+    # ADVICE r04 #3): nation_rev_<sf>_<fingerprint>/base
+    import glob
+
+    stores = glob.glob(
+        os.path.join(
+            tempfile.gettempdir(),
+            "nfl_predictions_spark",
+            "mv",
+            f"nation_rev_{key}_*",
+            "base",
+        )
     )
-    assert os.path.isdir(store)
+    assert len(stores) == 1 and os.path.isdir(stores[0])
     plan = q164_incremental_mv(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "nation_rev_" in plan  # base comes from the view store
     # the only orders scan left is the delta partition (pushed filter)
