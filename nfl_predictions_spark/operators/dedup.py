@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nfl_predictions_spark.sources.tables import table
+from nfl_predictions_spark.sources.tables import spread, table
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -1275,9 +1275,18 @@ def q267_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding in q39); scoring is literal-weight codegen arithmetic with
     zero per-row Python; the final top-20 is a bounded TakeOrdered, not
     a global sort. At 100 TB: one scan per side for marginals, one
-    blocked join, no driver state beyond ~29 frequency rows."""
+    blocked join, no driver state beyond ~29 frequency rows. Per-pair
+    cost stays in long-integer micro-units (weights are 1e-6-quantized,
+    so each is an exact BIGINT of micros; the decimal sum and the long
+    sum denote the same rational, and both engines' final to-double
+    conversion is correctly rounded → identical doubles). The stream
+    side is ``spread()``: the blocked join fans each probe row out
+    ~|suppliers per nation| times, so a single-row-group scan would
+    serialize the whole expansion on one task (measured 33 s → 3.5 s at
+    sf1, 32 cores); at real multi-file scale the guard makes it a
+    no-op."""
     w = _fs_weights(spark, sf_dir)
-    cust = table(spark, sf_dir, "customer")
+    cust = spread(table(spark, sf_dir, "customer"))
     supp = table(spark, sf_dir, "supplier")
     for k, e in _FS_FIELDS.items():
         cust = cust.withColumn(f"a_{k}", F.expr(e.format(bal="c_acctbal", name="c_name")))
@@ -1294,9 +1303,12 @@ def q267_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = None
     for k in _FS_FIELDS:
         wk = (
-            F.when(F.col(f"a_{k}") == F.col(f"b_{k}"), F.lit(w[k][0]))
-            .otherwise(F.lit(w[k][1]))
-            .cast("decimal(20,6)")
+            F.when(
+                F.col(f"a_{k}") == F.col(f"b_{k}"),
+                F.lit(int(round(w[k][0] * 1e6))),
+            )
+            .otherwise(F.lit(int(round(w[k][1] * 1e6))))
+            .cast("long")
         )
         score = wk if score is None else (score + wk)
     return (
@@ -1304,7 +1316,7 @@ def q267_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "s_suppkey",
             pat.alias("pattern"),
-            score.cast("double").alias("score"),
+            (score / F.lit(1e6)).alias("score"),
         )
         .orderBy(F.desc("score"), "c_custkey", "s_suppkey")
         .limit(20)
