@@ -1711,3 +1711,54 @@ def q270_replica_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q271 — per-group top-k via rank filter (WindowGroupLimit pushdown)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q271_window_group_limit",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey,
+           o_totalprice
+    FROM r WHERE rn <= 3
+    ORDER BY o_orderpriority, rn
+    """,
+)
+def q271_window_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k expressed the declarative way — rank window +
+    ``rn <= k`` filter — relying on Catalyst's WindowGroupLimit rewrite
+    for the physical strategy (SPARK-37099, the optimization that makes
+    this formulation scale): instead of sorting every group fully and
+    ranking all rows, the planner inserts a PARTIAL WindowGroupLimit
+    before the shuffle (each map task keeps only its local top-k per
+    group) and a FINAL one after, so the exchange carries at most
+    k x groups x tasks rows, never the full table. The same query shape
+    without the rewrite is the q17/q20 fallback — here the plan is
+    pinned in tests (Partial + Final WindowGroupLimit nodes present) so
+    a regression to full-window execution is caught.
+
+    At 100 TB: the shuffle volume is bounded by the limit, not the
+    input — identical discipline to TakeOrdered, but per group.
+    Tie-break on o_orderkey keeps row_number cross-engine deterministic.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    )

@@ -757,3 +757,105 @@ def q238_bloom_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# q272 — Catalyst-injected runtime Bloom-filter join (InjectRuntimeFilter)
+# ---------------------------------------------------------------------------
+
+#: Runtime-filter posture for q272. Spark only injects a Bloom filter
+#: into a SHUFFLE join (a broadcast join already prunes at the hash
+#: probe), and only when the application-side scan is big enough to pay
+#: for the extra build — thresholds sized for clusters, not a local
+#: fixture, so the demo lowers them for the duration of ITS OWN
+#: planning/execution and restores them in a finally.
+_RF_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+}
+
+
+def _rf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The logical query under the runtime filter: urgent-order line
+    revenue by return flag — a selective dim filter (orders, ~1/5 pass)
+    whose join-key set Spark condenses into a bloom_filter_agg and
+    probes on the fact side with might_contain BEFORE the fact rows
+    reach the shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q272_runtime_bloom_join",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q272_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's own runtime-filter injection (InjectRuntimeFilter,
+    SPARK-32268) as a first-class surface, complementing the engine's
+    hand-built Bloom joins (q120 semi-join filter, q238 file pruning):
+    the optimizer itself condenses the filtered dim's join keys into a
+    bloom_filter_agg scalar subquery and rewrites the fact side to
+    ``might_contain(bloom, xxhash64(l_orderkey))`` — pruning fact rows
+    BEFORE the join shuffle, which is the entire economics of runtime
+    filtering at 100 TB (the filter removes ~4/5 of shuffle write here,
+    ~all of it for more selective dims).
+
+    The injection fires only for shuffle joins above production-sized
+    scan thresholds (a 10 GB application side by default), so this
+    function scopes the documented conf posture (_RF_CONFS) around ITS
+    OWN plan: it primes the Dataset's cached physical plan inside the
+    window and restores every conf in a finally — later queries in the
+    same session see untouched settings, and the driver's .collect() on
+    the returned handle executes the already-planned bloom-filtered
+    join. (A re-plan from a fresh writer path outside the window falls
+    back to the plain shuffle join — value-identical by construction,
+    which is also what the DuckDB oracle proves.)
+
+    Plan shape pinned in tests: bloom_filter_agg on the creation side,
+    might_contain on the probe side, under the scoped confs.
+    """
+    df = _rf_join(spark, sf_dir)  # table() first: tune_for_input has run
+    old: dict[str, str | None] = {}
+    for k, v in _RF_CONFS.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = _rf_join(spark, sf_dir)  # re-plan under the scoped posture
+        # prime the lazy physical plan NOW so the injected runtime
+        # filter is baked into this Dataset's cached QueryExecution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan or "bloomfilter" in plan.lower(), (
+            "runtime filter did not inject — conf posture regressed"
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

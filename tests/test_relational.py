@@ -148,3 +148,50 @@ def test_q270_reconciliation_detects_drift(spark):
         F.col("g.s") != F.col("b.s")
     )
     assert diff.count() == 1
+
+
+def test_q271_window_group_limit_plan(spark):
+    """The rank-filter formulation must compile to the bounded-shuffle
+    physical strategy: a Partial WindowGroupLimit before the exchange
+    (map-side top-k per group) and a Final one after. A regression to
+    plain WindowExec would ship every row through the shuffle."""
+    from nfl_predictions_spark.operators.extended import q271_window_group_limit
+
+    df = q271_window_group_limit(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "Partial" in plan and "Final" in plan
+    rows = df.collect()
+    # 5 priorities x top-3, ranks exactly 1..3 per group
+    by_prio = {}
+    for r in rows:
+        by_prio.setdefault(r.o_orderpriority, []).append(r.rn)
+    assert all(sorted(v) == [1, 2, 3] for v in by_prio.values())
+
+
+def test_q272_runtime_bloom_plan_and_conf_hygiene(spark):
+    """Under q272's scoped conf posture Spark must inject its runtime
+    Bloom filter (bloom_filter_agg build + might_contain probe), and
+    the function must leave every conf it touched exactly as found."""
+    from nfl_predictions_spark.operators.skew import (
+        _RF_CONFS,
+        q272_runtime_bloom_join,
+    )
+
+    before = {}
+    for k in _RF_CONFS:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:
+            before[k] = None
+    df = q272_runtime_bloom_join(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan
+    for k, v in before.items():
+        try:
+            after = spark.conf.get(k)
+        except Exception:
+            after = None
+        assert after == v, f"conf {k} leaked: {v!r} -> {after!r}"
+    assert df.count() == 3
