@@ -1836,3 +1836,353 @@ def q255_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q273 — MMR diversified rerank (maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+_MMR_N = 20  # candidate pool per query (ANN shortlist)
+_MMR_K = 5  # diversified picks
+_MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+
+_MMR_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB: step 1 is the pure-relevance
+    argmax; each later step recomputes every remaining candidate's
+    max-similarity-to-picked via a correlated aggregate over the
+    candidate pair table, then takes the (mmr DESC, cid) argmax. k is
+    a fixed small constant, so the unroll is k CTEs, not recursion."""
+    cos_qe = _MMR_COS.format(a="qe", b="emb")
+    cos_ab = _MMR_COS.format(a="a.emb", b="b.emb")
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    steps = []
+    prev = "p1"
+    for i in range(2, _MMR_K + 1):
+        steps.append(
+            f"""m{i} AS (
+      SELECT c.qid, c.cid,
+             ({lam} * c.rel) - ({mu} * (
+               SELECT max(ps.sim) FROM ps
+               WHERE ps.qid = c.qid AND ps.ca = c.cid
+                 AND ps.cb IN (SELECT cid FROM {prev} p
+                               WHERE p.qid = ps.qid)
+             )) AS mmr
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                        WHERE p.qid = c.qid AND p.cid = c.cid)
+    ), s{i} AS (
+      SELECT qid, cid, mmr FROM (
+        SELECT qid, cid, mmr,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY mmr DESC, cid) AS rn
+        FROM m{i}) WHERE rn = 1
+    ), p{i} AS (
+      SELECT qid, cid FROM {prev}
+      UNION ALL SELECT qid, cid FROM s{i}
+    )"""
+        )
+        prev = f"p{i}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT qid, CAST({i} AS BIGINT) AS step, cid, mmr FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, emb AS qe FROM e
+          WHERE vec_id < {_N_QUERIES}),
+    cand AS (
+      SELECT qid, cid, rel, emb FROM (
+        SELECT q.qid, e.vec_id AS cid, e.emb,
+               round({cos_qe}, 6) AS rel,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round({cos_qe}, 6) DESC, e.vec_id) AS rn
+        FROM q, e) WHERE rn <= {_MMR_N}
+    ),
+    ps AS (
+      SELECT a.qid, a.cid AS ca, b.cid AS cb, round({cos_ab}, 6) AS sim
+      FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid != b.cid
+    ),
+    s1 AS (
+      SELECT qid, cid, {lam} * rel AS mmr FROM (
+        SELECT qid, cid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, cid) AS rn
+        FROM cand) WHERE rn = 1
+    ), p1 AS (SELECT qid, cid FROM s1),
+    {','.join(steps)}
+    SELECT qid, step, cid,
+           floor(mmr * 1e6 + 0.5) / 1e6 AS score
+    FROM ({union})
+    ORDER BY qid, step
+    """
+
+
+@_q("q273_mmr_rerank", _mmr_oracle())
+def q273_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    1998) over an ANN shortlist — the diversity selector retrieval and
+    eval-set builders run AFTER similarity search: greedily pick k
+    results maximizing lambda*relevance - (1-lambda)*max-sim-to-already-
+    picked, so near-duplicate hits can't crowd the result list.
+
+    Split of labor at scale: the DISTRIBUTED part is the shortlist (the
+    q41-family top-N per query — brute force here, IVF/PQ in
+    production) and the candidate pair table (N x N-1 rows per query,
+    N={_MMR_N}); the greedy itself is k={_MMR_K} chained argmax steps
+    on those bounded frames, expressed as pure DataFrame ops (anti-join
+    remaining -> max-sim aggregate against picked -> per-query
+    row_number pick), so nothing ever leaves the cluster — no driver
+    loop over data, only a fixed-k loop over PLAN construction.
+
+    Determinism: relevances and pair sims are round-6 quantized (both
+    engines see identical doubles — float32*float32 products are exact
+    in double); each argmax orders by the raw mmr double (identical
+    bit pattern cross-engine given identical inputs) with cid
+    tie-break; the emitted score uses the half-up floor quantization
+    (NOTES.md) since it is derived FROM already-rounded values."""
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    rel = F.round(
+        _dot(F.col("qe"), F.col("emb"))
+        / (_norm(F.col("qe")) * _norm(F.col("emb"))),
+        6,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .select("qid", F.col("vec_id").alias("cid"), "emb", rel.alias("rel"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMR_N)
+        .drop("rn")
+    )
+    # candidate pair sims: bounded (N x N-1 per query); localCheckpoint
+    # cuts the k chained steps' replay of the shortlist lineage
+    a = cand.select("qid", F.col("cid").alias("ca"), F.col("emb").alias("ea"))
+    b = cand.select("qid", F.col("cid").alias("cb"), F.col("emb").alias("eb"))
+    sim = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+    )
+    ps = (
+        a.join(b, ["qid"])
+        .filter(F.col("ca") != F.col("cb"))
+        .select("qid", "ca", "cb", sim.alias("sim"))
+        .localCheckpoint(eager=False)
+    )
+    cand = cand.drop("emb").localCheckpoint(eager=False)
+
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("mmr"), F.asc("cid"))
+    s1 = (
+        cand.withColumn("mmr", F.lit(lam) * F.col("rel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.lit(1).cast("long").alias("step"), "cid", "mmr")
+    )
+    picked = s1.select("qid", "cid")
+    out = [s1]
+    for i in range(2, _MMR_K + 1):
+        rem = cand.join(picked, ["qid", "cid"], "left_anti")
+        ms = (
+            ps.join(
+                picked.select("qid", F.col("cid").alias("cb")), ["qid", "cb"]
+            )
+            .groupBy("qid", F.col("ca").alias("cid"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        si = (
+            rem.join(ms, ["qid", "cid"])
+            .withColumn("mmr", F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("ms"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", F.lit(i).cast("long").alias("step"), "cid", "mmr")
+        )
+        out.append(si)
+        picked = picked.unionByName(si.select("qid", "cid"))
+    res = out[0]
+    for si in out[1:]:
+        res = res.unionByName(si)
+    return res.select(
+        "qid",
+        "step",
+        "cid",
+        (F.floor(F.col("mmr") * 1e6 + F.lit(0.5)) / 1e6).alias("score"),
+    ).orderBy("qid", "step")
+
+
+# ---------------------------------------------------------------------------
+# q274 — SemDeDup: cluster-bounded semantic deduplication
+# ---------------------------------------------------------------------------
+
+_SDD_CELLS = 8  # coarse cells (medoids anchored on vec_id < _SDD_CELLS)
+_SDD_TAU = 0.40  # duplicate threshold on the round-6 pair cosine
+
+#: Fixed-point quantum for exact cross-engine dot products: values
+#: snapped to multiples of 2^-20 make every product a multiple of
+#: 2^-40, and a 64-term sum of those is <= 64 in magnitude — i.e. at
+#: most 46 significant bits, EXACT in float64 REGARDLESS of summation
+#: order. numpy's blocked matmul, DuckDB's sequential list_dot_product
+#: and Spark's fold all produce the identical double, so the oracle
+#: equality is exact, not round-and-hope (NOTES.md round-5 facts).
+_SDD_Q = float(1 << 20)
+
+_SDD_QEMB = (
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    f"x -> floor(x * {_SDD_Q} + 0.5) / {_SDD_Q})"
+)
+
+
+def _sdd_oracle() -> str:
+    cos_em = _MMR_COS.format(a="e.emb", b="m.c")
+    cos_ab = _MMR_COS.format(a="a.emb", b="b.emb")
+    # half-up floor quantization for the emitted/compared cosines —
+    # these are re-derived values, the NOTES.md re-rounding rule applies
+    r6em = f"floor(({cos_em}) * 1e6 + 0.5) / 1e6"
+    r6ab = f"floor(({cos_ab}) * 1e6 + 0.5) / 1e6"
+    return f"""
+    WITH e AS (SELECT vec_id, {_SDD_QEMB} AS emb FROM embeddings),
+    m AS (SELECT vec_id AS cell, emb AS c FROM e
+          WHERE vec_id < {_SDD_CELLS}),
+    x AS (
+      SELECT e.vec_id, e.emb, m.cell, {r6em} AS ccos,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {r6em} DESC, m.cell) AS rn
+      FROM e, m
+    ),
+    asg AS (SELECT vec_id, emb, cell, ccos FROM x WHERE rn = 1),
+    dup AS (
+      SELECT a.vec_id FROM asg a JOIN asg b
+        ON a.cell = b.cell AND a.vec_id != b.vec_id
+      WHERE {r6ab} >= {_SDD_TAU}
+        AND (b.ccos > a.ccos
+             OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+      GROUP BY a.vec_id
+    )
+    SELECT asg.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(dup.vec_id) AS BIGINT) AS n_dup,
+           CAST(count(*) - count(dup.vec_id) AS BIGINT) AS n_kept
+    FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+    GROUP BY asg.cell ORDER BY asg.cell
+    """
+
+
+@_q("q274_semdedup", _sdd_oracle())
+def q274_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that bounds the quadratic pair comparison by
+    CLUSTERING first — embeddings are assigned to {_SDD_CELLS} coarse
+    cells (deterministic medoid anchors, q41e's quantizer shape),
+    pairwise cosine runs only WITHIN a cell, and of any pair above
+    tau={_SDD_TAU} the less-central member (lower cosine to its cell
+    anchor; vec_id tie-break) is marked duplicate. Returns the
+    per-cell census: vectors / duplicates / kept.
+
+    Physical strategy — the Arrow fast path, not interpreted folds:
+    (1) assignment is a mapInPandas scan (no shuffle): each Arrow batch
+    is one numpy matmul against the broadcast {_SDD_CELLS}-row anchor
+    matrix; (2) the within-cell pair phase is applyInPandas grouped by
+    cell — one Gram matmul per cell, row-blocked so memory stays
+    bounded, emitting only the 1-row census per cell. One shuffle
+    total (on cell), never all-pairs across cells; the O(sum c_i^2)
+    within-cell work is the published SemDeDup trade and runs at numpy
+    matmul throughput (measured 70 s -> ~2 s at sf1 vs the fold form).
+
+    Exactness: embeddings are snapped to multiples of 2^-20 first
+    (both engines), which makes every 64-dim dot product EXACT in
+    float64 independent of summation order (see _SDD_Q) — numpy's
+    blocked matmul and DuckDB's sequential fold agree bit-for-bit, so
+    this keeps a full value oracle despite the Python fast path.
+    Centrality and pair cosines are half-up-quantized at 1e-6; the
+    strict (ccos, vec_id) dominance order means exactly one survivor
+    per mutual near-dup group."""
+    import numpy as np
+    import pandas as pd
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+
+    # bounded driver pull: the anchor matrix is _SDD_CELLS x dim — the
+    # same k x d class as the engine's k-means centroid pulls
+    med_rows = (
+        emb.filter(F.col("vec_id") < _SDD_CELLS).orderBy("vec_id").collect()
+    )
+    M = np.floor(
+        np.array([r.embedding for r in med_rows], dtype=np.float64) * _SDD_Q + 0.5
+    ) / _SDD_Q
+    cells = np.array([r.vec_id for r in med_rows], dtype=np.int64)
+    mn = np.sqrt((M * M).sum(axis=1))
+    bM = spark.sparkContext.broadcast((cells, M, mn))
+
+    def assign(batches):
+        cells_, M_, mn_ = bM.value
+        for pdf in batches:
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _SDD_Q
+                + 0.5
+            ) / _SDD_Q
+            xn = np.sqrt((X * X).sum(axis=1))
+            C = (X @ M_.T) / np.outer(xn, mn_)
+            C = np.floor(C * 1e6 + 0.5) / 1e6
+            # argmax with (ccos DESC, cell ASC) tie-break: scan anchors
+            # in ascending cell order, keep only strict improvements
+            best = np.zeros(len(X), dtype=np.int64)
+            bestv = C[:, 0].copy()
+            for j in range(1, C.shape[1]):
+                better = C[:, j] > bestv
+                best[better] = j
+                bestv[better] = C[better, j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "emb": list(X),
+                    "cell": cells_[best],
+                    "ccos": bestv,
+                }
+            )
+
+    asg_schema = (
+        "vec_id long, emb array<double>, cell long, ccos double"
+    )
+    asg = emb.mapInPandas(assign, schema=asg_schema)
+
+    def census(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(pdf["emb"].to_numpy())
+        # dominance order: most-central first, vec_id tie-break
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -pdf["ccos"].to_numpy()))
+        X = X[order]
+        nrm = np.sqrt((X * X).sum(axis=1))
+        n = len(X)
+        dup = np.zeros(n, dtype=bool)
+        blk = 2048
+        col = np.arange(n)
+        for lo in range(0, n, blk):
+            hi = min(lo + blk, n)
+            G = (X[lo:hi] @ X.T) / np.outer(nrm[lo:hi], nrm)
+            G = np.floor(G * 1e6 + 0.5) / 1e6
+            # row i is a dup iff some STRICTLY-more-dominant j < i is
+            # within tau — mask the upper triangle including the diagonal
+            strict = col[None, :] < np.arange(lo, hi)[:, None]
+            dup[lo:hi] = ((G >= _SDD_TAU) & strict).any(axis=1)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n_vecs": [n],
+                "n_dup": [int(dup.sum())],
+                "n_kept": [n - int(dup.sum())],
+            }
+        )
+
+    return (
+        asg.groupBy("cell")
+        .applyInPandas(census, schema="cell long, n_vecs long, n_dup long, n_kept long")
+        .orderBy("cell")
+    )

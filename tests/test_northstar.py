@@ -569,3 +569,48 @@ def test_record_linkage_weights_and_scores(spark):
         assert Decimal(repr(r.score)).quantize(q6) == expect, (r, expect)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_mmr_rerank_greedy_invariants(spark):
+    """Picks are distinct per query, step 1 is the pure-relevance
+    argmax of the shortlist, and every later step's score is <= the
+    lambda-scaled relevance bound (the diversity penalty only ever
+    subtracts)."""
+    from nfl_predictions_spark.operators.similarity import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        q273_mmr_rerank,
+        q41_ann_topk,
+    )
+
+    rows = q273_mmr_rerank(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    top1 = {
+        r.qid: r.cid for r in q41_ann_topk(spark, SF_SMOKE).collect() if r.rn == 1
+    }
+    for qid, picks in by_q.items():
+        assert [p.step for p in sorted(picks, key=lambda p: p.step)] == list(
+            range(1, _MMR_K + 1)
+        )
+        assert len({p.cid for p in picks}) == _MMR_K
+        first = min(picks, key=lambda p: p.step)
+        assert first.cid == top1[qid]  # step 1 == pure relevance argmax
+        bound = max(p.score for p in picks if p.step == 1)
+        assert all(p.score <= bound + 1e-9 for p in picks)
+
+
+def test_semdedup_census_counts_consistent(spark):
+    """Cells partition the corpus (n_vecs sums to the table size),
+    kept + dup = total per cell, and at least one vector per occupied
+    cell survives (the most-central member can never be dominated)."""
+    from nfl_predictions_spark.operators.similarity import q274_semdedup
+    from nfl_predictions_spark.sources.tables import table
+
+    rows = q274_semdedup(spark, SF_SMOKE).collect()
+    total = table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == total
+    for r in rows:
+        assert r.n_kept + r.n_dup == r.n_vecs
+        assert r.n_kept >= 1
