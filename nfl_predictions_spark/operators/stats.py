@@ -23,6 +23,7 @@ survive 100× data with the same shuffle count.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1886,3 +1887,153 @@ def q264_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term).cast("double"), 6).alias("kl_vs_prev"))
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# q275 — grouped logistic regression (IRLS, exact cross-engine replay)
+# ---------------------------------------------------------------------------
+
+_LR_T = 4  # IRLS (Newton) iterations — fixed, part of the contract
+_LR_ETA_CLAMP = 30.0  # linear-predictor clamp: keeps exp() in range
+
+
+def _lr_oracle() -> str:
+    """Unrolled IRLS in DuckDB. Each iteration: per-row sigmoid working
+    weights/response, HALF-UP 1e-9 term quantization summed as exact
+    integers (SUM over BIGINT -> HUGEINT), closed-form 2x2 normal-
+    equation solve, betas re-quantized at 1e-9. Every floating op is
+    written with the identical expression tree the Spark side computes,
+    and exp() is glibc on both sides (verified bit-identical; NOTES.md
+    — numpy's and the JVM's exp are NOT, which is why the engine side
+    loops math.exp in Python rather than using F.exp or np.exp)."""
+    parts = [
+        """d AS (
+      SELECT o_orderpriority AS grp, o_totalprice / 100000.0 AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+      FROM orders
+    ), g0 AS (SELECT DISTINCT grp, 0.0 AS b0, 0.0 AS b1 FROM d)"""
+    ]
+    for t in range(1, _LR_T + 1):
+        prev = f"g{t - 1}"
+        parts.append(
+            f"""p{t} AS (
+      SELECT grp, x, y, eta, mu, mu * (1.0 - mu) AS w FROM (
+        SELECT d.grp, x, y, eta,
+               1.0 / (1.0 + exp(-greatest(least(eta, {_LR_ETA_CLAMP}),
+                                          -{_LR_ETA_CLAMP}))) AS mu
+        FROM (SELECT d.grp, x, y, (b0 + b1 * x) AS eta
+              FROM d JOIN {prev} USING (grp)) d)
+    ), s{t} AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(floor(w * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sw,
+        CAST(SUM(CAST(floor(w * x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS swx,
+        CAST(SUM(CAST(floor(w * x * x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS swxx,
+        CAST(SUM(CAST(floor((w * eta + (y - mu)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS swz,
+        CAST(SUM(CAST(floor((w * eta + (y - mu)) * x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS swxz
+      FROM p{t} GROUP BY grp
+    ), g{t} AS (
+      SELECT grp, n,
+        floor(((swxx * swz - swx * swxz) / (sw * swxx - swx * swx)) * 1e9 + 0.5) / 1e9 AS b0,
+        floor(((sw * swxz - swx * swz) / (sw * swxx - swx * swx)) * 1e9 + 0.5) / 1e9 AS b1
+      FROM s{t}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT grp, n,
+           floor(b0 * 1e6 + 0.5) / 1e6 AS beta0,
+           floor(b1 * 1e6 + 0.5) / 1e6 AS beta1
+    FROM g{_LR_T} ORDER BY grp
+    """
+    )
+
+
+@_q("q275_grouped_logreg", _lr_oracle())
+def q275_grouped_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group logistic regression fit by {_LR_T} IRLS (Newton)
+    iterations — P(order is fulfilled | totalprice) per order priority:
+    the GLM member of the engine's grouped-model family (q137 grouped
+    OLS, q254 Huber IRLS), and like those it is hash-exact across
+    engines, which no floating iterative fit gives for free.
+
+    Exactness contract (per iteration, identical in the DuckDB replay):
+    eta = b0 + b1*x (clamped to +-{_LR_ETA_CLAMP} inside the sigmoid),
+    mu = 1/(1+exp(-eta)) with LIBM exp — the JVM's and numpy's exp
+    differ from glibc in the last ulp on ~10%% of arguments (measured;
+    NOTES.md), so the per-row math runs as a Python loop over Arrow
+    batches, never F.exp; w = mu*(1-mu); the working response is kept
+    as w*z = w*eta + (y-mu), dodging the z = eta + (y-mu)/w division by
+    vanishing w. The five normal-equation terms are HALF-UP quantized
+    at 1e-9 per row and summed as exact integers (DECIMAL-widened —
+    int64 would overflow past ~1e10 rows), so group sums are
+    order-independent; the 2x2 solve is a fixed closed-form expression
+    over identical doubles; betas re-quantize at 1e-9 each round.
+
+    Scale: each iteration is one scan + one groupBy(grp) aggregate —
+    {_LR_T} passes total, no driver-side data, model state is a
+    groups x 2 frame broadcast back each round (the same loop-state
+    shape as q165's k-means)."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    orders = table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice") / F.lit(100000.0)).alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    )
+    betas = d.select("grp").distinct().select(
+        "grp", F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+
+    @pandas_udf("qw long, qwx long, qwxx long, qwz long, qwxz long")
+    def lr_terms(x: pd.Series, y: pd.Series, b0: pd.Series, b1: pd.Series) -> pd.DataFrame:
+        cl = _LR_ETA_CLAMP
+        rows = {"qw": [], "qwx": [], "qwxx": [], "qwz": [], "qwxz": []}
+        for xi, yi, a, b in zip(x.tolist(), y.tolist(), b0.tolist(), b1.tolist()):
+            eta = a + b * xi
+            mu = 1.0 / (1.0 + math.exp(-max(min(eta, cl), -cl)))
+            w = mu * (1.0 - mu)
+            wz = w * eta + (yi - mu)
+            rows["qw"].append(math.floor(w * 1e9 + 0.5))
+            rows["qwx"].append(math.floor(w * xi * 1e9 + 0.5))
+            rows["qwxx"].append(math.floor(w * xi * xi * 1e9 + 0.5))
+            rows["qwz"].append(math.floor(wz * 1e9 + 0.5))
+            rows["qwxz"].append(math.floor(wz * xi * 1e9 + 0.5))
+        return pd.DataFrame(rows)
+
+    dec = "decimal(28,0)"
+    n_col = None
+    for _ in range(_LR_T):
+        j = d.join(F.broadcast(betas), "grp")
+        s = (
+            j.select("grp", lr_terms("x", "y", "b0", "b1").alias("t"))
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.sum(F.col("t.qw").cast(dec)).cast("double") / 1e9).alias("sw"),
+                (F.sum(F.col("t.qwx").cast(dec)).cast("double") / 1e9).alias("swx"),
+                (F.sum(F.col("t.qwxx").cast(dec)).cast("double") / 1e9).alias("swxx"),
+                (F.sum(F.col("t.qwz").cast(dec)).cast("double") / 1e9).alias("swz"),
+                (F.sum(F.col("t.qwxz").cast(dec)).cast("double") / 1e9).alias("swxz"),
+            )
+        )
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        b0n = (F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det
+        b1n = (F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det
+        betas = s.select(
+            "grp",
+            F.col("n"),
+            (F.floor(b0n * 1e9 + F.lit(0.5)) / 1e9).alias("b0"),
+            (F.floor(b1n * 1e9 + F.lit(0.5)) / 1e9).alias("b1"),
+        ).localCheckpoint(eager=False)
+        n_col = "n"
+    return betas.select(
+        "grp",
+        F.col(n_col).cast("long").alias("n"),
+        (F.floor(F.col("b0") * 1e6 + F.lit(0.5)) / 1e6).alias("beta0"),
+        (F.floor(F.col("b1") * 1e6 + F.lit(0.5)) / 1e6).alias("beta1"),
+    ).orderBy("grp")
