@@ -480,3 +480,116 @@ def q226_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("max_ship") >= lo) & (F.col("min_ship") < hi)).alias("would_read"),
         F.col("matching_rows").cast("long"),
     ).orderBy("file_id")
+
+
+# ---------------------------------------------------------------------------
+# q277 — deletion-vector read (positional delete bitmaps, word-aligned)
+# ---------------------------------------------------------------------------
+
+_DV_FILES = 16  # simulated file count (hash layout on orderkey)
+
+
+@_q(
+    "q277_deletion_vector_read",
+    f"""
+    WITH base AS (
+      SELECT l_quantity, l_orderkey % {_DV_FILES} AS file_id,
+             substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                        CAST(l_linenumber AS VARCHAR)), 1, 1) = '0' AS deleted
+      FROM lineitem)
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (deleted) AS BIGINT) AS n_deleted,
+           CAST(count(*) FILTER (NOT deleted) AS BIGINT) AS n_live,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                      FILTER (NOT deleted), 2) AS DOUBLE) AS live_qty
+    FROM base GROUP BY file_id ORDER BY file_id
+    """,
+)
+def q277_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector read path — the lakehouse merge-on-read pattern
+    (Delta deletion vectors / Iceberg positional deletes): deleted rows
+    are NOT rewritten into data files; a per-file bitmap of deleted row
+    POSITIONS is stored beside the file, and the reader masks rows by
+    bit-testing its position. Built from first principles, like q120's
+    packed bloom: positions pack 64-per-word via bit_or into a
+    (file_id, word_idx, word) table, and the scan applies the vector as
+    a WORD-ALIGNED equi-join (64x fewer rows than a positional
+    anti-join) + shift/mask test — at 100 TB the DV side is sized by
+    deletes/64 and joins on the same (file, word) key the scan already
+    has, no broadcast of fact-scale state, no driver collection.
+
+    Returns the per-file read report (rows / masked / live / live
+    quantity). The DuckDB oracle computes the SAME result straight from
+    the delete predicate, so a packing or probe bug (off-by-one bit,
+    sign-extension on bit 63, word misalignment) breaks the hash match
+    — the oracle certifies the bitmap machinery, not just the rule.
+    Simulated layout: file = orderkey mod {_DV_FILES}, position =
+    row_number within file; deletes = md5-derived ~1/16 of rows."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    from pyspark.sql import Window
+
+    base = li.withColumn(
+        "file_id", (F.col("l_orderkey") % _DV_FILES).cast("long")
+    ).withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("file_id").orderBy("l_orderkey", "l_linenumber")
+        ).cast("long")
+        - 1,
+    )
+    deleted = F.substring(
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ).cast("binary")
+        ),
+        1,
+        1,
+    ) == "0"
+    dv = (
+        base.filter(deleted)
+        .select(
+            "file_id",
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("file_id", "word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    probed = base.withColumn("word_idx", (F.col("pos") / 64).cast("long")).join(
+        dv, ["file_id", "word_idx"], "left"
+    )
+    live = F.col("word").isNull() | (
+        F.expr("shiftright(word, CAST(pos % 64 AS INT))").bitwiseAND(F.lit(1)) == 0
+    )
+    return (
+        probed.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(live, 0).otherwise(1)).cast("long").alias("n_deleted"),
+            F.sum(F.when(live, 1).otherwise(0)).cast("long").alias("n_live"),
+            F.round(
+                F.sum(
+                    F.when(live, F.col("l_quantity").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("live_qty"),
+        )
+        .select(
+            "file_id",
+            F.col("n_rows").cast("long"),
+            "n_deleted",
+            "n_live",
+            "live_qty",
+        )
+        .orderBy("file_id")
+    )

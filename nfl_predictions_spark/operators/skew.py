@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nfl_predictions_spark.functions.scalars import dsum
-from nfl_predictions_spark.sources.tables import table
+from nfl_predictions_spark.sources.tables import spread, table
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -859,3 +859,79 @@ def q272_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return df
+
+
+# ---------------------------------------------------------------------------
+# q276 — hybrid hot/cold skew join (frequency-split broadcast + shuffle)
+# ---------------------------------------------------------------------------
+
+_HOT_K = 20  # hot-key count: top-K fact keys by frequency
+
+
+@_q(
+    "q276_hybrid_skew_join",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q276_hybrid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid hot/cold join — the classic skew-join decomposition that
+    predates (and generalizes) AQE's runtime splitting: one cheap
+    frequency pass finds the {_HOT_K} hottest fact keys; fact rows with
+    hot keys join against the BROADCAST hot slice of the dimension
+    (every executor handles its share of the hot key — no single
+    reducer melts), all other rows take the ordinary shuffle join; the
+    two legs union BEFORE the aggregate, whose partial/final merge
+    makes the decomposition invisible in the result — the oracle is
+    the plain join, proving the rewrite is pure execution strategy
+    (same contract as q51/q51b/q52).
+
+    At 100 TB this is the shape for dimensions too big to broadcast
+    WHOLE but whose hot slice is tiny: the broadcast is K rows, the
+    shuffle leg's key distribution is de-skewed by construction. Here
+    the cold leg pins an explicit merge-hint (at fixture scale Catalyst
+    would broadcast the whole dim and hide the pattern); both physical
+    strategies are plan-asserted in tests. The hot-key set is
+    deterministic (count DESC, key ASC top-{_HOT_K}).
+    """
+    orders = spread(table(spark, sf_dir, "orders"))
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    hot = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("o_custkey"))
+        .limit(_HOT_K)
+        .select(F.col("o_custkey").alias("hot_key"))
+    )
+    fact = orders.join(
+        F.broadcast(hot), orders.o_custkey == hot.hot_key, "left"
+    )
+    hot_leg = (
+        fact.filter(F.col("hot_key").isNotNull())
+        .join(
+            F.broadcast(cust.join(F.broadcast(hot), cust.c_custkey == hot.hot_key, "semi")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "o_totalprice")
+    )
+    cold_leg = (
+        fact.filter(F.col("hot_key").isNull())
+        .join(cust.hint("merge"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_totalprice")
+    )
+    return (
+        hot_leg.unionByName(cold_leg)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .select("c_mktsegment", F.col("n_orders").cast("long"), "total_spend")
+        .orderBy("c_mktsegment")
+    )

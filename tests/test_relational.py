@@ -195,3 +195,16 @@ def test_q272_runtime_bloom_plan_and_conf_hygiene(spark):
             after = None
         assert after == v, f"conf {k} leaked: {v!r} -> {after!r}"
     assert df.count() == 3
+
+
+def test_q276_hybrid_join_both_strategies(spark):
+    """The hybrid decomposition must actually materialize both physical
+    strategies: broadcast hash join on the hot leg, sort-merge on the
+    cold leg (merge hint — fixture-scale dims would otherwise broadcast
+    and hide the pattern)."""
+    from nfl_predictions_spark.operators.skew import q276_hybrid_skew_join
+
+    df = q276_hybrid_skew_join(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
