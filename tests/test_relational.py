@@ -208,3 +208,32 @@ def test_q276_hybrid_join_both_strategies(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" in plan
+
+
+def test_q278_q279_optimizer_demos_conf_hygiene(spark):
+    """Both runtime-optimizer demos self-assert their plan shape inside
+    the scoped conf window (q278: CBO moved the fact out of the leading
+    join leaf; q279: AQE's final plan broadcast-converted) — here pin
+    that results are non-empty and every touched conf is restored."""
+    from nfl_predictions_spark.operators.extended import (
+        _AQE_CONFS,
+        _CBO_CONFS,
+        q278_cbo_join_reorder,
+        q279_aqe_runtime_replan,
+    )
+
+    keys = set(_CBO_CONFS) | set(_AQE_CONFS)
+    before = {}
+    for k in keys:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:
+            before[k] = None
+    assert q278_cbo_join_reorder(spark, SF_SMOKE).count() == 2
+    assert q279_aqe_runtime_replan(spark, SF_SMOKE).count() == 3
+    for k, v in before.items():
+        try:
+            after = spark.conf.get(k)
+        except Exception:
+            after = None
+        assert after == v, f"conf {k} leaked: {v!r} -> {after!r}"
