@@ -120,6 +120,17 @@ HEADLINE = [
     "q268_m4_decimation",
     "q269_dynamic_partition_pruning",
     "q270_replica_reconciliation",
+    # round-5 additions: optimizer surfaces, diversified retrieval,
+    # semantic dedup, GLM, skew decomposition, deletion vectors
+    "q271_window_group_limit",
+    "q272_runtime_bloom_join",
+    "q273_mmr_rerank",
+    "q274_semdedup",
+    "q275_grouped_logreg",
+    "q276_hybrid_skew_join",
+    "q277_deletion_vector_read",
+    "q278_cbo_join_reorder",
+    "q279_aqe_runtime_replan",
 ]
 
 _METRIC_FIELDS = {
