@@ -474,23 +474,36 @@ def q173_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q193_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: priority distribution of orders with at least
-    one late line — a correlated EXISTS that Catalyst decorrelates into
-    a left-semi join, then a tiny grouped count. Lateness adapted to
-    shipdate > orderdate + 90d (no commit/receipt dates in this
-    schema; same adaptation as q173). The date window prunes the orders
-    scan; the semi join keys on l_orderkey, so at scale Spark injects
-    its runtime bloom filter on the lineitem probe (q120 pins that
-    mechanism)."""
+    one late line. Lateness adapted to shipdate > orderdate + 90d (no
+    commit/receipt dates in this schema; same adaptation as q173).
+
+    Physical strategy: the naive decorrelated EXISTS is a left-semi
+    join that shuffles EVERY lineitem row on l_orderkey (sort-merge:
+    both sides sorted — 6.2x decade growth measured at sf1). But the
+    EXISTS predicate is monotone in l_shipdate, so it collapses to an
+    aggregate pushdown: exists(line with shipdate > odate+90) <=>
+    max(l_shipdate) per order > odate+90. The pre-aggregate is
+    map-side-combinable (the shuffle carries ONE row per orderkey, not
+    one per line — ~4x less here, more at real line-fan-outs), and the
+    join against the date-windowed orders broadcasts at fixture scale /
+    shuffles order-count rows at 100 TB. Measured at sf1: 4.3 s -> 0.9 s
+    warm, value-identical to the semi-join form (q173 keeps the
+    semi/anti form because its THREE lineitem subtrees win via
+    ReuseExchange — one-use subtrees win via pre-aggregation; see
+    NOTES.md)."""
     orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "2000-01-01")
         & (F.col("o_orderdate") < "2000-07-01")
     )
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    max_ship = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
     late = orders.join(
-        li,
+        max_ship,
         (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
-        "left_semi",
+        & (F.col("max_ship") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
     )
     return (
         late.groupBy("o_orderpriority")

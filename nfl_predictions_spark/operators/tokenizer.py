@@ -202,21 +202,33 @@ def q162_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-offset sharding with *model-based* (not whitespace) counts.
 
     Scale: training happens on the vocab-sized table (learn_merges);
-    application is corpus-scale but embarrassingly parallel — one
-    explode + {_ROUNDS} literal whole-stage-codegen `replace`s + one
-    keyed groupBy. The merge rules ride into the executors as literals
-    (a real tokenizer ships its merges file the same way)."""
+    application runs the {_ROUNDS} literal whole-stage-codegen
+    `replace`s over the DISTINCT word table only — Zipf's law means
+    word instances vastly outnumber word types, so segmenting types
+    once and broadcasting the (word -> token count) map back to the
+    instance stream cuts the replace work by the corpus' duplication
+    factor (measured sf1: 7.0 s -> 1.4 s warm, value-identical).
+    Real tokenizers keep the same word-level cache for the same
+    reason. The merge rules ride into the executors as literals (a
+    real tokenizer ships its merges file the same way); the broadcast
+    is vocabulary-sized. At a truly unbounded-vocabulary 100 TB the
+    broadcast would cap out — the fallback is the same wtok frame as a
+    shuffle join on w, still type-scale, never instance-scale."""
     merges = learn_merges(spark, sf_dir)
     docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
     s = _encode_sym(F.col("w"))
     for _, lhs, rhs, merged, _c in merges:
         s = F.replace(s, F.lit(f" {lhs}  {rhs} "), F.lit(f" {merged} "))
+    wtok = (
+        words.select("w")
+        .distinct()
+        .select("w", F.size(F.split(F.trim(s), "  ")).alias("n_tok"))
+    )
     return (
-        docs.select(
-            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .select("doc_id", F.size(F.split(F.trim(s), "  ")).alias("n_tok"))
+        words.join(F.broadcast(wtok), "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),
