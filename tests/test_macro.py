@@ -16,6 +16,19 @@ NAMES = [
     "q160_bpe_merges",
     "q161_skyline",
     "q162_bpe_tokenize",
+    # round-5 completion of the 22-query TPC-H tier
+    "q280_tpch_q6",
+    "q281_tpch_q2",
+    "q282_tpch_q7",
+    "q283_tpch_q8",
+    "q284_tpch_q9",
+    "q285_tpch_q11",
+    "q286_tpch_q12",
+    "q287_tpch_q13",
+    "q288_tpch_q15",
+    "q289_tpch_q16",
+    "q290_tpch_q19",
+    "q291_tpch_q20",
 ]
 
 
