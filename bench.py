@@ -144,6 +144,12 @@ HEADLINE = [
     "q289_tpch_q16",
     "q290_tpch_q19",
     "q291_tpch_q20",
+    # round-5 additions: privacy, preference fitting, dense subgraph,
+    # embedding truncation
+    "q292_k_anonymity",
+    "q293_bradley_terry",
+    "q294_kcore",
+    "q295_matryoshka_recall",
 ]
 
 _METRIC_FIELDS = {

@@ -873,3 +873,141 @@ def q265_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("subtree_parts"), F.asc("node"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q294 — k-core decomposition (iterative peeling to fixpoint)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3  # classic 3-core
+_KCORE_ROUNDS = 16  # unrolled bound; fixpoint asserted Spark-side
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel: each round keeps nodes whose degree within the
+    surviving subgraph is >= k. Peeling is monotone (node sets only
+    shrink) and idempotent at the fixpoint, so unrolling MORE rounds
+    than convergence needs is harmless — both engines run the same
+    {R} rounds; the Spark side additionally asserts the fixpoint was
+    reached. Pure integer arithmetic, exact everywhere."""
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    iters = "".join(
+        f""",
+n{t} AS MATERIALIZED (
+  SELECT e.src AS id FROM edges e
+  JOIN n{t - 1} a ON e.src = a.id
+  JOIN n{t - 1} b ON e.dst = b.id
+  GROUP BY e.src HAVING count(*) >= {k}
+)"""
+        for t in range(1, rounds + 1)
+    )
+    return f"""
+    WITH ep AS MATERIALIZED (
+      SELECT a.l_partkey AS s, b.l_partkey AS t
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(DISTINCT a.l_orderkey) >= 2
+    ),
+    -- MATERIALIZED: every peel round references edges/n{{t-1}} twice;
+    -- without it DuckDB inlines the whole upstream self-join per
+    -- reference (exponential plan + file-handle exhaustion)
+    edges AS MATERIALIZED (
+      SELECT s AS src, t AS dst FROM ep UNION ALL SELECT t, s FROM ep),
+    n0 AS (SELECT DISTINCT src AS id FROM edges){iters}
+    SELECT e.src AS l_partkey, CAST(count(*) AS BIGINT) AS core_degree
+    FROM edges e
+    JOIN n{rounds} a ON e.src = a.id
+    JOIN n{rounds} b ON e.dst = b.id
+    GROUP BY e.src
+    ORDER BY l_partkey
+    """
+
+
+@_q("q294_kcore", _kcore_oracle())
+def q294_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition ({_KCORE_K}-core) of the repeat-co-purchase
+    graph — the standard dense-subgraph primitive (community cores,
+    spam/bot rings, influence backbones). The graph keeps only part
+    pairs co-bought in >= 2 DISTINCT orders (the multiplicity filter
+    makes degrees heterogeneous; the raw co-purchase graph is too
+    uniform to have a non-trivial core), then iteratively peels nodes
+    with in-subgraph degree < k until the node set stops shrinking.
+
+    Distribution: each peel round is one join of the edge list against
+    the surviving-node set on BOTH endpoints plus a per-source count —
+    two broadcast joins (the node set only shrinks) and one
+    map-combinable aggregate; lineage is cut per round. Peeling is
+    monotone, so "two consecutive identical counts" is a sound
+    convergence proof (scalar aggregate, no collect of the frame); the
+    loop runs to the oracle's fixed {_KCORE_ROUNDS}-round bound and
+    RAISES if the fixpoint was not reached — same contract both
+    engines. Measured: 10 rounds at sf0.01, 1 at sf0.001.
+
+    At 100 TB: the ep derivation is the co-purchase self-join
+    (co-partitioned on l_orderkey, per-key-bounded fan-out); rounds <=
+    max-degree but in practice O(10) for k near the degree median —
+    and the surviving set shrinks geometrically, so later rounds are
+    near-free."""
+    from nfl_predictions_spark.sources.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    ep = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("s", "t")
+    )
+    edges = ep.select(F.col("s").alias("src"), F.col("t").alias("dst")).unionByName(
+        ep.select(F.col("t").alias("src"), F.col("s").alias("dst"))
+    ).localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    prev_count = nodes.count()
+    converged = False
+    for _ in range(_KCORE_ROUNDS):
+        nodes = (
+            edges.join(
+                F.broadcast(nodes.select(F.col("id").alias("sa"))),
+                F.col("src") == F.col("sa"),
+                "left_semi",
+            )
+            .join(
+                F.broadcast(nodes.select(F.col("id").alias("sb"))),
+                F.col("dst") == F.col("sb"),
+                "left_semi",
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=False)
+        )
+        cur = nodes.count()
+        if cur == prev_count:
+            converged = True
+            break
+        prev_count = cur
+    if not converged:
+        raise RuntimeError(
+            f"k-core did not converge within {_KCORE_ROUNDS} peel rounds"
+        )
+    return (
+        edges.join(
+            F.broadcast(nodes.select(F.col("id").alias("sa"))),
+            F.col("src") == F.col("sa"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(nodes.select(F.col("id").alias("sb"))),
+            F.col("dst") == F.col("sb"),
+            "left_semi",
+        )
+        .groupBy(F.col("src").alias("l_partkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .orderBy("l_partkey")
+    )

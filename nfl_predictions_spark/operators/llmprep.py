@@ -2000,3 +2000,97 @@ def q248_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q292 — k-anonymity audit over quasi-identifiers (privacy compliance)
+# ---------------------------------------------------------------------------
+
+
+_KANON_KS = (2, 5, 10)
+
+
+@_q(
+    "q292_k_anonymity",
+    f"""
+    WITH raw AS (
+      SELECT c_mktsegment AS qi1, CAST(c_nationkey AS BIGINT) AS qi2,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS qi3
+      FROM customer
+    ),
+    gen AS (
+      SELECT c_mktsegment AS qi1, CAST(n_regionkey AS BIGINT) AS qi2,
+             CAST(floor(c_acctbal / 5000) AS BIGINT) AS qi3
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    classes AS (
+      SELECT 'raw' AS level, qi1, qi2, qi3, count(*) AS sz
+      FROM raw GROUP BY qi1, qi2, qi3
+      UNION ALL
+      SELECT 'generalized', qi1, qi2, qi3, count(*)
+      FROM gen GROUP BY qi1, qi2, qi3
+    )
+    SELECT level, k,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below,
+           CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+    FROM classes CROSS JOIN (SELECT unnest([{', '.join(map(str, _KANON_KS))}]) AS k)
+    GROUP BY level, k
+    ORDER BY level, k
+    """,
+)
+def q292_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy gate a training-data pipeline
+    runs before releasing records keyed by quasi-identifiers (Sweeney's
+    k-anonymity: every QI equivalence class must hold >= k rows or its
+    members are re-identifiable). Two disclosure levels are audited in
+    one pass: the raw QI tuple (segment, nation, $1k balance bucket)
+    and one generalization step up the lattice (nation -> region, $5k
+    buckets) — the report shows how many classes and rows each k
+    threshold puts at risk at each level, i.e. whether the
+    generalization buys compliance.
+
+    Scale: one groupBy per level over the QI columns (map-combinable
+    count), then the per-k rollup runs on CLASS-cardinality rows — the
+    3-row k list cross-joins the class table, never the data. All
+    arithmetic is integer-exact; floor() on the (possibly negative)
+    balance agrees across engines."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    raw = cust.select(
+        F.lit("raw").alias("level"),
+        F.col("c_mktsegment").alias("qi1"),
+        F.col("c_nationkey").cast("long").alias("qi2"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("qi3"),
+    )
+    gen = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.lit("generalized").alias("level"),
+            F.col("c_mktsegment").alias("qi1"),
+            F.col("n_regionkey").cast("long").alias("qi2"),
+            F.floor(F.col("c_acctbal") / 5000).cast("long").alias("qi3"),
+        )
+    )
+    classes = (
+        raw.unionByName(gen)
+        .groupBy("level", "qi1", "qi2", "qi3")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _KANON_KS], "k int")
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("level", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("classes_below"),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+        .orderBy("level", "k")
+    )

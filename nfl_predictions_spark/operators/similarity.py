@@ -2186,3 +2186,113 @@ def q274_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(census, schema="cell long, n_vecs long, n_dup long, n_kept long")
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# q295 — matryoshka (prefix-dimension) embedding truncation recall
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32)
+
+
+def _matryoshka_oracle() -> str:
+    """Per prefix dimension d: top-k by cosine over the FIRST d
+    components, measured against the full-dimension exact top-k (the
+    q41 truth). Both engines slice the same array, fold the same
+    element order, rank on the 6-decimal-rounded cosine with cid
+    tie-break — the q41 contract applied per dimension."""
+    branches = " UNION ALL ".join(
+        f"""
+    SELECT {d} AS d, qid, cid FROM (
+      SELECT qid, vec_id AS cid,
+        row_number() OVER (
+          PARTITION BY qid ORDER BY round(
+            list_dot_product(qe, emb[1:{d}])
+              / (sqrt(list_dot_product(qe, qe))
+                 * sqrt(list_dot_product(emb[1:{d}], emb[1:{d}]))), 6) DESC,
+          vec_id) AS rn
+      FROM (SELECT vec_id AS qid, emb[1:{d}] AS qe FROM e
+            WHERE vec_id < {_N_QUERIES}) q, e
+    ) WHERE rn <= {_TOP_K}"""
+        for d in _MRL_DIMS
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    truth AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          row_number() OVER (
+            PARTITION BY q.vec_id ORDER BY round(
+              list_dot_product(q.emb, c.emb)
+                / (sqrt(list_dot_product(q.emb, q.emb))
+                   * sqrt(list_dot_product(c.emb, c.emb))), 6) DESC,
+            c.vec_id) AS rn
+        FROM (SELECT * FROM e WHERE vec_id < {_N_QUERIES}) q, e c
+      ) WHERE rn <= {_TOP_K}
+    ),
+    cand AS ({branches})
+    SELECT dims.d, truth.qid,
+           CAST(count(cand.cid) AS BIGINT) AS hits,
+           count(cand.cid) / {float(_TOP_K)} AS recall
+    FROM truth
+    CROSS JOIN (SELECT unnest([{', '.join(map(str, _MRL_DIMS))}]) AS d) dims
+    LEFT JOIN cand ON cand.d = dims.d AND cand.qid = truth.qid
+                  AND cand.cid = truth.cid
+    GROUP BY dims.d, truth.qid
+    ORDER BY dims.d, truth.qid
+    """
+
+
+@_q("q295_matryoshka_recall", _matryoshka_oracle())
+def q295_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation truncation trade, measured: recall@k
+    of cosine top-k computed over only the FIRST d embedding
+    components (d = 8/16/32) against the full 64-dim exact truth —
+    the evaluation a pipeline runs before storing truncated vectors
+    (MRL-style) to cut ANN index memory 2-8x. Composition of the
+    engine's own certified pieces: q41's exact scan per prefix
+    dimension (slice happens BEFORE the fold, so the candidate scan
+    reads d components' work, the real saving at 100 TB), left-joined
+    to the full-dim truth, recall per (d, query).
+
+    Ranking per dimension follows the q41 contract exactly (round-6
+    cosine, cid tie-break), so both engines cut identical top-k sets
+    and recall is integer-exact."""
+    emb = table(spark, sf_dir, "embeddings")
+    truth = q41_ann_topk(spark, sf_dir).select("qid", "cid")
+    cands = None
+    for d in _MRL_DIMS:
+        queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.slice("embedding", 1, d).alias("qe")
+        )
+        corpus = spread(emb).select(
+            F.col("vec_id").alias("cid"), F.slice("embedding", 1, d).alias("ce")
+        )
+        cos = _dot(F.col("qe"), F.col("ce")) / (
+            _norm(F.col("qe")) * _norm(F.col("ce"))
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc(F.round("cos_raw", 6)), F.asc("cid")
+        )
+        topd = (
+            corpus.crossJoin(F.broadcast(queries))
+            .withColumn("cos_raw", cos)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _TOP_K)
+            .select(F.lit(d).alias("d"), "qid", "cid", F.lit(1).alias("hit"))
+        )
+        cands = topd if cands is None else cands.unionByName(topd)
+    dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "d int")
+    return (
+        truth.crossJoin(F.broadcast(dims))
+        .join(cands, ["d", "qid", "cid"], "left")
+        .groupBy("d", "qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("hits"))
+        .select(
+            "d", "qid", "hits",
+            (F.col("hits") / F.lit(float(_TOP_K))).alias("recall"),
+        )
+        .orderBy("d", "qid")
+    )

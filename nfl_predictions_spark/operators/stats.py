@@ -2037,3 +2037,192 @@ def q275_grouped_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("b0") * 1e6 + F.lit(0.5)) / 1e6).alias("beta0"),
         (F.floor(F.col("b1") * 1e6 + F.lit(0.5)) / 1e6).alias("beta1"),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# q293 — Bradley-Terry preference-strength fitting (pairwise comparisons)
+# ---------------------------------------------------------------------------
+
+_BT_T = 3  # MM iterations — fixed, part of the contract
+
+
+def _bt_oracle() -> str:
+    """Unrolled-CTE replay of the {T} MM iterations. Pure arithmetic —
+    no exp/log — so every step is the identical IEEE op sequence in
+    both engines; per-destination sums ride half-up 1e-9 quantized
+    integers (exact at any merge order), and each round's strengths
+    renormalize as an integer/integer double division."""
+    iters = ""
+    for t in range(1, _BT_T + 1):
+        iters += f""",
+s{t} AS (
+  SELECT nij.i,
+         sum(CAST(floor(CAST(n AS DOUBLE) / (ta.th + tb.th) * 1e9 + 0.5)
+                  AS HUGEINT)) AS s
+  FROM nij
+  JOIN t{t - 1} ta ON nij.i = ta.i
+  JOIN t{t - 1} tb ON nij.j = tb.i
+  GROUP BY nij.i
+),
+k{t} AS (
+  SELECT s{t}.i,
+         CAST(floor(
+           COALESCE(wins.wn, 0) / (CAST(s AS DOUBLE) / 1e9) * 1e9 + 0.5
+         ) AS BIGINT) AS kk
+  FROM s{t} LEFT JOIN wins ON s{t}.i = wins.i
+),
+t{t} AS (
+  SELECT i, CAST(kk AS DOUBLE)
+            / CAST((SELECT sum(kk) FROM k{t}) AS DOUBLE) AS th
+  FROM k{t}
+)"""
+    return f"""
+    WITH li AS (
+      SELECT l_orderkey AS ok, l_linenumber AS ln,
+             l_extendedprice AS pr, p_brand AS br
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    cmp AS (
+      SELECT CASE WHEN a.pr > b.pr THEN a.br ELSE b.br END AS w,
+             CASE WHEN a.pr > b.pr THEN b.br ELSE a.br END AS l
+      FROM li a JOIN li b ON a.ok = b.ok AND a.ln < b.ln
+      WHERE a.br <> b.br AND a.pr <> b.pr
+    ),
+    c AS (SELECT w, l, count(*) AS cnt FROM cmp GROUP BY w, l),
+    nij AS (
+      SELECT i, j, sum(cnt) AS n FROM (
+        SELECT w AS i, l AS j, cnt FROM c
+        UNION ALL SELECT l, w, cnt FROM c
+      ) GROUP BY i, j
+    ),
+    wins AS (SELECT w AS i, CAST(sum(cnt) AS BIGINT) AS wn FROM c GROUP BY w),
+    t0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS th FROM nij){iters}
+    SELECT t.i AS brand,
+           CAST(COALESCE(wins.wn, 0) AS BIGINT) AS wins,
+           CAST(tot.n_cmp AS BIGINT) AS n_comparisons,
+           floor(t.th * 1e6 + 0.5) / 1e6 AS strength
+    FROM t{_BT_T} t
+    LEFT JOIN wins ON t.i = wins.i
+    JOIN (SELECT i, sum(n) AS n_cmp FROM nij GROUP BY i) tot ON t.i = tot.i
+    ORDER BY floor(t.th * 1e6 + 0.5) / 1e6 DESC, t.i
+    """
+
+
+@_q("q293_bradley_terry", _bt_oracle())
+def q293_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength fitting — the model behind
+    pairwise human-preference data (RLHF reward modeling, ranking from
+    A/B judgments). Comparisons derive from the data itself: within
+    each order, every line pair with different brands and different
+    prices is one judgment, won by the pricier line's brand. Fitting
+    is Hunter's MM algorithm, {T} fixed iterations:
+
+        theta_i <- W_i / sum_j n_ij / (theta_i + theta_j),  renormalized
+
+    Hash-exact across engines with the q275 recipe minus the libm
+    dependency (the update is pure rational arithmetic): each n_ij /
+    (theta_i + theta_j) term is half-up quantized at 1e-9 and summed
+    as exact integers (DECIMAL-widened); theta renormalizes as an
+    integer/integer double division (K_i / Z) so the next round's
+    inputs are bit-identical in both engines.
+
+    Scale: the comparison derivation is the only data-sized work — a
+    self-join co-partitioned on l_orderkey (the pair fan-out is
+    quadratic in lines-per-order, bounded per key) plus a broadcast
+    part dim; everything after the (winner, loser) groupBy runs on the
+    item-squared model frame (|brands|^2 rows), and the {T} rounds are
+    broadcast joins over that bounded state — the exact shape of a
+    100 TB preference pipeline, where judgments are billions but the
+    model is thousands of items."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_extendedprice").alias("pr"),
+            F.col("p_brand").alias("br"),
+        )
+    )
+    a, b = li.alias("a"), li.alias("b")
+    cmp = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.ln") < F.col("b.ln")))
+        .filter(
+            (F.col("a.br") != F.col("b.br")) & (F.col("a.pr") != F.col("b.pr"))
+        )
+        .select(
+            F.when(F.col("a.pr") > F.col("b.pr"), F.col("a.br"))
+            .otherwise(F.col("b.br"))
+            .alias("w"),
+            F.when(F.col("a.pr") > F.col("b.pr"), F.col("b.br"))
+            .otherwise(F.col("a.br"))
+            .alias("l"),
+        )
+    )
+    c = cmp.groupBy("w", "l").agg(F.count(F.lit(1)).alias("cnt"))
+    nij = (
+        c.select(F.col("w").alias("i"), F.col("l").alias("j"), "cnt")
+        .unionByName(c.select(F.col("l").alias("i"), F.col("w").alias("j"), "cnt"))
+        .groupBy("i", "j")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    wins = c.groupBy(F.col("w").alias("wi")).agg(F.sum("cnt").alias("wn"))
+    theta = nij.select("i").distinct().withColumn("th", F.lit(1.0))
+    for _ in range(_BT_T):
+        term = F.floor(
+            F.col("n").cast("double") / (F.col("ta_th") + F.col("tb_th")) * 1e9
+            + F.lit(0.5)
+        ).cast("decimal(28,0)")
+        s = (
+            nij.join(
+                F.broadcast(theta.select(F.col("i").alias("ta_i"),
+                                         F.col("th").alias("ta_th"))),
+                F.col("i") == F.col("ta_i"),
+            )
+            .join(
+                F.broadcast(theta.select(F.col("i").alias("tb_i"),
+                                         F.col("th").alias("tb_th"))),
+                F.col("j") == F.col("tb_i"),
+            )
+            .groupBy("i")
+            .agg(F.sum(term).alias("s"))
+        )
+        k = (
+            s.join(F.broadcast(wins), F.col("i") == F.col("wi"), "left")
+            .select(
+                "i",
+                F.floor(
+                    F.coalesce(F.col("wn"), F.lit(0)).cast("double")
+                    / (F.col("s").cast("double") / 1e9)
+                    * 1e9
+                    + F.lit(0.5)
+                ).cast("long").alias("kk"),
+            )
+        )
+        z = k.agg(F.sum("kk").alias("z"))
+        theta = (
+            k.crossJoin(F.broadcast(z))
+            .select(
+                "i",
+                (F.col("kk").cast("double") / F.col("z").cast("double")).alias("th"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    tot = nij.groupBy(F.col("i").alias("ti")).agg(F.sum("n").alias("n_cmp"))
+    strength = F.floor(F.col("th") * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        theta.join(F.broadcast(wins), F.col("i") == F.col("wi"), "left")
+        .join(F.broadcast(tot), F.col("i") == F.col("ti"))
+        .select(
+            F.col("i").alias("brand"),
+            F.coalesce(F.col("wn"), F.lit(0)).cast("long").alias("wins"),
+            F.col("n_cmp").cast("long").alias("n_comparisons"),
+            strength.alias("strength"),
+        )
+        .orderBy(F.desc("strength"), "brand")
+    )

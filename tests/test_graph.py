@@ -72,3 +72,35 @@ def test_bfs_levels_respects_max_iter(spark):
         for r in bfs_levels(edges, "src", "dst", 1, max_iter=3).collect()
     }
     assert max(got.values()) == 3 and got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_kcore_every_survivor_meets_threshold(spark):
+    """Every node in the returned 3-core has degree >= 3 within the
+    surviving subgraph, and the result is a fixpoint (recomputing
+    degrees over the survivor-restricted edges changes nothing)."""
+    from collections import defaultdict
+
+    from nfl_predictions_spark.operators.graph import _KCORE_K, q294_kcore
+
+    rows = q294_kcore(spark, "/root/testdata/sf0.001").collect()
+    core = {r.l_partkey: r.core_degree for r in rows}
+    assert core, "3-core unexpectedly empty at sf0.001"
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").collect()
+    from itertools import combinations
+
+    orders = defaultdict(set)
+    for l in li:
+        orders[l.l_orderkey].add(l.l_partkey)
+    mult = defaultdict(int)
+    for parts in orders.values():
+        for a, b in combinations(sorted(parts), 2):
+            mult[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), m in mult.items():
+        if m >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    for node, deg in core.items():
+        in_core = {n for n in adj[node] if n in core}
+        assert deg == len(in_core)
+        assert deg >= _KCORE_K

@@ -230,3 +230,23 @@ def test_set_cover_lineage_stays_bounded_at_25_rounds(spark):
     cov = [r["covered"] for r in rows]
     assert gains == sorted(gains, reverse=True)
     assert cov == sorted(cov)
+
+
+def test_k_anonymity_monotonicity(spark):
+    """Risk is monotone both ways: within a level, higher k never
+    lowers classes_below/rows_at_risk; and for a fixed k, the
+    generalized partition (a coarsening) never increases them."""
+    from nfl_predictions_spark.operators.llmprep import q292_k_anonymity
+
+    rows = q292_k_anonymity(spark, SF_SMOKE).collect()
+    by = {(r.level, r.k): r for r in rows}
+    assert len(rows) == 6
+    for level in ("raw", "generalized"):
+        ks = sorted(k for (lv, k) in by if lv == level)
+        for lo, hi in zip(ks, ks[1:]):
+            assert by[(level, lo)].classes_below <= by[(level, hi)].classes_below
+            assert by[(level, lo)].rows_at_risk <= by[(level, hi)].rows_at_risk
+    for k in (2, 5, 10):
+        assert (
+            by[("generalized", k)].rows_at_risk <= by[("raw", k)].rows_at_risk
+        )

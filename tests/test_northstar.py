@@ -614,3 +614,27 @@ def test_semdedup_census_counts_consistent(spark):
     for r in rows:
         assert r.n_kept + r.n_dup == r.n_vecs
         assert r.n_kept >= 1
+
+
+def test_matryoshka_recall_monotone_in_dimension(spark):
+    """More prefix dimensions never hurt MEAN recall on the fixtures
+    (pinned empirically at both sweep scales), and every (d, qid) cell
+    is a valid recall fraction of the top-k."""
+    from nfl_predictions_spark.operators.similarity import (
+        _MRL_DIMS,
+        _N_QUERIES,
+        _TOP_K,
+        q295_matryoshka_recall,
+    )
+
+    rows = q295_matryoshka_recall(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len(_MRL_DIMS) * _N_QUERIES
+    means = {}
+    for d in _MRL_DIMS:
+        recs = [r.recall for r in rows if r.d == d]
+        assert len(recs) == _N_QUERIES
+        means[d] = sum(recs) / len(recs)
+    for r in rows:
+        assert 0 <= r.hits <= _TOP_K
+        assert abs(r.recall - r.hits / _TOP_K) < 1e-12
+    assert means[8] <= means[16] <= means[32]

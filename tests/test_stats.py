@@ -153,3 +153,21 @@ def test_pca_eigh_matches_exact_covariance(spark):
     assert np.max(np.abs(w_got - w_ref)) < 1e-4
     ratios = np.array([g.explained_ratio for g in got])
     assert abs(ratios.sum() - 1.0) < 1e-3
+
+
+def test_bradley_terry_invariants(spark):
+    """Strengths are a normalized distribution (sum ~1 up to the 1e-6
+    output quantization), non-negative, and ordered descending; the
+    win counts reconcile with the comparison counts."""
+    from nfl_predictions_spark.operators.stats import q293_bradley_terry
+
+    rows = q293_bradley_terry(spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    total = sum(r.strength for r in rows)
+    assert abs(total - 1.0) < 25e-6
+    assert all(r.strength >= 0 for r in rows)
+    assert [r.strength for r in rows] == sorted(
+        (r.strength for r in rows), reverse=True
+    )
+    for r in rows:
+        assert 0 <= r.wins <= r.n_comparisons
