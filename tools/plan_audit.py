@@ -68,6 +68,10 @@ ALLOW = {
         "q250_auc_calibration",  # 1-row rank-sum aggregate broadcast
         "q255_quantile_normalization",  # 1-row max-rank broadcast
         "q260_dedup_savings",  # 1-row corpus-summary broadcast
+        # round 5
+        "q285_tpch_q11",  # Q11's 1-row total-stock-value scalar threshold
+        "q292_k_anonymity",  # fixed k-threshold list (len(_KANON_KS) rows)
+        "q295_matryoshka_recall",  # fixed dims list + q41's 5-row query broadcast
     },
 }
 
