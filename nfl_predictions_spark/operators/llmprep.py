@@ -2094,3 +2094,153 @@ def q292_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "k")
     )
+
+
+# ---------------------------------------------------------------------------
+# q298 — annotator agreement: pairwise Cohen's kappa over synthetic labels
+# ---------------------------------------------------------------------------
+
+_AGREE_ANNOTATORS = (1, 2, 3)
+_AGREE_CLASSES = 5
+_AGREE_NOISE_HEX = 4  # first md5 hex digit < 4 -> ~25% deterministic "noise"
+
+
+def _annotator_label_sql(a: int) -> str:
+    """Engine-neutral deterministic annotator label: the true class
+    ``p`` (0..4 from the priority digit) flipped to a rotated class
+    whenever the first md5 hex digit of (orderkey, annotator) is below
+    {noise} — a fixed ~25% disagreement with no RNG state. ``instr``
+    and ``md5`` behave identically in Spark SQL and DuckDB."""
+    v = (
+        "(instr('0123456789abcdef', "
+        f"substr(md5(CAST(o_orderkey AS STRING) || ':{a}'), 1, 1)) - 1)"
+    )
+    return (
+        f"(CASE WHEN {v} < {_AGREE_NOISE_HEX} "
+        f"THEN (p + 1 + ({v} % {_AGREE_CLASSES})) % {_AGREE_CLASSES} "
+        "ELSE p END)"
+    )
+
+
+def _agree_oracle() -> str:
+    labs = ", ".join(
+        f"{_annotator_label_sql(a)} AS l{a}" for a in _AGREE_ANNOTATORS
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT CAST({ai} AS BIGINT) AS ai, CAST({aj} AS BIGINT) AS aj, "
+        f"l{ai} AS la, l{aj} AS lb FROM lab"
+        for idx, ai in enumerate(_AGREE_ANNOTATORS)
+        for aj in _AGREE_ANNOTATORS[idx + 1 :]
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) - 1 AS p
+      FROM orders
+    ),
+    lab AS (SELECT o_orderkey, {labs} FROM base),
+    stacked AS ({stacked}),
+    cell AS (
+      SELECT ai, aj, la, lb, CAST(count(*) AS BIGINT) AS c
+      FROM stacked GROUP BY ai, aj, la, lb
+    ),
+    tot AS (
+      SELECT ai, aj, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT) AS agree
+      FROM cell GROUP BY ai, aj
+    ),
+    ra AS (SELECT ai, aj, la AS cls, sum(c) AS rc FROM cell GROUP BY ai, aj, la),
+    rb AS (SELECT ai, aj, lb AS cls, sum(c) AS sc FROM cell GROUP BY ai, aj, lb),
+    pe AS (
+      SELECT ra.ai, ra.aj, CAST(sum(ra.rc * rb.sc) AS BIGINT) AS pe_num
+      FROM ra JOIN rb ON ra.ai = rb.ai AND ra.aj = rb.aj AND ra.cls = rb.cls
+      GROUP BY ra.ai, ra.aj
+    )
+    SELECT tot.ai, tot.aj, tot.n, tot.agree,
+           CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE) AS po,
+           CAST(pe.pe_num AS DOUBLE) / CAST(tot.n * tot.n AS DOUBLE) AS pe,
+           (CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE)
+            - CAST(pe.pe_num AS DOUBLE) / CAST(tot.n * tot.n AS DOUBLE))
+             / (1.0 - CAST(pe.pe_num AS DOUBLE) / CAST(tot.n * tot.n AS DOUBLE))
+             AS kappa
+    FROM tot JOIN pe ON pe.ai = tot.ai AND pe.aj = tot.aj
+    ORDER BY tot.ai, tot.aj
+    """
+
+
+@_q("q298_label_agreement", _agree_oracle())
+def q298_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement for preference/label data — the QA
+    gate an RLHF labeling pipeline runs before trusting votes (sibling
+    of q293's Bradley-Terry fit, which consumes such labels): three
+    deterministic synthetic annotators label every order (true class =
+    priority digit, md5-rotated on ~25% of (item, annotator) keys — no
+    RNG state), and the engine reports per-pair observed agreement and
+    Cohen's kappa. ONE scan computes all three labels as column
+    expressions; the pair grid is exploded row-locally (3 structs/row)
+    and partial-aggregated to a <=75-cell (pair, la, lb) contingency
+    frame, so the shuffle is class-grid-sized at any data volume.
+    Exactness: kappa's p_e uses integer marginal products
+    sum(rc*sc)/n^2 — every sum is integer-exact, each emitted double is
+    ONE IEEE division/subtraction chain on exact operands, identical in
+    DuckDB with no quantization."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.withColumn(
+        "p", F.expr("CAST(substr(o_orderpriority, 1, 1) AS BIGINT) - 1")
+    )
+    lab = base.select(
+        *[
+            F.expr(_annotator_label_sql(a)).alias(f"l{a}")
+            for a in _AGREE_ANNOTATORS
+        ]
+    )
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(ai).cast("long").alias("ai"),
+                F.lit(aj).cast("long").alias("aj"),
+                F.col(f"l{ai}").alias("la"),
+                F.col(f"l{aj}").alias("lb"),
+            )
+            for idx, ai in enumerate(_AGREE_ANNOTATORS)
+            for aj in _AGREE_ANNOTATORS[idx + 1 :]
+        ]
+    )
+    cell = (
+        lab.select(F.explode(pair_structs).alias("s"))
+        .select("s.ai", "s.aj", "s.la", "s.lb")
+        .groupBy("ai", "aj", "la", "lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cell.groupBy("ai", "aj").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ra = cell.groupBy("ai", "aj", F.col("la").alias("cls")).agg(
+        F.sum("c").alias("rc")
+    )
+    rb = cell.groupBy("ai", "aj", F.col("lb").alias("cls")).agg(
+        F.sum("c").alias("sc")
+    )
+    pe = (
+        ra.join(rb, ["ai", "aj", "cls"])
+        .groupBy("ai", "aj")
+        .agg(F.sum(F.col("rc") * F.col("sc")).cast("long").alias("pe_num"))
+    )
+    po_c = F.col("agree").cast("double") / F.col("n").cast("double")
+    pe_c = F.col("pe_num").cast("double") / (F.col("n") * F.col("n")).cast("double")
+    return (
+        tot.join(pe, ["ai", "aj"])
+        .select(
+            "ai",
+            "aj",
+            "n",
+            "agree",
+            po_c.alias("po"),
+            pe_c.alias("pe"),
+            ((po_c - pe_c) / (F.lit(1.0) - pe_c)).alias("kappa"),
+        )
+        .orderBy("ai", "aj")
+    )

@@ -2296,3 +2296,134 @@ def q295_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d", "qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q296 — binary (sign) quantization + packed Hamming-distance ANN
+# ---------------------------------------------------------------------------
+
+_HAM_WORD_BITS = 32  # DuckDB BIGINT << 63 overflows; 32 bits/word is safe in both
+_HAM_WORDS = 2  # 64-dim embeddings -> 2 words
+_HAM_SHORTLIST = 30
+
+
+def _sign_word_terms(index_expr, off: int) -> str:
+    """SQL for one packed sign-bit word: bit i set when component
+    ``off+i+1`` (1-based) is > 0. ``index_expr(i)`` renders the 1-based
+    array access for the target engine (Spark ``element_at``, DuckDB
+    ``arr[i]``). 32 constant-shift CASE terms, fully codegen-able."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {index_expr(off + i + 1)} > CAST(0 AS DOUBLE) "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(_HAM_WORD_BITS)
+    ) + ")"
+
+
+def _hamming_oracle() -> str:
+    words = ", ".join(
+        _sign_word_terms(lambda i: f"embedding[{i}]", w * _HAM_WORD_BITS)
+        + f" AS w{w}"
+        for w in range(_HAM_WORDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(q.w{w}, c.w{w}))" for w in range(_HAM_WORDS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, {words}
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+    h AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             CAST({ham} AS BIGINT) AS ham
+      FROM q, e c
+    ),
+    s AS (
+      SELECT qid, cid, ham,
+             row_number() OVER (PARTITION BY qid ORDER BY ham, cid) AS hrn
+      FROM h
+    ),
+    r AS (
+      SELECT s.qid, s.cid, s.ham,
+             list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+      FROM s
+      JOIN q ON q.vec_id = s.qid
+      JOIN e c ON c.vec_id = s.cid
+      WHERE s.hrn <= {_HAM_SHORTLIST}
+    ),
+    t AS (
+      SELECT qid, cid, ham, round(cos, 6) AS cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(cos, 6) DESC, cid) AS rn
+      FROM r
+    )
+    SELECT qid, cid, ham, cos, CAST(rn AS BIGINT) AS rn
+    FROM t WHERE rn <= {_TOP_K} ORDER BY qid, rn
+    """
+
+
+@_q("q296_hamming_ann", _hamming_oracle())
+def q296_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign quantization + packed Hamming shortlist + exact
+    rerank — the 32x-compression ANN tier below int8 (q181) and PQ
+    (q219): each 64-dim float vector becomes 64 sign bits packed into
+    two 32-bit words (32 bits/word so the DuckDB oracle can replay the
+    shifts; Spark packs with the identical constant-shift CASE sum, all
+    whole-stage codegen). The scan phase compares only the packed words
+    — bit_count(xor(...)) per word, integer-exact in both engines — so
+    at 100 TB the candidate sweep reads 8 bytes/vector instead of 256
+    and never shuffles the embedding table. The top-{_HAM_SHORTLIST}
+    Hamming shortlist (ties by cid) is then reranked with q41's exact
+    sequential-fold cosine contract (round-6, cid tie-break) after a
+    broadcast-shortlist fetch of the full vectors — the asymmetric
+    two-phase shape every production binary-quantized index uses.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    word_cols = [
+        F.expr(
+            _sign_word_terms(lambda i: f"element_at(embedding, {i})", w * _HAM_WORD_BITS)
+        ).alias(f"w{w}")
+        for w in range(_HAM_WORDS)
+    ]
+    words_df = emb.select(F.col("vec_id").alias("cid"), *word_cols)
+    packed = spread(words_df)
+    # query side: same projection, but filtered AT THE SCAN (vec_id
+    # pushdown) and never routed through spread()'s repartition — the
+    # 5-row side must stay a one-task broadcast build
+    qpacked = words_df.filter(F.col("cid") < _N_QUERIES).select(
+        F.col("cid").alias("qid"),
+        *[F.col(f"w{w}").alias(f"qw{w}") for w in range(_HAM_WORDS)],
+    )
+    ham = None
+    for w in range(_HAM_WORDS):
+        term = F.bit_count(F.col(f"qw{w}").bitwiseXOR(F.col(f"w{w}")))
+        ham = term if ham is None else ham + term
+    hw = Window.partitionBy("qid").orderBy(F.asc("ham"), F.asc("cid"))
+    shortlist = (
+        packed.crossJoin(F.broadcast(qpacked))
+        .withColumn("ham", ham.cast("long"))
+        .withColumn("hrn", F.row_number().over(hw))
+        .filter(F.col("hrn") <= _HAM_SHORTLIST)
+        .select("qid", "cid", "ham")
+    )
+    # fetch full vectors for the shortlist only (broadcast-sized), then
+    # rerank with the exact q41 cosine contract
+    cand_vecs = emb.join(
+        F.broadcast(shortlist), emb.vec_id == F.col("cid")
+    ).select("qid", "cid", "ham", F.col("embedding").alias("ce"))
+    qvecs = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid2"), F.col("embedding").alias("qe")
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    rw = Window.partitionBy("qid").orderBy(F.desc(F.round("cos_raw", 6)), F.asc("cid"))
+    return (
+        cand_vecs.join(F.broadcast(qvecs), F.col("qid") == F.col("qid2"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "cid", "ham", F.round("cos_raw", 6).alias("cos"), "rn")
+        .orderBy("qid", "rn")
+    )

@@ -187,3 +187,90 @@ def q213_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), F.asc("token"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q299 — packed-bitmap distinct rollup (additive COUNT DISTINCT over windows)
+# ---------------------------------------------------------------------------
+
+_BM_WORD_BITS = 32  # 32 ids/word: safe shifts in both engines (DuckDB << 63 overflows)
+_BM_WINDOW_DAYS = 7
+
+
+@_q(
+    "q299_bitmap_distinct_rollup",
+    f"""
+    WITH e AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+             user_id
+      FROM events
+    ),
+    d AS (
+      SELECT di, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS daily_users,
+             CAST(count(DISTINCT user_id // {_BM_WORD_BITS}) AS BIGINT) AS n_words
+      FROM e GROUP BY di
+    ),
+    r AS (
+      SELECT d.di, CAST(count(DISTINCT e.user_id) AS BIGINT) AS rolling7_users
+      FROM d JOIN e ON e.di BETWEEN d.di - {_BM_WINDOW_DAYS - 1} AND d.di
+      GROUP BY d.di
+    )
+    SELECT d.di, d.n_events, d.daily_users, d.n_words, r.rolling7_users
+    FROM d JOIN r ON r.di = d.di
+    ORDER BY d.di
+    """,
+)
+def q299_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-bitmap COUNT DISTINCT rollup — the Druid/Kylin additive-
+    distinct pattern: daily active users collapse to one
+    {_BM_WORD_BITS}-bit word per (day, user_id//{_BM_WORD_BITS}) via
+    bit_or, after which ANY date-range distinct count is a popcount of
+    bit_or-merged words — no re-scan of the fact table, no distinct
+    shuffle of user ids. The rolling {_BM_WINDOW_DAYS}-day window is
+    computed shard-and-replicate (each day-word row is exploded to the
+    {_BM_WINDOW_DAYS} window end-days it serves, then bit_or-merged per
+    end day), which stays exact even when a word has no rows on the
+    window's end day — the failure mode of a naive RANGE-frame window
+    over a sparse (day, word) grid. At 100 TB the merge input is
+    deletes/{_BM_WORD_BITS}-sized per day, not events-sized.
+
+    The DuckDB oracle deliberately does NOT replay the bitmaps: it
+    computes plain COUNT(DISTINCT ...) ground truth, so the hash match
+    certifies the packed path's SEMANTICS (popcount(bit_or(words)) ==
+    count distinct), not merely its arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    base = spread(ev).select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("di"),
+        F.floor(F.col("user_id") / _BM_WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(user_id % {_BM_WORD_BITS} AS INT))"
+        ).alias("one"),
+    )
+    words = base.groupBy("di", "word_idx").agg(
+        F.bit_or("one").alias("word"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    daily = words.groupBy("di").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.sum(F.bit_count("word")).cast("long").alias("daily_users"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    merged = (
+        words.withColumn(
+            "d",
+            F.explode(
+                F.sequence(F.col("di"), F.col("di") + (_BM_WINDOW_DAYS - 1))
+            ),
+        )
+        .groupBy("d", "word_idx")
+        .agg(F.bit_or("word").alias("mword"))
+        .groupBy("d")
+        .agg(F.sum(F.bit_count("mword")).cast("long").alias("rolling7_users"))
+    )
+    return (
+        daily.join(merged, daily.di == merged.d)
+        .select("di", "n_events", "daily_users", "n_words", "rolling7_users")
+        .orderBy("di")
+    )

@@ -2226,3 +2226,146 @@ def q293_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("strength"), "brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# q297 — isotonic calibration (distributed PAVA via exact minimax form)
+# ---------------------------------------------------------------------------
+
+_ISO_BIN_W = 20000.0
+_ISO_MAX_BIN = 23
+
+
+@_q(
+    "q297_isotonic_calibration",
+    f"""
+    WITH b AS (
+      SELECT least({_ISO_MAX_BIN}, CAST(floor(o_totalprice / {_ISO_BIN_W}) AS BIGINT))
+               AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderpriority LIKE '1%'
+                             OR o_orderpriority LIKE '2%'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, n, pos,
+             CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS r,
+             CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+      FROM b
+    ),
+    lagged AS (
+      SELECT r AS i,
+             CAST(coalesce(lag(cn) OVER (ORDER BY r), 0) AS BIGINT) AS cn0,
+             CAST(coalesce(lag(cp) OVER (ORDER BY r), 0) AS BIGINT) AS cp0
+      FROM cum
+    ),
+    pairs AS (
+      SELECT l.i, cj.r AS j,
+             CAST(cj.cp - l.cp0 AS DOUBLE) / CAST(cj.cn - l.cn0 AS DOUBLE) AS u
+      FROM cum cj, lagged l WHERE l.i <= cj.r
+    ),
+    tri AS (
+      SELECT i, j, u, unnest(generate_series(i, j)) AS k FROM pairs
+    ),
+    inner_min AS (
+      SELECT k, i, min(u) AS mn FROM tri GROUP BY k, i
+    ),
+    fit AS (
+      SELECT k, max(mn) AS fitted FROM inner_min GROUP BY k
+    )
+    SELECT cum.bin, cum.n, cum.pos,
+           CAST(cum.pos AS DOUBLE) / CAST(cum.n AS DOUBLE) AS rate,
+           fit.fitted AS fitted
+    FROM cum JOIN fit ON fit.k = cum.r
+    ORDER BY cum.bin
+    """,
+)
+def q297_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAVA) as a distributed closed form — the
+    calibration step a scoring pipeline runs to turn raw model scores
+    into monotone probabilities (the reference scores plays with two
+    raw GBT margins, ``assets/app_nfl.py:310-316``; isotonic is the
+    standard post-hoc fix). Scores (o_totalprice) are bucketed into
+    {_ISO_MAX_BIN + 1} fixed-width bins in ONE map-side-combinable
+    aggregate — the only pass over the fact table — then the pool-
+    adjacent-violators solution is computed exactly via its minimax
+    characterization fitted[k] = max_(i<=k) min_(j>=k) mean(i..j) on
+    the bounded bin frame (B^3/6 ~ 2.3k rows, generated with explode,
+    no joins against data-scale state). All means are ratios of exact
+    integer prefix sums, so one IEEE division per pair reproduces
+    bit-identically in DuckDB — no quantization needed anywhere.
+    At 100 TB only the bin count changes the tail work, never the data
+    volume; the fact scan stays a single partial-aggregated shuffle of
+    B rows."""
+    orders = table(spark, sf_dir, "orders")
+    b = (
+        orders.groupBy(
+            F.least(
+                F.lit(_ISO_MAX_BIN),
+                F.floor(F.col("o_totalprice") / F.lit(_ISO_BIN_W)).cast("long"),
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").startswith("1")
+                    | F.col("o_orderpriority").startswith("2"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    wb = Window.orderBy("bin")
+    cum = b.select(
+        "bin",
+        "n",
+        "pos",
+        F.row_number().over(wb).cast("long").alias("r"),
+        F.sum("n").over(wb).cast("long").alias("cn"),
+        F.sum("pos").over(wb).cast("long").alias("cp"),
+    )
+    wr = Window.orderBy("r")
+    lagged = cum.select(
+        F.col("r").alias("i"),
+        F.coalesce(F.lag("cn").over(wr), F.lit(0)).cast("long").alias("cn0"),
+        F.coalesce(F.lag("cp").over(wr), F.lit(0)).cast("long").alias("cp0"),
+    )
+    # pairs (i, j), i<=j: mean over pooled bins i..j — exploded from the
+    # j row (bounded by B), then one broadcast equi-join for the i-1
+    # prefix; never a non-equi join
+    pairs = (
+        cum.select(F.col("r").alias("j"), "cn", "cp")
+        .withColumn("i", F.explode(F.sequence(F.lit(1).cast("long"), F.col("j"))))
+        .join(F.broadcast(lagged), "i")
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("cp") - F.col("cp0")).cast("double")
+                / (F.col("cn") - F.col("cn0")).cast("double")
+            ).alias("u"),
+        )
+    )
+    tri = pairs.withColumn("k", F.explode(F.sequence(F.col("i"), F.col("j"))))
+    fit = (
+        tri.groupBy("k", "i")
+        .agg(F.min("u").alias("mn"))
+        .groupBy("k")
+        .agg(F.max("mn").alias("fitted"))
+    )
+    return (
+        cum.join(F.broadcast(fit), cum.r == fit.k)
+        .select(
+            "bin",
+            "n",
+            "pos",
+            (F.col("pos").cast("double") / F.col("n").cast("double")).alias("rate"),
+            "fitted",
+        )
+        .orderBy("bin")
+    )

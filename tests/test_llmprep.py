@@ -250,3 +250,20 @@ def test_k_anonymity_monotonicity(spark):
         assert (
             by[("generalized", k)].rows_at_risk <= by[("raw", k)].rows_at_risk
         )
+
+
+def test_label_agreement_kappa_bounds(spark):
+    """q298: one row per annotator pair, observed agreement beats
+    chance (po > pe), kappa sits in the band the 25% deterministic
+    noise rate implies, and counts reconcile with the orders table."""
+    from nfl_predictions_spark.operators.llmprep import q298_label_agreement
+
+    rows = q298_label_agreement(spark, SF_SMOKE).collect()
+    assert [(r.ai, r.aj) for r in rows] == [(1, 2), (1, 3), (2, 3)]
+    n_orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    for r in rows:
+        assert r.n == n_orders
+        assert 0 <= r.agree <= r.n
+        assert r.po > r.pe
+        assert 0.35 < r.kappa < 0.60
+        assert abs(r.po - r.agree / r.n) < 1e-15

@@ -638,3 +638,31 @@ def test_matryoshka_recall_monotone_in_dimension(spark):
         assert 0 <= r.hits <= _TOP_K
         assert abs(r.recall - r.hits / _TOP_K) < 1e-12
     assert means[8] <= means[16] <= means[32]
+
+
+def test_hamming_ann_contract(spark):
+    """q296: self-match is exact (ham=0, cos=1, rank 1), Hamming stays
+    within the 64-bit budget, the emitted schema matches the two-phase
+    contract, and the binary shortlist keeps a usable fraction of the
+    exact top-k (floor pinned empirically at both sweep scales)."""
+    from nfl_predictions_spark.operators.similarity import (
+        _N_QUERIES,
+        _TOP_K,
+        q41_ann_topk,
+        q296_hamming_ann,
+    )
+
+    rows = q296_hamming_ann(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == _N_QUERIES * _TOP_K
+    for r in rows:
+        assert 0 <= r.ham <= 64
+        assert -1.0 <= r.cos <= 1.0
+    firsts = {r.qid: r for r in rows if r.rn == 1}
+    for qid, r in firsts.items():
+        assert r.cid == qid and r.ham == 0 and r.cos == 1.0
+    ham = {(r.qid, r.cid) for r in rows}
+    exact = {
+        (r.qid, r.cid)
+        for r in q41_ann_topk(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(ham & exact) / len(exact) >= 0.4

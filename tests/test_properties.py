@@ -165,3 +165,27 @@ def test_scd2_merge_apply_equals_full_rebuild_in_engine(spark):
     inc = sorted(map(tuple, q228_scd2_merge_apply(spark, SF_SMOKE).collect()))
     full = sorted(map(tuple, q118_scd2_dimension(spark, SF_SMOKE).collect()))
     assert inc == full
+
+
+def test_bitmap_distinct_rollup_semantics(spark):
+    """q299: popcount(bit_or(words)) reproduces exact COUNT DISTINCT —
+    rolling never drops below the day, word counts bound user counts by
+    the 32-bit packing factor, and the first day's window equals its
+    daily count."""
+    from nfl_predictions_spark.operators.sketches import (
+        _BM_WORD_BITS,
+        q299_bitmap_distinct_rollup,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q299_bitmap_distinct_rollup(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    assert rows == sorted(rows, key=lambda r: r.di)
+    total_users = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    for r in rows:
+        assert r.daily_users <= r.rolling7_users <= total_users
+        assert r.n_words <= r.daily_users <= r.n_words * _BM_WORD_BITS
+    assert rows[0].rolling7_users == rows[0].daily_users

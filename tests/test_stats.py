@@ -171,3 +171,22 @@ def test_bradley_terry_invariants(spark):
     )
     for r in rows:
         assert 0 <= r.wins <= r.n_comparisons
+
+
+def test_isotonic_calibration_invariants(spark):
+    """q297: the fitted curve is monotone non-decreasing, bounded by the
+    observed rate range, and preserves the weighted total (the PAVA
+    block-mean property: sum n_k * fitted_k == sum pos_k)."""
+    from nfl_predictions_spark.operators.stats import q297_isotonic_calibration
+
+    rows = q297_isotonic_calibration(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    fits = [r.fitted for r in rows]
+    assert all(a <= b for a, b in zip(fits, fits[1:]))
+    rates = [r.rate for r in rows]
+    assert min(rates) <= min(fits) and max(fits) <= max(rates)
+    assert abs(
+        sum(r.n * r.fitted for r in rows) - sum(r.pos for r in rows)
+    ) < 1e-6 * sum(r.n for r in rows)
+    n_orders = sum(r.n for r in rows)
+    assert n_orders == spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()

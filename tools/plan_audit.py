@@ -28,6 +28,7 @@ ALLOW = {
     "CartesianProduct": {
         "q41_ann_topk",  # 5-row broadcast side, intended
         "q167_ann_recall",  # contains q41's subtree (the exact certifier)
+        "q296_hamming_ann",  # 5-row packed-query broadcast sweep, intended
     },
     "BroadcastNestedLoopJoin": {
         "q41_ann_topk",
@@ -72,6 +73,7 @@ ALLOW = {
         "q285_tpch_q11",  # Q11's 1-row total-stock-value scalar threshold
         "q292_k_anonymity",  # fixed k-threshold list (len(_KANON_KS) rows)
         "q295_matryoshka_recall",  # fixed dims list + q41's 5-row query broadcast
+        "q296_hamming_ann",  # 5-row packed-query broadcast (q41's shape)
     },
 }
 
