@@ -150,6 +150,12 @@ HEADLINE = [
     "q293_bradley_terry",
     "q294_kcore",
     "q295_matryoshka_recall",
+    # round-5 additions: binary-quantized ANN, isotonic calibration,
+    # annotator agreement, bitmap distinct rollup
+    "q296_hamming_ann",
+    "q297_isotonic_calibration",
+    "q298_label_agreement",
+    "q299_bitmap_distinct_rollup",
 ]
 
 _METRIC_FIELDS = {

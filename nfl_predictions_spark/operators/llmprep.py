@@ -423,50 +423,47 @@ def q130_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     running fill), which is exactly what a distributed plan must NOT
     serialize globally. The scalable decomposition: q109's two-phase
     prefix sum assigns each doc a {_SHARD_TOKENS}-token SHARD (packing
-    state resets at shard boundaries by construction), then
-    ``applyInPandas`` runs the sequential fold per shard — thousands of
-    independent bounded groups at 100 TB, none larger than a few
-    hundred docs. The oracle replays the same greedy fold as a
-    recursive CTE, proving the per-shard decomposition exact."""
-    import pandas as pd
-
+    state resets at shard boundaries by construction), then the
+    sequential first-fit fold runs per shard as a JVM-side
+    ``aggregate()`` over the shard's sorted (doc_id, n_tok) list —
+    thousands of independent bounded groups at 100 TB, none larger
+    than a few hundred docs, with no Python/Arrow round-trip (the
+    applyInPandas form this replaced spent ~70% of its sf1 wall on
+    per-group Python overhead). The oracle replays the same greedy
+    fold as a recursive CTE, proving the per-shard decomposition
+    exact."""
     docs = _token_offsets(spread(table(spark, sf_dir, "documents")))
     sharded = docs.withColumn(
         "shard", F.floor(F.col("start_off") / _SHARD_TOKENS)
     ).select("shard", "doc_id", "n_tok")
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        seq = 0
-        fill = 0
-        first = True
-        for n in pdf["n_tok"]:
-            n = int(n)
-            if first:
-                fill = n
-                first = False
-            elif fill + n <= _PACK_CAP:
-                fill += n
-            else:
-                seq += 1
-                fill = n
-        n_seqs = seq + 1
-        tokens = int(pdf["n_tok"].sum())
-        return pd.DataFrame(
-            {
-                "shard": [int(pdf["shard"].iloc[0])],
-                "docs": [len(pdf)],
-                "n_seqs": [n_seqs],
-                "tokens": [tokens],
-                "fill_ratio": [round(tokens / (n_seqs * _PACK_CAP), 6)],
-            }
-        )
-
+    # first-fit fold over the doc_id-sorted token counts: accumulator is
+    # (n_seqs so far, fill of the open sequence); -1 marks "no open seq"
+    fold = F.expr(
+        "aggregate("
+        "  transform(array_sort(collect_list(struct(doc_id, n_tok))), s -> s.n_tok),"
+        "  named_struct('seqs', CAST(0 AS BIGINT), 'fill', CAST(-1 AS BIGINT)),"
+        "  (acc, n) -> CASE"
+        f"    WHEN acc.fill >= 0 AND acc.fill + n <= {_PACK_CAP}"
+        "      THEN named_struct('seqs', acc.seqs, 'fill', acc.fill + CAST(n AS BIGINT))"
+        "    ELSE named_struct('seqs', acc.seqs + CAST(1 AS BIGINT), 'fill', CAST(n AS BIGINT))"
+        "  END,"
+        "  acc -> acc.seqs)"
+    )
     return (
         sharded.groupBy("shard")
-        .applyInPandas(
-            pack,
-            "shard long, docs long, n_seqs long, tokens long, fill_ratio double",
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+            fold.alias("n_seqs"),
+        )
+        .select(
+            "shard",
+            "docs",
+            "n_seqs",
+            "tokens",
+            F.round(
+                F.col("tokens") / (F.col("n_seqs") * F.lit(_PACK_CAP)), 6
+            ).alias("fill_ratio"),
         )
         .orderBy("shard")
     )
