@@ -524,21 +524,31 @@ def q277_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the delete predicate, so a packing or probe bug (off-by-one bit,
     sign-extension on bit 63, word misalignment) breaks the hash match
     — the oracle certifies the bitmap machinery, not just the rule.
-    Simulated layout: file = orderkey mod {_DV_FILES}, position =
-    row_number within file; deletes = md5-derived ~1/16 of rows."""
+    Simulated layout: file = orderkey mod {_DV_FILES}, position = the
+    row's fixed slot (orderkey div {_DV_FILES})*8 + linenumber-1 — a
+    deterministic dense-enough physical offset (TPC-H linenumber is
+    1..7, so 7/8 slot density) that BOTH the DV build and the probe
+    derive arithmetically from the row itself, the way a real reader
+    derives its physical position. This removes the per-file
+    row_number window the first version used — at 100 TB that window
+    is a {_DV_FILES}-task global sort of the whole fact table (task
+    count pinned to file count, the q52 bucket bug shape). With it
+    gone the executed plan has ZERO fact-table shuffles: the DV side
+    aggregates to words and broadcasts, the probe scan feeds the
+    masked aggregate directly (sf1 wall stays scan-bound — two passes
+    + md5 — but the scale hazard is out of the plan).
+    Deletes = md5-derived ~1/16 of rows."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
-    from pyspark.sql import Window
-
     base = li.withColumn(
         "file_id", (F.col("l_orderkey") % _DV_FILES).cast("long")
     ).withColumn(
         "pos",
-        F.row_number().over(
-            Window.partitionBy("file_id").orderBy("l_orderkey", "l_linenumber")
-        ).cast("long")
-        - 1,
+        (
+            F.floor(F.col("l_orderkey") / _DV_FILES) * 8
+            + (F.col("l_linenumber") - 1)
+        ).cast("long"),
     )
     deleted = F.substring(
         F.md5(
