@@ -274,3 +274,112 @@ def q299_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("di", "n_events", "daily_users", "n_words", "rolling7_users")
         .orderBy("di")
     )
+
+
+# ---------------------------------------------------------------------------
+# q300 — sharded top-k with truncation error bounds (TPUT shape)
+# ---------------------------------------------------------------------------
+
+_TOPK_SHARDS = 8
+_TOPK_M = 50  # candidates kept per shard
+_TOPK_K = 20  # global answer size
+
+
+@_q(
+    "q300_sharded_topk_bounds",
+    f"""
+    WITH tok AS (
+      SELECT doc_id % {_TOPK_SHARDS} AS shard, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    sc AS (
+      SELECT shard, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY shard, token
+    ),
+    ranked AS (
+      SELECT shard, token, c,
+             row_number() OVER (PARTITION BY shard ORDER BY c DESC, token) AS rn
+      FROM sc
+    ),
+    kept AS (SELECT shard, token, c FROM ranked WHERE rn <= {_TOPK_M}),
+    thr AS (SELECT shard, CAST(min(c) AS BIGINT) AS thr FROM kept GROUP BY shard),
+    tot AS (SELECT CAST(sum(thr) AS BIGINT) AS total_thr FROM thr),
+    lbs AS (
+      SELECT kept.token, CAST(sum(kept.c) AS BIGINT) AS lb,
+             CAST(count(*) AS BIGINT) AS n_shards_kept,
+             CAST(sum(thr.thr) AS BIGINT) AS thr_kept
+      FROM kept JOIN thr ON thr.shard = kept.shard
+      GROUP BY kept.token
+    ),
+    truth AS (
+      SELECT token, CAST(sum(c) AS BIGINT) AS true_cnt FROM sc GROUP BY token
+    ),
+    scored AS (
+      SELECT lbs.token, lbs.lb, lbs.lb + tot.total_thr - lbs.thr_kept AS ub,
+             lbs.n_shards_kept, truth.true_cnt,
+             row_number() OVER (ORDER BY lbs.lb DESC, lbs.token) AS rk
+      FROM lbs CROSS JOIN tot JOIN truth ON truth.token = lbs.token
+    )
+    SELECT token, lb, ub, n_shards_kept, true_cnt, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= {_TOPK_K} ORDER BY rk
+    """,
+)
+def q300_sharded_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k with truncation error bounds — the TPUT /
+    three-phase-uniform-threshold shape: every shard (here doc_id mod
+    {_TOPK_SHARDS}; at 100 TB, a partition or node) reports only its
+    local top-{_TOPK_M} token counts plus its truncation threshold (the
+    m-th count). The coordinator-side candidate set then carries, for
+    every candidate, an exact LOWER bound (sum of reporting shards) and
+    an UPPER bound (lb + sum of the thresholds of the shards that did
+    NOT report it — a non-reported count can never beat the shard's own
+    cut). This is how a fleet answers "global top tokens" while
+    shipping m rows per shard instead of a vocabulary-sized shuffle.
+    ``true_cnt`` is the full-aggregation certifier (the test pins
+    lb <= true_cnt <= ub for every emitted row; production would skip
+    it). Determinism: ranks tie-break on token; all counts and bounds
+    are integer-exact in both engines. Ranking is on lb (the only
+    thing the truncated protocol can sort on), not true_cnt."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        (F.col("doc_id") % _TOPK_SHARDS).alias("shard"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    sc = tok.groupBy("shard", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.desc("c"), F.asc("token"))
+    kept = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK_M)
+        .drop("rn")
+    )
+    thr = kept.groupBy("shard").agg(F.min("c").cast("long").alias("thr"))
+    tot = thr.agg(F.sum("thr").cast("long").alias("total_thr"))
+    lbs = (
+        kept.join(F.broadcast(thr), "shard")
+        .groupBy("token")
+        .agg(
+            F.sum("c").cast("long").alias("lb"),
+            F.count(F.lit(1)).cast("long").alias("n_shards_kept"),
+            F.sum("thr").cast("long").alias("thr_kept"),
+        )
+    )
+    truth = sc.groupBy("token").agg(F.sum("c").cast("long").alias("true_cnt"))
+    wr = Window.orderBy(F.desc("lb"), F.asc("token"))
+    return (
+        lbs.crossJoin(F.broadcast(tot))
+        .join(truth, "token")
+        .select(
+            "token",
+            "lb",
+            (F.col("lb") + F.col("total_thr") - F.col("thr_kept")).alias("ub"),
+            "n_shards_kept",
+            "true_cnt",
+        )
+        .withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= _TOPK_K)
+        .orderBy("rk")
+    )

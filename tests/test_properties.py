@@ -189,3 +189,26 @@ def test_bitmap_distinct_rollup_semantics(spark):
         assert r.daily_users <= r.rolling7_users <= total_users
         assert r.n_words <= r.daily_users <= r.n_words * _BM_WORD_BITS
     assert rows[0].rolling7_users == rows[0].daily_users
+
+
+def test_sharded_topk_bounds_contract(spark):
+    """q300: every emitted candidate's true count sits inside
+    [lb, ub], ranks follow (lb desc, token) exactly, and a token kept
+    by every shard has a tight bound (ub == lb == true)."""
+    from nfl_predictions_spark.operators.sketches import (
+        _TOPK_K,
+        _TOPK_SHARDS,
+        q300_sharded_topk_bounds,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q300_sharded_topk_bounds(spark, SF_SMOKE).collect()
+    assert len(rows) == _TOPK_K
+    assert [r.rk for r in rows] == list(range(1, _TOPK_K + 1))
+    pairs = [(-r.lb, r.token) for r in rows]
+    assert pairs == sorted(pairs)
+    for r in rows:
+        assert r.lb <= r.true_cnt <= r.ub
+        assert 1 <= r.n_shards_kept <= _TOPK_SHARDS
+        if r.n_shards_kept == _TOPK_SHARDS:
+            assert r.lb == r.ub == r.true_cnt

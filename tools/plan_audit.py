@@ -74,6 +74,7 @@ ALLOW = {
         "q292_k_anonymity",  # fixed k-threshold list (len(_KANON_KS) rows)
         "q295_matryoshka_recall",  # fixed dims list + q41's 5-row query broadcast
         "q296_hamming_ann",  # 5-row packed-query broadcast (q41's shape)
+        "q300_sharded_topk_bounds",  # 1-row total-threshold broadcast
     },
 }
 
