@@ -2369,3 +2369,123 @@ def q297_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q301 — two-sample Kolmogorov-Smirnov statistic via two-level prefix sums
+# ---------------------------------------------------------------------------
+
+_KS_BUCKET_W = 2048.0  # value-range bucket width for the distributed CDF
+
+
+@_q(
+    "q301_ks_test",
+    f"""
+    WITH v AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END AS g2
+      FROM orders
+    ),
+    pv AS (
+      SELECT x, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+      FROM v GROUP BY x
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM pv
+    ),
+    cum AS (
+      SELECT x,
+             CAST(sum(c1) OVER (ORDER BY x) AS BIGINT) AS f1,
+             CAST(sum(c2) OVER (ORDER BY x) AS BIGINT) AS f2
+      FROM pv
+    ),
+    d AS (
+      SELECT x, abs(f1 * tot.n2 - f2 * tot.n1) AS d_num
+      FROM cum CROSS JOIN tot
+    ),
+    best AS (
+      SELECT CAST(max(d_num) AS BIGINT) AS d_num,
+             min(x) FILTER (d_num = (SELECT max(d_num) FROM d)) AS at_x
+      FROM d
+    )
+    SELECT tot.n1, tot.n2, best.d_num,
+           CAST(best.d_num AS DOUBLE) / CAST(tot.n1 * tot.n2 AS DOUBLE) AS d,
+           best.at_x
+    FROM tot CROSS JOIN best
+    """,
+)
+def q301_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, exact and distributed —
+    the distribution-shift test that needs the GLOBAL empirical CDF of
+    both samples (chi2/KL q148/q264 bin first; KS does not). The
+    supremum gap is found without ever sorting the data in one task:
+    per-value counts shuffle once, then the global cumulative counts
+    come from the two-level prefix-sum pattern (fixed-width value
+    buckets -> bucket subtotals -> tiny broadcast bucket-base window ->
+    within-bucket window), the same decomposition q109 uses for token
+    offsets — at 100 TB every stage is value- or bucket-partitioned,
+    nothing global. Exactness: D's numerator is max|F1*n2 - F2*n1|,
+    an INTEGER, so cross-engine equality is exact; the emitted D is one
+    IEEE division. The argmax location ties deterministically to the
+    smallest value."""
+    orders = table(spark, sf_dir, "orders")
+    pv = (
+        orders.select(
+            F.col("o_totalprice").alias("x"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("g1"),
+            F.when(F.col("o_orderstatus") != "F", 1).otherwise(0).alias("g2"),
+        )
+        .groupBy("x")
+        .agg(
+            F.sum("g1").cast("long").alias("c1"),
+            F.sum("g2").cast("long").alias("c2"),
+        )
+    )
+    # two-level prefix sum: per-bucket subtotals, tiny global window over
+    # bucket ids, then a within-bucket ordered window
+    b = pv.withColumn("bkt", F.floor(F.col("x") / F.lit(_KS_BUCKET_W)).cast("long"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        b.groupBy("bkt")
+        .agg(F.sum("c1").alias("b1"), F.sum("c2").alias("b2"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("b1").over(wb), F.lit(0)).cast("long").alias("base1"),
+            F.coalesce(F.sum("b2").over(wb), F.lit(0)).cast("long").alias("base2"),
+        )
+    )
+    ww = Window.partitionBy("bkt").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        b.join(F.broadcast(bases), "bkt")
+        .withColumn("f1", (F.col("base1") + F.sum("c1").over(ww)).cast("long"))
+        .withColumn("f2", (F.col("base2") + F.sum("c2").over(ww)).cast("long"))
+    )
+    tot = pv.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "x",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("dn"),
+    )
+    best = d.groupBy("n1", "n2").agg(
+        F.max("dn").cast("long").alias("d_num"),
+        F.min_by(F.col("x"), F.struct(F.negate(F.col("dn")), F.col("x"))).alias(
+            "at_x"
+        ),
+    )
+    return best.select(
+        "n1",
+        "n2",
+        "d_num",
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ).alias("d"),
+        "at_x",
+    )

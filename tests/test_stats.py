@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_SMOKE
 
 
@@ -190,3 +192,21 @@ def test_isotonic_calibration_invariants(spark):
     ) < 1e-6 * sum(r.n for r in rows)
     n_orders = sum(r.n for r in rows)
     assert n_orders == spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+
+
+def test_ks_test_invariants(spark):
+    """q301: the KS statistic is a valid sup-gap (0 < D <= 1 on these
+    distinct groups), counts reconcile with the table, the argmax
+    location is a real price, and D == d_num/(n1*n2) exactly."""
+    from nfl_predictions_spark.operators.stats import q301_ks_test
+
+    r = q301_ks_test(spark, SF_SMOKE).collect()[0]
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    assert r.n1 + r.n2 == orders.count()
+    assert 0 < r.d_num <= r.n1 * r.n2
+    assert 0.0 < r.d <= 1.0
+    assert r.d == r.d_num / (r.n1 * r.n2)
+    lo, hi = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    assert lo <= r.at_x <= hi

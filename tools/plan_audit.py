@@ -75,6 +75,7 @@ ALLOW = {
         "q295_matryoshka_recall",  # fixed dims list + q41's 5-row query broadcast
         "q296_hamming_ann",  # 5-row packed-query broadcast (q41's shape)
         "q300_sharded_topk_bounds",  # 1-row total-threshold broadcast
+        "q301_ks_test",  # 1-row group-total broadcast (n1, n2)
     },
 }
 
