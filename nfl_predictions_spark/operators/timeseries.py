@@ -2287,3 +2287,127 @@ def q268_m4_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q302 — behavioral Markov chain: transition matrix + stationary distribution
+# ---------------------------------------------------------------------------
+
+_MC_ITERS = 3
+_MC_Q = 10**9  # half-up term quantization (the q293 Bradley-Terry contract)
+
+
+def _mc_oracle() -> str:
+    # unrolled power iteration: v0 uniform over the states present,
+    # v_{k+1}[to] = sum_from round_q(v_k[from] * p(from,to)) / Q
+    it = """
+    v{n} AS (
+      SELECT p.to_t AS state,
+             CAST(sum(CAST(floor(v{p}.pi * p.p * {q} + 0.5) AS BIGINT)) AS BIGINT)
+               AS units
+      FROM p JOIN v{p} ON v{p}.state = p.from_t
+      GROUP BY p.to_t
+    ),
+    vd{n} AS (SELECT state, CAST(units AS DOUBLE) / {q} AS pi FROM v{n})
+    """
+    its = ",".join(
+        it.format(n=i + 1, p=f"d{i}" if i else "0", q=_MC_Q)
+        for i in range(_MC_ITERS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    t AS (
+      SELECT prev AS from_t, event_type AS to_t, CAST(count(*) AS BIGINT) AS c
+      FROM e WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ),
+    rt AS (SELECT from_t, CAST(sum(c) AS BIGINT) AS row_tot FROM t GROUP BY from_t),
+    p AS (
+      SELECT t.from_t, t.to_t, t.c,
+             CAST(t.c AS DOUBLE) / CAST(rt.row_tot AS BIGINT) AS p
+      FROM t JOIN rt ON rt.from_t = t.from_t
+    ),
+    states AS (SELECT DISTINCT to_t AS state FROM t),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM states),
+    v0 AS (SELECT state, 1.0 / ns.n AS pi FROM states CROSS JOIN ns),
+    {its}
+    SELECT s.state,
+           coalesce(rt.row_tot, 0) AS n_out,
+           coalesce(sp.p, 0.0) AS self_p,
+           vd{_MC_ITERS}.pi AS pi
+    FROM states s
+    JOIN vd{_MC_ITERS} ON vd{_MC_ITERS}.state = s.state
+    LEFT JOIN rt ON rt.from_t = s.state
+    LEFT JOIN (SELECT from_t, p FROM p WHERE from_t = to_t) sp
+           ON sp.from_t = s.state
+    ORDER BY s.state
+    """
+
+
+@_q("q302_markov_stationary", _mc_oracle())
+def q302_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral Markov chain over per-user event sequences: the
+    transition matrix comes from ONE user-partitioned lag window over
+    the fact table (the only data-scale stage; transitions partial-
+    aggregate to a |states|^2 frame), then the stationary distribution
+    runs {_MC_ITERS} power-iteration steps entirely on the bounded
+    matrix — each step one broadcast join + 5-term integer sum.
+    Hash-exactness follows the q293 Bradley-Terry contract: every
+    product v[from]*p(from,to) is quantized half-up at 1e-9 and summed
+    as exact integers, so iteration order can never move a bit;
+    p(from,to) itself is an exact integer-ratio division. Emits per
+    state: outgoing transition count, self-loop probability, and the
+    iterated distribution."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.withColumn("prev", F.lag("event_type").over(w))
+    t = (
+        e.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_t"), F.col("event_type").alias("to_t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rt = t.groupBy("from_t").agg(F.sum("c").cast("long").alias("row_tot"))
+    p = t.join(F.broadcast(rt), "from_t").select(
+        "from_t",
+        "to_t",
+        "c",
+        (F.col("c").cast("double") / F.col("row_tot").cast("double")).alias("p"),
+    )
+    states = t.select(F.col("to_t").alias("state")).distinct()
+    ns = states.agg(F.count(F.lit(1)).alias("n"))
+    v = states.crossJoin(F.broadcast(ns)).select(
+        "state", (F.lit(1.0) / F.col("n")).alias("pi")
+    )
+    for _ in range(_MC_ITERS):
+        v = (
+            p.join(F.broadcast(v), p.from_t == v.state)
+            .select(
+                F.col("to_t").alias("state"),
+                F.floor(F.col("pi") * F.col("p") * _MC_Q + F.lit(0.5))
+                .cast("long")
+                .alias("u"),
+            )
+            .groupBy("state")
+            .agg(
+                (F.sum("u").cast("double") / F.lit(float(_MC_Q))).alias("pi")
+            )
+        )
+    sp = p.filter(F.col("from_t") == F.col("to_t")).select(
+        F.col("from_t").alias("state"), F.col("p").alias("self_p")
+    )
+    return (
+        states.join(v, "state")
+        .join(F.broadcast(rt.withColumnRenamed("from_t", "state")), "state", "left")
+        .join(F.broadcast(sp), "state", "left")
+        .select(
+            "state",
+            F.coalesce(F.col("row_tot"), F.lit(0)).cast("long").alias("n_out"),
+            F.coalesce(F.col("self_p"), F.lit(0.0)).alias("self_p"),
+            "pi",
+        )
+        .orderBy("state")
+    )

@@ -200,3 +200,27 @@ def test_m4_decimation_invariants(spark):
     assert sum(r.n_points for r in rows) == total
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_markov_stationary_invariants(spark):
+    """q302: the iterated distribution stays a (quantization-tolerance)
+    probability vector, self-loop probs are valid, and outgoing
+    transition counts reconcile: sum(n_out) == total transitions ==
+    events - users (each user's first event has no predecessor)."""
+    from nfl_predictions_spark.operators.timeseries import (
+        _MC_ITERS,
+        q302_markov_stationary,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q302_markov_stationary(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    total = sum(r.pi for r in rows)
+    assert abs(total - 1.0) < len(rows) * _MC_ITERS * 1e-9
+    for r in rows:
+        assert 0.0 <= r.self_p <= 1.0
+        assert 0.0 <= r.pi <= 1.0
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_out for r in rows) == n_events - n_users

@@ -76,6 +76,7 @@ ALLOW = {
         "q296_hamming_ann",  # 5-row packed-query broadcast (q41's shape)
         "q300_sharded_topk_bounds",  # 1-row total-threshold broadcast
         "q301_ks_test",  # 1-row group-total broadcast (n1, n2)
+        "q302_markov_stationary",  # 1-row state-count broadcast (uniform v0)
     },
 }
 
