@@ -156,6 +156,9 @@ HEADLINE = [
     "q297_isotonic_calibration",
     "q298_label_agreement",
     "q299_bitmap_distinct_rollup",
+    "q300_sharded_topk_bounds",
+    "q301_ks_test",
+    "q302_markov_stationary",
 ]
 
 _METRIC_FIELDS = {
