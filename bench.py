@@ -159,6 +159,8 @@ HEADLINE = [
     "q300_sharded_topk_bounds",
     "q301_ks_test",
     "q302_markov_stationary",
+    "q303_activity_streaks",
+    "q304_grid_range_agg",
 ]
 
 _METRIC_FIELDS = {

@@ -603,3 +603,153 @@ def q277_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q304 — 2-D grid-tile range aggregation (spatial-index pruning shape)
+# ---------------------------------------------------------------------------
+
+_GRID_QW = 5.0  # quantity tile width
+_GRID_PW = 10000.0  # price tile width
+# (rid, qty_lo, qty_hi, price_lo, price_hi) — half-open [lo, hi) rects,
+# deliberately NOT tile-aligned so boundary handling is exercised
+_GRID_RECTS = [
+    (1, 7.0, 33.0, 12500.0, 68000.0),
+    (2, 3.0, 48.0, 2000.0, 99500.0),
+    (3, 20.0, 26.0, 45000.0, 47500.0),
+]
+
+
+def _grid_oracle() -> str:
+    rects = ", ".join(f"({r}, {a}, {b}, {c}, {d})" for r, a, b, c, d in _GRID_RECTS)
+    return f"""
+    WITH rects(rid, qlo, qhi, plo, phi) AS (VALUES {rects}),
+    pts AS (
+      SELECT l_quantity AS q, l_extendedprice AS p,
+             CAST(floor(l_quantity / {_GRID_QW}) AS BIGINT) AS tx,
+             CAST(floor(l_extendedprice / {_GRID_PW}) AS BIGINT) AS ty
+      FROM lineitem
+    ),
+    tiles AS (SELECT tx, ty, count(*) AS c FROM pts GROUP BY tx, ty),
+    cls AS (
+      SELECT r.rid, t.tx, t.ty,
+             (t.tx * {_GRID_QW} >= r.qlo AND (t.tx + 1) * {_GRID_QW} <= r.qhi
+              AND t.ty * {_GRID_PW} >= r.plo
+              AND (t.ty + 1) * {_GRID_PW} <= r.phi) AS is_full
+      FROM rects r JOIN tiles t
+        ON t.tx * {_GRID_QW} < r.qhi AND (t.tx + 1) * {_GRID_QW} > r.qlo
+       AND t.ty * {_GRID_PW} < r.phi AND (t.ty + 1) * {_GRID_PW} > r.plo
+    ),
+    counts AS (
+      SELECT rid,
+             CAST(sum(CASE WHEN is_full THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tiles_full,
+             CAST(sum(CASE WHEN is_full THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_tiles_boundary
+      FROM cls GROUP BY rid
+    ),
+    direct AS (
+      SELECT r.rid, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(round(sum(CAST(p.p AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS revenue
+      FROM rects r JOIN pts p
+        ON p.q >= r.qlo AND p.q < r.qhi AND p.p >= r.plo AND p.p < r.phi
+      GROUP BY r.rid
+    )
+    SELECT CAST(counts.rid AS BIGINT) AS rid, direct.n_rows, direct.revenue,
+           counts.n_tiles_full, counts.n_tiles_boundary
+    FROM counts JOIN direct ON direct.rid = counts.rid
+    ORDER BY rid
+    """
+
+
+@_q("q304_grid_range_agg", _grid_oracle())
+def q304_grid_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D grid-tile range aggregation — the spatial-index pruning
+    shape (quadtree/S2 cells, or a lakehouse's 2-column zone maps):
+    points pre-aggregate once into fixed grid tiles, then a rectangle
+    query decomposes into tiles FULLY inside (answered from the tile
+    partials — no row access) plus BOUNDARY tiles whose rows are
+    rescanned under the exact predicate. At 100 TB the rescan is
+    perimeter-sized (O(sqrt) of the rectangle's area in tiles) — the
+    q226 zone-map decision generalized to two dimensions. Exactness:
+    the full/boundary recomposition must equal a direct predicate
+    evaluation; the DuckDB oracle computes the DIRECT answer (plus the
+    replayed tile classification counts), so the hash match certifies
+    the decomposition's semantics, q299-style. Money sums are exact
+    DECIMAL; tile ids and classification are pure integer/IEEE
+    comparisons on identical constants."""
+    rects = spark.createDataFrame(
+        _GRID_RECTS, "rid long, qlo double, qhi double, plo double, phi double"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+        F.floor(F.col("l_quantity") / _GRID_QW).cast("long").alias("tx"),
+        F.floor(F.col("l_extendedprice") / _GRID_PW).cast("long").alias("ty"),
+    )
+    tiles = pts.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.col("p").cast("decimal(18,2)")).alias("rev"),
+    )
+    inter = (
+        (F.col("tx") * _GRID_QW < F.col("qhi"))
+        & ((F.col("tx") + 1) * _GRID_QW > F.col("qlo"))
+        & (F.col("ty") * _GRID_PW < F.col("phi"))
+        & ((F.col("ty") + 1) * _GRID_PW > F.col("plo"))
+    )
+    full = (
+        (F.col("tx") * _GRID_QW >= F.col("qlo"))
+        & ((F.col("tx") + 1) * _GRID_QW <= F.col("qhi"))
+        & (F.col("ty") * _GRID_PW >= F.col("plo"))
+        & ((F.col("ty") + 1) * _GRID_PW <= F.col("phi"))
+    )
+    cls = tiles.crossJoin(F.broadcast(rects)).filter(inter).withColumn(
+        "is_full", full
+    )
+    counts = cls.groupBy("rid").agg(
+        F.sum(F.when(F.col("is_full"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tiles_full"),
+        F.sum(F.when(F.col("is_full"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_tiles_boundary"),
+    )
+    # full-tile partials: no row access
+    full_part = (
+        cls.filter(F.col("is_full"))
+        .groupBy("rid")
+        .agg(F.sum("c").alias("n"), F.sum("rev").alias("rev"))
+    )
+    # boundary tiles: rescan ONLY those tiles' rows under the predicate
+    bkeys = cls.filter(~F.col("is_full")).select(
+        "rid", "tx", "ty", "qlo", "qhi", "plo", "phi"
+    )
+    bound_part = (
+        pts.join(F.broadcast(bkeys), ["tx", "ty"])
+        .filter(
+            (F.col("q") >= F.col("qlo"))
+            & (F.col("q") < F.col("qhi"))
+            & (F.col("p") >= F.col("plo"))
+            & (F.col("p") < F.col("phi"))
+        )
+        .groupBy("rid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
+    answer = (
+        full_part.unionByName(bound_part)
+        .groupBy("rid")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+    return (
+        counts.join(answer, "rid")
+        .select("rid", "n_rows", "revenue", "n_tiles_full", "n_tiles_boundary")
+        .orderBy("rid")
+    )

@@ -2411,3 +2411,84 @@ def q302_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# ---------------------------------------------------------------------------
+# q303 — gaps-and-islands: activity streaks per user, corpus rollup
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q303_activity_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id,
+             di - CAST(row_number() OVER (PARTITION BY user_id ORDER BY di)
+                       AS BIGINT) AS grp
+      FROM d
+    ),
+    runs AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, grp
+    ),
+    per_user AS (
+      SELECT user_id, CAST(max(len) AS BIGINT) AS best FROM runs GROUP BY user_id
+    ),
+    by_len AS (
+      SELECT len, CAST(count(*) AS BIGINT) AS n_islands FROM runs GROUP BY len
+    ),
+    by_best AS (
+      SELECT best AS len, CAST(count(*) AS BIGINT) AS n_users_best
+      FROM per_user GROUP BY best
+    )
+    SELECT coalesce(by_len.len, by_best.len) AS len,
+           coalesce(by_len.n_islands, 0) AS n_islands,
+           coalesce(by_best.n_users_best, 0) AS n_users_best
+    FROM by_len FULL OUTER JOIN by_best ON by_best.len = by_len.len
+    ORDER BY len
+    """,
+)
+def q303_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands consecutive-day activity streaks — the classic
+    retention question ("longest run of active days") that defeats
+    plain window frames because run length is unbounded. The standard
+    trick stays fully distributed: per user, di - row_number(di) is
+    CONSTANT exactly within a consecutive run, so islands fall out of
+    one user-partitioned window + one (user, grp) aggregate — every
+    stage is user-keyed, nothing global, integer-exact. The corpus
+    rollup is length-bounded (<= the day span): islands of each length
+    and users whose LONGEST streak is that length."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("di"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("di")
+    runs = (
+        d.withColumn("grp", F.col("di") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+    )
+    per_user = runs.groupBy("user_id").agg(F.max("len").cast("long").alias("best"))
+    by_len = runs.groupBy("len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands")
+    )
+    by_best = per_user.groupBy(F.col("best").alias("len")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_best")
+    )
+    return (
+        by_len.join(by_best, "len", "full_outer")
+        .select(
+            "len",
+            F.coalesce(F.col("n_islands"), F.lit(0)).cast("long").alias("n_islands"),
+            F.coalesce(F.col("n_users_best"), F.lit(0))
+            .cast("long")
+            .alias("n_users_best"),
+        )
+        .orderBy("len")
+    )

@@ -47,3 +47,30 @@ def test_hll_daily_sketches_merge_to_overall(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est")
     ).first()["est"]
     assert merged == direct
+
+
+def test_grid_range_agg_decomposition(spark):
+    """q304: the tile decomposition must equal a direct predicate scan
+    for every rectangle (rows and exact-decimal revenue), and each rect
+    intersects at least one tile."""
+    from nfl_predictions_spark.operators.maintenance import (
+        _GRID_RECTS,
+        q304_grid_range_agg,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {r.rid: r for r in q304_grid_range_agg(spark, SF_SMOKE).collect()}
+    assert set(rows) == {r[0] for r in _GRID_RECTS}
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    for rid, qlo, qhi, plo, phi in _GRID_RECTS:
+        direct = li.filter(
+            (F.col("l_quantity") >= qlo) & (F.col("l_quantity") < qhi)
+            & (F.col("l_extendedprice") >= plo) & (F.col("l_extendedprice") < phi)
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("rev"),
+        ).first()
+        assert rows[rid].n_rows == direct.n
+        assert rows[rid].revenue == direct.rev
+        assert rows[rid].n_tiles_full + rows[rid].n_tiles_boundary >= 1

@@ -224,3 +224,21 @@ def test_markov_stationary_invariants(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r.n_out for r in rows) == n_events - n_users
+
+
+def test_activity_streaks_reconcile(spark):
+    """q303: island counts weighted by length must sum to the distinct
+    (user, day) count, users-with-best must sum to the user count, and
+    no streak exceeds the observed day span."""
+    from nfl_predictions_spark.operators.timeseries import q303_activity_streaks
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    rows = q303_activity_streaks(spark, SF_SMOKE).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    assert sum(r.len * r.n_islands for r in rows) == ud.count()
+    assert sum(r.n_users_best for r in rows) == ud.select("user_id").distinct().count()
+    span = ud.select(F.datediff(F.max("d"), F.min("d"))).first()[0] + 1
+    assert max(r.len for r in rows) <= span

@@ -77,6 +77,7 @@ ALLOW = {
         "q300_sharded_topk_bounds",  # 1-row total-threshold broadcast
         "q301_ks_test",  # 1-row group-total broadcast (n1, n2)
         "q302_markov_stationary",  # 1-row state-count broadcast (uniform v0)
+        "q304_grid_range_agg",  # fixed 3-rect list x tile-grid classification
     },
 }
 
