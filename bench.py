@@ -161,6 +161,8 @@ HEADLINE = [
     "q302_markov_stationary",
     "q303_activity_streaks",
     "q304_grid_range_agg",
+    "q305_merkle_sync",
+    "q306_regex_pretokenize",
 ]
 
 _METRIC_FIELDS = {

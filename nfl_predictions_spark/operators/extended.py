@@ -1977,3 +1977,172 @@ def q279_aqe_runtime_replan(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return df
+
+
+# ---------------------------------------------------------------------------
+# q305 — Merkle-tree anti-entropy sync (hierarchical replica drill-down)
+# ---------------------------------------------------------------------------
+
+_MK_LEAVES = 64  # 64 leaves -> 16 -> 4 -> root (fanout 4)
+_MK_FANOUT = 4
+_MK_DROP_MOD = 997  # replica deterministically lacks okey % 997 == 13
+
+
+def _merkle_oracle() -> str:
+    return f"""
+    WITH rowfp AS (
+      SELECT o_orderkey % {_MK_LEAVES} AS leaf,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS STRING) || '|' ||
+                   o_orderstatus || '|' || o_orderpriority), 1, 8)) AS BIGINT)
+               AS fp,
+             (o_orderkey % {_MK_DROP_MOD} = 13) AS dropped
+      FROM orders
+    ),
+    leaves AS (
+      SELECT leaf,
+             CAST(sum(fp) AS BIGINT) AS base_fp,
+             CAST(sum(CASE WHEN dropped THEN 0 ELSE fp END) AS BIGINT)
+               AS repl_fp,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM rowfp GROUP BY leaf
+    ),
+    l1 AS (
+      SELECT leaf // {_MK_FANOUT} AS node,
+             CAST(sum(base_fp) AS BIGINT) AS b, CAST(sum(repl_fp) AS BIGINT) AS r
+      FROM leaves GROUP BY leaf // {_MK_FANOUT}
+    ),
+    l2 AS (
+      SELECT node // {_MK_FANOUT} AS node,
+             CAST(sum(b) AS BIGINT) AS b, CAST(sum(r) AS BIGINT) AS r
+      FROM l1 GROUP BY node // {_MK_FANOUT}
+    ),
+    root AS (SELECT CAST(sum(b) AS BIGINT) AS b, CAST(sum(r) AS BIGINT) AS r FROM l2),
+    s_root AS (
+      SELECT CAST(0 AS BIGINT) AS level, CAST(1 AS BIGINT) AS n_nodes,
+             CAST(1 AS BIGINT) AS n_compared,
+             CAST(CASE WHEN b <> r THEN 1 ELSE 0 END AS BIGINT) AS n_dirty
+      FROM root
+    ),
+    s_l2 AS (
+      SELECT CAST(1 AS BIGINT) AS level,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST({_MK_FANOUT} * (SELECT n_dirty FROM s_root) AS BIGINT)
+               AS n_compared,
+             CAST(sum(CASE WHEN b <> r THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty
+      FROM l2
+    ),
+    s_l1 AS (
+      SELECT CAST(2 AS BIGINT) AS level,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST({_MK_FANOUT} * (SELECT n_dirty FROM s_l2) AS BIGINT)
+               AS n_compared,
+             CAST(sum(CASE WHEN b <> r AND node // {_MK_FANOUT} IN
+                   (SELECT node FROM l2 WHERE b <> r) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dirty
+      FROM l1
+    ),
+    s_leaf AS (
+      SELECT CAST(3 AS BIGINT) AS level,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST({_MK_FANOUT} * (SELECT n_dirty FROM s_l1) AS BIGINT)
+               AS n_compared,
+             CAST(sum(CASE WHEN base_fp <> repl_fp AND leaf // {_MK_FANOUT} IN
+                   (SELECT node FROM l1 WHERE b <> r) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dirty
+      FROM leaves
+    ),
+    ship AS (
+      SELECT CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM rowfp WHERE leaf IN (SELECT leaf FROM leaves WHERE base_fp <> repl_fp)
+    )
+    SELECT level, n_nodes, n_compared, n_dirty,
+           CASE WHEN level = 3 THEN (SELECT n FROM ship)
+                ELSE CAST(0 AS BIGINT) END AS n_rows_to_ship
+    FROM (SELECT * FROM s_root UNION ALL SELECT * FROM s_l2
+          UNION ALL SELECT * FROM s_l1 UNION ALL SELECT * FROM s_leaf)
+    ORDER BY level
+    """
+
+
+@_q("q305_merkle_sync", _merkle_oracle())
+def q305_merkle_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-tree anti-entropy between a base table and a replica
+    missing a deterministic handful of rows — the Cassandra/Dynamo
+    repair shape, and the log-depth upgrade of q270's flat fingerprint
+    buckets: node fingerprints are COMMUTATIVE sums of per-row md5
+    slices, so the whole {_MK_LEAVES}-leaf / fanout-{_MK_FANOUT} tree
+    falls out of ONE scan + three tiny shuffle-free rollups, and the
+    sync protocol compares root -> only children of dirty nodes ->
+    dirty leaves. Emitted per level: node count, how many fingerprints
+    the protocol actually ships (fanout x dirty parents — the log-depth
+    saving vs comparing all {_MK_LEAVES} leaves), how many differ, and
+    finally the rows a repair would transfer. At 100 TB the per-level
+    frames are tree-sized, never data-sized, and the leaf scan is the
+    only pass over the table. Integer-exact in both engines."""
+    orders = table(spark, sf_dir, "orders")
+    rowfp = orders.select(
+        (F.col("o_orderkey") % _MK_LEAVES).alias("leaf"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.col("o_orderpriority"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("fp"),
+        (F.col("o_orderkey") % _MK_DROP_MOD == 13).alias("dropped"),
+    )
+    leaves = rowfp.groupBy("leaf").agg(
+        F.sum("fp").cast("long").alias("base_fp"),
+        F.sum(F.when(F.col("dropped"), 0).otherwise(F.col("fp")))
+        .cast("long")
+        .alias("repl_fp"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).cast("long").alias("n_drop"),
+    ).localCheckpoint()
+    l1 = leaves.groupBy(F.floor(F.col("leaf") / _MK_FANOUT).alias("node")).agg(
+        F.sum("base_fp").cast("long").alias("b"),
+        F.sum("repl_fp").cast("long").alias("r"),
+    ).localCheckpoint()
+    l2 = l1.groupBy(F.floor(F.col("node") / _MK_FANOUT).alias("node")).agg(
+        F.sum("b").cast("long").alias("b"), F.sum("r").cast("long").alias("r")
+    ).localCheckpoint()
+    root_dirty = 1 if l2.agg(
+        (F.sum("b") != F.sum("r")).alias("d")
+    ).first().d else 0
+    l2d = l2.filter(F.col("b") != F.col("r"))
+    n_l2_dirty = l2d.count()
+    l1d = l1.join(
+        F.broadcast(l2d.select(F.floor(F.col("node")).alias("pn"))),
+        F.floor(F.col("node") / _MK_FANOUT) == F.col("pn"),
+    ).filter(F.col("b") != F.col("r"))
+    n_l1_dirty = l1d.count()
+    leafd = leaves.join(
+        F.broadcast(l1d.select(F.col("node").alias("pn"))),
+        F.floor(F.col("leaf") / _MK_FANOUT) == F.col("pn"),
+    ).filter(F.col("base_fp") != F.col("repl_fp"))
+    n_leaf_dirty = leafd.count()
+    n_ship = leafd.agg(F.coalesce(F.sum("n_drop"), F.lit(0))).first()[0]
+    n_l1 = l1.count()
+    n_l2 = l2.count()
+    n_leaves = leaves.count()
+    data = [
+        (0, 1, 1, root_dirty, 0),
+        (1, n_l2, _MK_FANOUT * root_dirty, n_l2_dirty, 0),
+        (2, n_l1, _MK_FANOUT * n_l2_dirty, n_l1_dirty, 0),
+        (3, n_leaves, _MK_FANOUT * n_l1_dirty, n_leaf_dirty, int(n_ship)),
+    ]
+    return spark.createDataFrame(
+        data,
+        "level long, n_nodes long, n_compared long, n_dirty long, "
+        "n_rows_to_ship long",
+    ).orderBy("level")

@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nfl_predictions_spark.sources.tables import table
+from nfl_predictions_spark.sources.tables import spread, table
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -505,4 +505,93 @@ def q249_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q306 — regex pre-tokenizer (GPT-2-style class splitting) corpus stats
+# ---------------------------------------------------------------------------
+
+# Lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree exactly:
+# contraction suffixes | space?letters | space?digits | space?punct-run
+_PRETOK_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9' ]+"
+
+
+def _pretok_oracle() -> str:
+    pat = _PRETOK_RE.replace("'", "''")
+    return f"""
+    WITH enriched AS (
+      -- the fixture text is all-lowercase words; append a deterministic
+      -- per-doc tail with digits, punctuation and a contraction so all
+      -- four token classes are exercised
+      SELECT text || ' Doc ' || CAST(doc_id AS STRING) || ', sized ' ||
+             CAST(n_chars AS STRING) || ' chars; it''s split.' AS text
+      FROM documents
+    ),
+    tok AS (
+      SELECT unnest(regexp_extract_all(text, '{pat}')) AS t FROM enriched
+    ),
+    cls AS (
+      SELECT t, substr(ltrim(t, ' '), 1, 1) AS c FROM tok
+    ),
+    lab AS (
+      SELECT t,
+             CASE WHEN c >= '0' AND c <= '9' THEN 'digit'
+                  WHEN (c >= 'A' AND c <= 'Z') OR (c >= 'a' AND c <= 'z')
+                    THEN 'letter'
+                  WHEN c = '''' THEN 'contraction'
+                  ELSE 'punct' END AS tok_class
+      FROM cls
+    )
+    SELECT tok_class, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars
+    FROM lab GROUP BY tok_class ORDER BY tok_class
+    """
+
+
+@_q("q306_regex_pretokenize", _pretok_oracle())
+def q306_regex_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style regex PRE-tokenization — the class-splitting pass
+    (contraction suffixes, space-prefixed letter runs, digit runs,
+    punctuation runs) that runs before BPE merges (q160/q162 train and
+    apply the merges; this is the stage that feeds them, the brief's
+    'BPE-ish regex' token counting). The pattern is deliberately
+    lookahead-free so Spark's Java regex and DuckDB's RE2 extract
+    IDENTICAL token streams — the hash match certifies cross-engine
+    tokenizer parity token-for-token, which is exactly the property a
+    training pipeline must pin before trusting token counts from mixed
+    engines. One scan, one explode, one class-sized aggregate;
+    class labels come from ASCII range comparisons (identical
+    collation-free semantics in both engines)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(", sized "),
+        F.col("n_chars").cast("string"),
+        F.lit(" chars; it's split."),
+    )
+    tok = docs.select(
+        F.explode(
+            F.regexp_extract_all(enriched, F.lit(_PRETOK_RE), F.lit(0))
+        ).alias("t")
+    )
+    c = F.substring(F.ltrim(F.col("t")), 1, 1)
+    lab = tok.withColumn(
+        "tok_class",
+        F.when((c >= "0") & (c <= "9"), "digit")
+        .when(((c >= "A") & (c <= "Z")) | ((c >= "a") & (c <= "z")), "letter")
+        .when(c == "'", "contraction")
+        .otherwise("punct"),
+    )
+    return (
+        lab.groupBy("tok_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_distinct("t").cast("long").alias("n_types"),
+            F.sum(F.length("t")).cast("long").alias("total_chars"),
+        )
+        .orderBy("tok_class")
     )

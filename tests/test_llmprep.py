@@ -267,3 +267,34 @@ def test_label_agreement_kappa_bounds(spark):
         assert r.po > r.pe
         assert 0.35 < r.kappa < 0.60
         assert abs(r.po - r.agree / r.n) < 1e-15
+
+
+def test_regex_pretokenize_classes(spark):
+    """q306: all four pre-token classes appear, each token belongs to
+    exactly one class (counts partition the stream), and re-joining the
+    extracted tokens reconstructs every enriched document exactly (the
+    pattern tiles the text with no gaps on this corpus)."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.tokenizer import (
+        _PRETOK_RE,
+        q306_regex_pretokenize,
+    )
+
+    rows = {r.tok_class: r for r in q306_regex_pretokenize(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"contraction", "digit", "letter", "punct"}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    enriched = F.concat(
+        F.col("text"), F.lit(" Doc "), F.col("doc_id").cast("string"),
+        F.lit(", sized "), F.col("n_chars").cast("string"),
+        F.lit(" chars; it's split."),
+    )
+    bad = docs.select(
+        enriched.alias("e"),
+        F.concat_ws(
+            "", F.regexp_extract_all(enriched, F.lit(_PRETOK_RE), F.lit(0))
+        ).alias("j"),
+    ).filter(F.col("e") != F.col("j"))
+    assert bad.count() == 0
+    total_chars = docs.select(F.sum(F.length(enriched))).first()[0]
+    assert sum(r.total_chars for r in rows.values()) == total_chars

@@ -76,3 +76,34 @@ def test_constraint_audit_finds_real_violations(spark):
     plan = q166_constraint_audit(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("orders.parquet") <= 2
     assert plan.count("lineitem.parquet") <= 2
+
+
+def test_merkle_sync_drilldown_contract(spark):
+    """q305: the drill-down never compares more than fanout x dirty
+    parents, dirty counts never exceed compared counts, every level's
+    dirty set is non-empty down to the leaves (the replica provably
+    lacks rows at SF_SMOKE), and the shipped-row count equals the
+    deterministic drop count."""
+    from nfl_predictions_spark.operators.extended import (
+        _MK_DROP_MOD,
+        _MK_FANOUT,
+        q305_merkle_sync,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.level: r for r in q305_merkle_sync(spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[0].n_nodes == 1 and rows[0].n_compared == 1
+    for lvl in (1, 2, 3):
+        assert rows[lvl].n_compared == _MK_FANOUT * rows[lvl - 1].n_dirty
+        assert rows[lvl].n_dirty <= rows[lvl].n_compared
+        assert rows[lvl].n_compared <= rows[lvl].n_nodes
+    dropped = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .filter(F.col("o_orderkey") % _MK_DROP_MOD == 13)
+        .count()
+    )
+    assert dropped >= 1
+    assert rows[0].n_dirty == 1
+    assert rows[3].n_rows_to_ship == dropped
