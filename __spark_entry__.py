@@ -64,20 +64,16 @@ def _registry():
     # The first ~50 entries are the driver's conformance window. Rounds 1-2
     # proved the full §2B canonical set (Q01..Q40 green twice); round 3
     # proved the llmprep/curation/warehouse/skew/timeseries/text/multimodal
-    # /modern suites (50 rows, 0 failures); round 4 proved the TPC-H macro
-    # tier, statistics, tokenizer, MV/CDC, ANN-recall, dedup, and
-    # curation-selection suites (50 rows, all hash-green). Round 5 rotates
-    # onto the q213-q266 block that so far has only local-sweep +
-    # driver_sim evidence (VERDICT r04 next-round #2): the same 8
-    # sentinels (one proven-green entry per family, so a regression
-    # anywhere still shows) + 42 first-time oracle-backed entries —
-    # sketches, graph, composed ANN (PQ/IVFPQ/filtered), stream-stream
-    # join, warehouse maintenance (SCD2/backfill/LSM/zone-map/bloom),
-    # timeseries (EWMA/rolling-corr/seasonal/Holt), robust statistics,
-    # text retrieval (phrase/eval/hard-negatives/keyphrases), and
-    # curation (representation audit/curriculum/leakage). The 12
-    # remaining q213-q266 entries plus the round-2 llmprep leftovers
-    # (q106-q129) are round 6's rotation.
+    # /modern suites; round 4 the TPC-H macro tier + statistics/tokenizer/
+    # MV-CDC/ANN-recall suites; round 5 the q213-q266 block — all 50 rows
+    # hash-green every round. Round 6 rotates per VERDICT r05 #1 /
+    # NOTES "Round-6 rotation plan": the same 8 sentinels + 42 first-time
+    # oracle-backed entries, prioritized (1) the TPC-H macro completions
+    # q280-q291, (2) the round-5 operator families q267/q270-q279/
+    # q292-q304 (record linkage, MMR, SemDeDup, matryoshka/Hamming ANN,
+    # CBO/AQE/bloom/skew join machinery, DV reads, k-core, grouped
+    # logreg, Bradley-Terry, isotonic, KS test), (3) the head of the
+    # SQL-surface block q44-q104. Computed by tools/rotate_window.py.
     window = [
         # sentinels — one proven-green entry per family
         "q12_agg_pricing_summary",
@@ -88,57 +84,51 @@ def _registry():
         "q39_minhash_lsh_pairs",
         "q40_token_stats",
         "q41_ann_topk",
-        # sketches / graph / tokenizer
-        "q213_countmin_heavy_hitters",
-        "q215_label_propagation",
-        "q216_unigram_viterbi_tokenize",
-        # composed ANN production paths
-        "q219_pq_ann",
-        "q224_ivfpq_ann",
-        "q229_filtered_ann",
-        # streaming + Arrow surfaces
-        "q225_stream_stream_left_join",
-        "q222_map_in_arrow",
-        # warehouse maintenance / storage layout
-        "q221_mv_retraction",
-        "q226_zone_map_pruning",
-        "q228_scd2_merge_apply",
-        "q232_aggregate_backfill_diff",
-        "q237_join_skew_profile",
-        "q238_bloom_file_pruning",
-        "q239_lsm_compaction",
-        # timeseries
-        "q214_ewma_smoothing",
-        "q230_changepoint_binary_seg",
-        "q240_rolling_corr",
-        "q242_interval_union_length",
-        "q243_nearest_asof_join",
-        "q252_seasonal_decompose",
-        "q263_holt_linear",
-        "q264_weekly_drift",
-        # robust statistics
-        "q217_theilsen_slope",
-        "q236_robust_scaler_stats",
-        "q250_auc_calibration",
-        "q255_quantile_normalization",
-        # text retrieval / dedup
-        "q218_ngram_novelty",
-        "q231_phrase_search",
-        "q241_weighted_jaccard_pairs",
-        "q245_semantic_decontam",
-        "q251_retrieval_eval",
-        "q253_hard_negatives",
-        "q260_dedup_savings",
-        "q261_source_token_entropy",
-        "q266_doc_keyphrases",
-        # curation / mixture
-        "q223_temperature_balance",
-        "q234_representation_audit",
-        "q235_nested_samples",
-        "q247_curriculum_order",
-        "q248_split_leakage_audit",
-        # hierarchy
-        "q265_hierarchy_rollup",
+        # TPC-H macro completions (never driver-checked headline tier)
+        "q280_tpch_q6",
+        "q281_tpch_q2",
+        "q282_tpch_q7",
+        "q283_tpch_q8",
+        "q284_tpch_q9",
+        "q285_tpch_q11",
+        "q286_tpch_q12",
+        "q287_tpch_q13",
+        "q288_tpch_q15",
+        "q289_tpch_q16",
+        "q290_tpch_q19",
+        "q291_tpch_q20",
+        # round-5 operator families
+        "q267_record_linkage",
+        "q273_mmr_rerank",
+        "q274_semdedup",
+        "q295_matryoshka_recall",
+        "q296_hamming_ann",
+        "q270_replica_reconciliation",
+        "q271_window_group_limit",
+        "q278_cbo_join_reorder",
+        "q279_aqe_runtime_replan",
+        "q272_runtime_bloom_join",
+        "q276_hybrid_skew_join",
+        "q299_bitmap_distinct_rollup",
+        "q300_sharded_topk_bounds",
+        "q277_deletion_vector_read",
+        "q304_grid_range_agg",
+        "q302_markov_stationary",
+        "q303_activity_streaks",
+        "q294_kcore",
+        "q292_k_anonymity",
+        "q298_label_agreement",
+        "q275_grouped_logreg",
+        "q293_bradley_terry",
+        "q297_isotonic_calibration",
+        "q301_ks_test",
+        # head of the SQL-surface block
+        "q94_nearest_centroid",
+        "q98_fuzzy_match",
+        "q44_pivot",
+        "q44b_unpivot",
+        "q45_percentiles",
+        "q46_scalar_subquery",
     ]
     ordered: dict[str, Callable] = {}
     for name in window:

@@ -1642,13 +1642,17 @@ def q250_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUC comes from the Mann-Whitney rank-sum with proper TIE handling
     (average rank per tied score group — scores here are 24 distinct
     ratios, so ties are the norm, and the naive untied formula is
-    simply wrong): ranks are integers averaged over exact windows, so
-    (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) is exact rational
-    arithmetic rounded once. Calibration = decile-binned exact positive
-    rates next to the same AUC on every row. One global (score,
-    event_id) sort is the only corpus-wide work; at scale the rank-sum
-    decomposes by score bucket exactly like q109's two-phase prefix
-    sum.
+    simply wrong). No per-row ranking ever happens: the average tied
+    rank of a score group is cum_count_below + (n_group + 1)/2, so the
+    rank-sum decomposes into ONE map-side-combinable per-score
+    aggregate (at most 24 rows — scores are hour-of-day ratios)
+    followed by a prefix sum over that bounded frame. Ranks stay exact
+    half-integers, so (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) is
+    exact rational arithmetic rounded once, identical to the oracle's
+    per-row row_number/avg formulation. Calibration = decile-binned
+    exact positive rates next to the same AUC on every row. The only
+    corpus-wide work is two hash aggregates keyed on hour/score —
+    nothing sorts the events table (VERDICT r05 wrong-item #1).
     """
     ev = table(spark, sf_dir, "events")
     hr = ev.groupBy(F.hour("ts").cast("long").alias("h")).agg(
@@ -1665,17 +1669,23 @@ def q250_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos").cast("double") / F.col("n")).alias("score"),
         )
     )
-    wr = Window.orderBy("score", "event_id")
-    wt = Window.partitionBy("score")
-    rk = sc.withColumn(
-        "rnk", F.row_number().over(wr).cast("double")
-    ).withColumn("tie_rank", F.avg("rnk").over(wt))
-    agg = rk.agg(
-        F.sum("y").alias("np"),
-        (F.count(F.lit(1)) - F.sum("y")).alias("nn"),
-        F.sum(F.when(F.col("y") == 1, F.col("tie_rank")).otherwise(0.0)).alias(
-            "rsum"
-        ),
+    # Per-score-group counts: the score is a per-hour ratio, so this
+    # frame has at most 24 rows. The empty-partition window below runs
+    # over THAT bounded frame, never the events table.
+    grp = sc.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("y").alias("npos_s")
+    )
+    wcum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    tie = grp.withColumn(
+        "cum_below", F.coalesce(F.sum("n_s").over(wcum), F.lit(0))
+    ).withColumn(
+        "tie_rank",
+        F.col("cum_below") + (F.col("n_s") + F.lit(1)) / F.lit(2.0),
+    )
+    agg = tie.agg(
+        F.sum("npos_s").alias("np"),
+        (F.sum("n_s") - F.sum("npos_s")).alias("nn"),
+        F.sum(F.col("npos_s") * F.col("tie_rank")).alias("rsum"),
     )
     auc = F.round(
         (F.col("rsum") - F.col("np") * (F.col("np") + 1) / 2.0)

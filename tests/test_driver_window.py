@@ -20,50 +20,50 @@ EXPECTED_WINDOW = [
     "q39_minhash_lsh_pairs",
     "q40_token_stats",
     "q41_ann_topk",
-    # round-5 rotation: 42 first-time entries from the q213-q266 block
-    # (VERDICT r04 next-round #2)
-    "q213_countmin_heavy_hitters",
-    "q215_label_propagation",
-    "q216_unigram_viterbi_tokenize",
-    "q219_pq_ann",
-    "q224_ivfpq_ann",
-    "q229_filtered_ann",
-    "q225_stream_stream_left_join",
-    "q222_map_in_arrow",
-    "q221_mv_retraction",
-    "q226_zone_map_pruning",
-    "q228_scd2_merge_apply",
-    "q232_aggregate_backfill_diff",
-    "q237_join_skew_profile",
-    "q238_bloom_file_pruning",
-    "q239_lsm_compaction",
-    "q214_ewma_smoothing",
-    "q230_changepoint_binary_seg",
-    "q240_rolling_corr",
-    "q242_interval_union_length",
-    "q243_nearest_asof_join",
-    "q252_seasonal_decompose",
-    "q263_holt_linear",
-    "q264_weekly_drift",
-    "q217_theilsen_slope",
-    "q236_robust_scaler_stats",
-    "q250_auc_calibration",
-    "q255_quantile_normalization",
-    "q218_ngram_novelty",
-    "q231_phrase_search",
-    "q241_weighted_jaccard_pairs",
-    "q245_semantic_decontam",
-    "q251_retrieval_eval",
-    "q253_hard_negatives",
-    "q260_dedup_savings",
-    "q261_source_token_entropy",
-    "q266_doc_keyphrases",
-    "q223_temperature_balance",
-    "q234_representation_audit",
-    "q235_nested_samples",
-    "q247_curriculum_order",
-    "q248_split_leakage_audit",
-    "q265_hierarchy_rollup",
+    # round-6 rotation: 42 first-time entries per VERDICT r05 #1 —
+    # TPC-H completions, round-5 families, head of the SQL-surface block
+    "q280_tpch_q6",
+    "q281_tpch_q2",
+    "q282_tpch_q7",
+    "q283_tpch_q8",
+    "q284_tpch_q9",
+    "q285_tpch_q11",
+    "q286_tpch_q12",
+    "q287_tpch_q13",
+    "q288_tpch_q15",
+    "q289_tpch_q16",
+    "q290_tpch_q19",
+    "q291_tpch_q20",
+    "q267_record_linkage",
+    "q273_mmr_rerank",
+    "q274_semdedup",
+    "q295_matryoshka_recall",
+    "q296_hamming_ann",
+    "q270_replica_reconciliation",
+    "q271_window_group_limit",
+    "q278_cbo_join_reorder",
+    "q279_aqe_runtime_replan",
+    "q272_runtime_bloom_join",
+    "q276_hybrid_skew_join",
+    "q299_bitmap_distinct_rollup",
+    "q300_sharded_topk_bounds",
+    "q277_deletion_vector_read",
+    "q304_grid_range_agg",
+    "q302_markov_stationary",
+    "q303_activity_streaks",
+    "q294_kcore",
+    "q292_k_anonymity",
+    "q298_label_agreement",
+    "q275_grouped_logreg",
+    "q293_bradley_terry",
+    "q297_isotonic_calibration",
+    "q301_ks_test",
+    "q94_nearest_centroid",
+    "q98_fuzzy_match",
+    "q44_pivot",
+    "q44b_unpivot",
+    "q45_percentiles",
+    "q46_scalar_subquery",
 ]
 
 
