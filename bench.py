@@ -163,6 +163,15 @@ HEADLINE = [
     "q304_grid_range_agg",
     "q305_merkle_sync",
     "q306_regex_pretokenize",
+    # round-6: the six ex-single-partition order-statistic queries
+    # (VERDICT r05 #7) — now bucket-decomposed; benched so any
+    # regression back to a global sort shows up as a wall-time cliff
+    "q250_auc_calibration",
+    "q198_conversion_latency",
+    "q256_session_quality",
+    "q204_rfm_segmentation",
+    "q211_pareto_concentration",
+    "q174_sorted_neighborhood",
 ]
 
 _METRIC_FIELDS = {
@@ -234,16 +243,27 @@ def main() -> None:
     per_query_min: dict[str, float] = {}
     telemetry: dict[str, dict[str, float]] = {}
     total = 0.0
+    construct_secs: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
-        df = queries[name](spark, sf_dir)
+        # The builder call runs INSIDE the timed region (ADVICE r05 #1):
+        # several queries do real work eagerly at construction (staged
+        # stores, iterative peel loops, driver-action probes), and timing
+        # only the final noop write under-reported them. Each run
+        # re-constructs, so the median reflects steady-state (fixture
+        # caches staged by an earlier run stay staged — that is the
+        # store's contract, and run 1's staging cost is median-filtered).
         runs: list[float] = []
+        constructs: list[float] = []
         for i in range(n_runs):
             before = _stage_totals(spark) if i == 0 else None
             t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            t_built = time.time()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+            constructs.append(t_built - t0)
             if i == 0 and before is not None:
                 after = _stage_totals(spark, settle=True)
                 if after is not None:
@@ -254,6 +274,11 @@ def main() -> None:
         med = round(statistics.median(runs), 3)
         per_query[name] = med
         per_query_min[name] = round(min(runs), 3)
+        med_construct = round(statistics.median(constructs), 3)
+        # Flag eager-construction queries (ADVICE r05 #1): construction
+        # doing >20% of the work means the plan executes before the write.
+        if med > 0.05 and med_construct > 0.2 * med:
+            construct_secs[name] = med_construct
         total += med
 
     # Emission contract (VERDICT r04 "Next round" #1): the driver captures
@@ -269,6 +294,9 @@ def main() -> None:
         "queries_min": per_query_min,
         "runs_per_query": n_runs,
         "telemetry_mb": telemetry,
+        # queries whose construction does >20% of their work eagerly
+        # (driver actions / staged stores before the timed write)
+        "eager_construct_sec": construct_secs,
         "sf": sf,
     }
     detail_path = os.path.join(
@@ -293,7 +321,19 @@ def main() -> None:
         "queries_detail": detail_path,
     }
     line = json.dumps(summary)
-    assert len(line) < 1000, f"summary line {len(line)}B breaks driver capture"
+    if len(line) >= 1000:
+        # Never let an oversized line discard a finished run (ADVICE r05
+        # #4): degrade by dropping optional keys until it fits.
+        print(
+            f"WARNING: summary line {len(line)}B exceeds driver capture; "
+            "truncating optional keys",
+            file=sys.stderr,
+        )
+        for key in ("queries_detail", "n_queries", "runs_per_query"):
+            summary.pop(key, None)
+            line = json.dumps(summary)
+            if len(line) < 1000:
+                break
     print(line)
 
 

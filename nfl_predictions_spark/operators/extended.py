@@ -143,14 +143,43 @@ def q47_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_path(sf_dir: str, kind: str, sources: tuple = ("events",)) -> str:
+    """Staging dir under /tmp keyed by sf-dir basename + a size+mtime
+    fingerprint of the source parquet(s), with GC of superseded copies
+    of the same (kind, sf) — the q164/_cbo_tables/write_bucketed_tables
+    discipline (ADVICE r05 #2): a regenerated fixture at the same path
+    mints a new fingerprint and can never silently reuse stale staged
+    data."""
+    import hashlib
+    import shutil
+
+    fp = hashlib.md5()
+    for t in sources:
+        try:
+            st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+            fp.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            fp.update(f"{t}:missing".encode())
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "nfl_predictions_spark")
+    prefix = f"{kind}_{base}"
+    out = os.path.join(root, f"{prefix}_{fp.hexdigest()[:10]}")
+    try:
+        for name in os.listdir(root):
+            if (
+                (name == prefix or name.startswith(prefix + "_"))
+                and os.path.join(root, name) != out
+            ):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    except OSError:
+        pass
+    return out
+
+
 def events_by_day_path(spark: SparkSession, sf_dir: str) -> str:
     """Stage (once) the events table re-partitioned by event date —
     the layout that enables static and dynamic partition pruning."""
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "nfl_predictions_spark",
-        f"events_by_day_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = _staged_path(sf_dir, "events_by_day")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         (
@@ -193,11 +222,7 @@ def q48_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q49_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON lines round-trip with an explicit schema (no inference scan):
     write a projection of events as JSONL, read it back typed."""
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "nfl_predictions_spark",
-        f"events_json_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = _staged_path(sf_dir, "events_json")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         table(spark, sf_dir, "events").select(
@@ -1303,12 +1328,22 @@ def q204_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: every customer scored into recency/frequency/
     monetary quintiles (higher = more recent / frequent / valuable) and
     rolled up to segment cells with key checksums — the classic
-    marketing micro-segmentation as three deterministic ntile windows
-    over the |customers|-sized aggregate (never the fact table), with
-    custkey tie-breaks so quintile boundaries are engine-identical.
-    Monetary rides exact DECIMAL so the ordering cannot be moved by
-    summation order.
+    marketing micro-segmentation, with custkey tie-breaks so quintile
+    boundaries are engine-identical. Monetary rides exact DECIMAL so
+    the ordering cannot be moved by summation order.
+
+    No global ntile sort (VERDICT r05 wrong-item #4): ntile(5) over a
+    (value, custkey) total order is a pure function of global rank vs
+    the 4 cut ranks k_j = j*(n div 5) + min(j, n mod 5), so per
+    dimension the histogram-narrowed rank select extracts the exact
+    (value, custkey) sort-key TUPLE at each cut rank (tuples, not
+    values — a cut can split a tie group, and the tuple comparison
+    reproduces ntile's row-exact boundary), and every customer is
+    scored with 4 broadcast struct comparisons per dimension. The
+    customers-sized frame is never sorted in one task.
     """
+    from nfl_predictions_spark.operators.timeseries import _rank_select_values
+
     rfm = (
         table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("custkey"))
@@ -1317,13 +1352,35 @@ def q204_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
         )
+        # integer, order-isomorphic images of the three sort keys
+        .withColumn("r_ord", F.datediff("last_order", F.lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("f_ord", F.col("frequency").cast("long"))
+        .withColumn("m_ord", (F.col("monetary") * 100).cast("long"))
     )
-    scored = rfm.select(
-        "custkey",
-        F.ntile(5).over(Window.orderBy("last_order", "custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("monetary", "custkey")).alias("m_score"),
-    )
+    cut_ranks = {
+        f"c{j}": (
+            lambda n, j=j: F.floor(n / 5) * j + F.least(F.lit(j), n % 5)
+        )
+        for j in range(1, 5)
+    }
+    scored = rfm
+    dims = [("r", "r_ord", 32), ("f", "f_ord", 1), ("m", "m_ord", 1_000_000)]
+    for d, ordcol, width in dims:
+        cuts = _rank_select_values(
+            rfm.select("custkey", ordcol),
+            ordcol,
+            ["custkey"],
+            width,
+            cut_ranks,
+            pick_struct=True,
+        ).select(*[F.col(f"c{j}").alias(f"{d}_c{j}") for j in range(1, 5)])
+        scored = scored.crossJoin(F.broadcast(cuts))
+    for d, ordcol, _ in dims:
+        probe = F.struct(F.col(ordcol), F.col("custkey"))
+        score = F.lit(1)
+        for j in range(1, 5):
+            score = score + (probe > F.col(f"{d}_c{j}")).cast("int")
+        scored = scored.withColumn(f"{d}_score", score)
     return (
         scored.groupBy(
             F.col("r_score").cast("long").alias("r_score"),
@@ -1374,31 +1431,47 @@ def q205_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling is worth wiring in, as a query (measure, don't guess).
 
     Gini via the rank formula sum((2i - n - 1) * x_i) / (n * total)
-    over counts sorted ascending: every term is exact integer
-    arithmetic, so the only float op is the final division — the
-    statistic is hash-exact. Shape: one map-side-combinable count, one
-    |keys|-sized rank window, one 1-row reduce.
+    over counts sorted ascending — but with NO per-key ranking (VERDICT
+    r05's single-partition-window family): ranks within a tie group of
+    g equal counts are g consecutive integers, so the group's
+    contribution has the closed form cnt * g * (2*cum_below + g - n),
+    and the whole statistic reduces to one aggregate per DISTINCT
+    count value (a bounded frame: lineitems-per-order takes a handful
+    of values) plus a prefix sum over it. Every term stays exact
+    integer arithmetic; the only float op is the final division — the
+    statistic is hash-exact against the oracle's per-row rank formula.
     """
     k = (
         table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey").alias("key"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    r = (
-        k.withColumn("rn", F.row_number().over(Window.orderBy("cnt", "key")))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
-        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    g = k.groupBy("cnt").agg(F.count(F.lit(1)).alias("gs"))
+    wv = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = g.withColumn(
+        "cb", F.coalesce(F.sum("gs").over(wv), F.lit(0))
+    ).withColumn("n", F.sum("gs").over(Window.partitionBy()))
+    contrib = (
+        F.col("cnt")
+        * F.col("gs")
+        * (2 * F.col("cb") + F.col("gs") - F.col("n"))
     )
-    return r.agg(
+    a = offs.agg(
         F.any_value("n").alias("n_keys"),
-        F.any_value("total").alias("n_rows"),
+        F.sum(F.col("cnt") * F.col("gs")).alias("n_rows"),
         F.max("cnt").alias("max_key_rows"),
+        F.sum(contrib).alias("gnum"),
+    )
+    return a.select(
+        F.col("n_keys").cast("long"),
+        F.col("n_rows").cast("long"),
+        F.col("max_key_rows").cast("long"),
         F.round(
-            F.max("cnt").cast("double") / F.any_value("total"), 6
+            F.col("max_key_rows").cast("double") / F.col("n_rows"), 6
         ).alias("top_key_share"),
         F.round(
-            F.sum((2 * F.col("rn") - F.col("n") - 1) * F.col("cnt")).cast("double")
-            / (F.any_value("n").cast("double") * F.any_value("total")),
+            F.col("gnum").cast("double")
+            / (F.col("n_keys").cast("double") * F.col("n_rows")),
             6,
         ).alias("gini"),
     )
@@ -1445,7 +1518,16 @@ def q211_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 80% threshold compares 5*cum >= 4*total in exact DECIMAL — an
     integer-scaled inequality with no 0.8 float anywhere — and the
     cut rank is deterministic via the (revenue DESC, custkey) total
-    order. Windows run over the |customers|-sized aggregate.
+    order.
+
+    No customers-sized running-sum window (VERDICT r05 wrong-item #5):
+    a two-level prefix sum bucketed by revenue ($10k-wide buckets, a
+    bounded frame) yields each bucket's cumulative count/revenue
+    offsets; the 80%-crossing rank and the n/5-th rank each live in
+    exactly one bucket (cum is strictly increasing), so pass 2 ranks
+    and running-sums ONLY those ≤2 buckets' rows, offset by the
+    broadcast bucket prefixes. Exact-decimal addition is associative,
+    so the decomposed cum equals the oracle's row-at-a-time window.
     """
     from pyspark.sql import Window
 
@@ -1453,29 +1535,53 @@ def q211_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        # rev DESC order == bucket DESC then rev DESC within bucket
+        .withColumn("b", F.expr("CAST(rev * 100 AS BIGINT) div 1000000"))
     )
-    wo = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    r = (
-        c.withColumn("rn", F.row_number().over(wo))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
-        .withColumn("total", F.sum("rev").over(Window.partitionBy()))
+    g = c.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("rev").alias("brev")
+    )
+    wd = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, -1)
+    zero = F.lit(0).cast(dict(g.dtypes)["brev"])
+    offs = (
+        g.withColumn("cum_cnt_before", F.coalesce(F.sum("cnt").over(wd), F.lit(0)))
+        .withColumn("cum_rev_before", F.coalesce(F.sum("brev").over(wd), zero))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+        .withColumn("total", F.sum("brev").over(Window.partitionBy()))
+        .withColumn("n5", F.floor(F.col("n") / 5))
+    )
+    is80 = (5 * F.col("cum_rev_before") < 4 * F.col("total")) & (
+        5 * (F.col("cum_rev_before") + F.col("brev")) >= 4 * F.col("total")
+    )
+    is20 = (F.col("cum_cnt_before") < F.col("n5")) & (
+        F.col("n5") <= F.col("cum_cnt_before") + F.col("cnt")
+    )
+    targets = offs.withColumn("is80", is80).withColumn("is20", is20).filter(
+        F.col("is80") | F.col("is20")
+    ).select("b", "cum_cnt_before", "cum_rev_before", "n", "total", "n5", "is80", "is20")
+    ww = Window.partitionBy("b").orderBy(F.desc("rev"), F.asc("o_custkey"))
+    cand = (
+        c.join(F.broadcast(targets), "b")
+        .withColumn("grn", F.col("cum_cnt_before") + F.row_number().over(ww))
         .withColumn(
-            "cum",
-            F.sum("rev").over(
-                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            "gcum",
+            F.col("cum_rev_before")
+            + F.sum("rev").over(
+                ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
     )
-    hit80 = 5 * F.col("cum") >= 4 * F.col("total")
-    top20 = 5 * F.col("rn") <= F.col("n")
-    return r.agg(
+    hit80 = F.col("is80") & (5 * F.col("gcum") >= 4 * F.col("total"))
+    at_n5 = F.col("is20") & (F.col("grn") == F.col("n5"))
+    return cand.agg(
         F.any_value("n").alias("n_customers"),
-        F.min(F.when(hit80, F.col("rn"))).alias("k80"),
+        F.min(F.when(hit80, F.col("grn"))).alias("k80"),
         F.round(
-            F.min(F.when(hit80, F.col("rn"))).cast("double") / F.any_value("n"), 6
+            F.min(F.when(hit80, F.col("grn"))).cast("double") / F.any_value("n"),
+            6,
         ).alias("k80_share"),
         F.round(
-            F.max(F.when(top20, F.col("cum"))).cast("double")
+            F.max(F.when(at_n5, F.col("gcum"))).cast("double")
             / F.any_value("total").cast("double"),
             6,
         ).alias("top20pct_rev_share"),
@@ -1561,12 +1667,10 @@ def calendar_dim_path(spark: SparkSession, sf_dir: str) -> str:
     """Stage (once) a calendar dimension parquet spanning the events
     table's date range, with the ISO week attribute queries filter on.
     Derived fully distributed: min/max aggregate -> sequence -> explode,
-    no driver-side date math."""
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "nfl_predictions_spark",
-        f"calendar_dim_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    no driver-side date math. Keyed on the events parquet's
+    size+mtime fingerprint (ADVICE r05 #2) so a regenerated fixture
+    can never reuse a stale calendar span."""
+    out = _staged_path(sf_dir, "calendar_dim")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         (
@@ -2041,19 +2145,32 @@ def _merkle_oracle() -> str:
                   AS BIGINT) AS n_dirty
       FROM l1
     ),
+    -- l1 nodes the protocol actually visits AND finds dirty: dirty
+    -- themselves with a dirty l2 ancestor — the same root->l2->l1
+    -- chain the engine's drill-down walks (ADVICE r05 #3; without the
+    -- ancestor condition the two sides agree only because commutative
+    -- fingerprint sums essentially never cancel)
+    l1chain AS (
+      SELECT node FROM l1
+      WHERE b <> r AND node // {_MK_FANOUT} IN (SELECT node FROM l2 WHERE b <> r)
+    ),
+    leafchain AS (
+      SELECT leaf FROM leaves
+      WHERE base_fp <> repl_fp
+        AND leaf // {_MK_FANOUT} IN (SELECT node FROM l1chain)
+    ),
     s_leaf AS (
       SELECT CAST(3 AS BIGINT) AS level,
              CAST(count(*) AS BIGINT) AS n_nodes,
              CAST({_MK_FANOUT} * (SELECT n_dirty FROM s_l1) AS BIGINT)
                AS n_compared,
-             CAST(sum(CASE WHEN base_fp <> repl_fp AND leaf // {_MK_FANOUT} IN
-                   (SELECT node FROM l1 WHERE b <> r) THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_dirty
+             CAST(sum(CASE WHEN leaf IN (SELECT leaf FROM leafchain)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty
       FROM leaves
     ),
     ship AS (
       SELECT CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n
-      FROM rowfp WHERE leaf IN (SELECT leaf FROM leaves WHERE base_fp <> repl_fp)
+      FROM rowfp WHERE leaf IN (SELECT leaf FROM leafchain)
     )
     SELECT level, n_nodes, n_compared, n_dirty,
            CASE WHEN level = 3 THEN (SELECT n FROM ship)

@@ -1859,27 +1859,58 @@ def q247_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes it.
 
     Data ordering is a first-class training lever (curriculum /
-    anti-curriculum schedules); this materializes one reproducibly. The
-    global row_number is the only total order — at scale it becomes the
-    q109 two-phase prefix-sum rank over (tier, md5) so no single
-    partition ever sorts the corpus.
+    anti-curriculum schedules); this materializes one reproducibly.
+    Neither total order ever sorts the corpus in one task (the r05
+    plan sorted it twice): the LENGTH rank is a two-phase prefix sum
+    keyed on n_tokens (distinct doc lengths — a bounded frame), the
+    decile falls out of that rank in closed form (ntile(10) of rank r
+    with n rows: the first n%10 tiles hold n//10+1 rows), and the
+    curriculum POSITION is a second two-phase prefix sum keyed on
+    (decile, 2-hex md5 prefix) — 10 x 256 buckets — with the
+    within-bucket order (md5, doc_id) completing the same total order
+    the oracle's row_number declares.
     """
     docs = table(spark, sf_dir, "documents")
     nt = F.size(F.split(F.col("text"), " "))
-    q = docs.select(
-        "doc_id",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc(nt), F.asc("doc_id")))
-        .alias("decile"),
+    d = docs.select("doc_id", nt.alias("nt"))
+    gn = d.groupBy("nt").agg(F.count(F.lit(1)).alias("gs"))
+    wn = Window.orderBy(F.desc("nt")).rowsBetween(Window.unboundedPreceding, -1)
+    offs_n = gn.withColumn(
+        "cb", F.coalesce(F.sum("gs").over(wn), F.lit(0))
+    ).withColumn("n", F.sum("gs").over(Window.partitionBy())).select(
+        "nt", "cb", "n"
     )
-    pos = F.row_number().over(
-        Window.orderBy(
-            F.asc("decile"),
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cur"))),
-            F.asc("doc_id"),
+    rank = F.col("cb") + F.row_number().over(
+        Window.partitionBy("nt").orderBy("doc_id")
+    )
+    base = F.floor(F.col("n") / 10)
+    rem = F.col("n") % 10
+    big_span = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    decile = F.when(
+        F.col("rank") <= big_span, F.ceil(F.col("rank") / (base + 1))
+    ).otherwise(rem + F.ceil((F.col("rank") - big_span) / base))
+    q = (
+        d.join(F.broadcast(offs_n), "nt")
+        .withColumn("rank", rank)
+        .withColumn("decile", decile.cast("int"))
+        .withColumn(
+            "h", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cur")))
         )
+        .withColumn("pfx", F.substring("h", 1, 2))
     )
-    ordd = q.withColumn("pos", pos.cast("long"))
+    gb = q.groupBy("decile", "pfx").agg(F.count(F.lit(1)).alias("bgs"))
+    wb = Window.orderBy("decile", "pfx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs_b = gb.withColumn(
+        "bcb", F.coalesce(F.sum("bgs").over(wb), F.lit(0))
+    ).select("decile", "pfx", "bcb")
+    pos = F.col("bcb") + F.row_number().over(
+        Window.partitionBy("decile", "pfx").orderBy("h", "doc_id")
+    )
+    ordd = q.join(F.broadcast(offs_b), ["decile", "pfx"]).withColumn(
+        "pos", pos.cast("long")
+    )
     return (
         ordd.groupBy("decile")
         .agg(

@@ -272,30 +272,62 @@ def q77_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # binaryFile source — opaque-blob ingest (multimodal on-ramp)
 # ---------------------------------------------------------------------------
 
-@_q("q78_binary_ingest")
+_BLOB_DOCS = 64  # docs staged as standalone binary files
+
+
+@_q(
+    "q78_binary_ingest",
+    f"""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           left(text, 4) AS head
+    FROM documents WHERE doc_id < {_BLOB_DOCS} ORDER BY doc_id
+    """,
+)
 def q78_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``binaryFile`` source: ingest files as (path, length, content)
     rows — the on-ramp that turns a directory of images/audio/video
     into a DataFrame with an opaque ``binary`` column for the
     multimodal pipeline (operators/multimodal.py consumes exactly this
-    shape). Here it reads the testdata parquet files themselves and
-    proves content arrives intact by decoding the 4-byte parquet magic
-    ("PAR1") from the blob. Driver check is rows-only (file sizes are
-    not visible to the SQL oracle); the deterministic magic/ordering is
-    pinned in tests. At scale: one task per file, metadata-only pruning
-    via pathGlobFilter/modifiedAfter, and recursiveFileLookup for
-    partitioned layouts.
+    shape). The first {_BLOB_DOCS} documents are staged (once, source-
+    fingerprinted) as one UTF-8 .bin file each, read back through
+    binaryFile, and the per-file metadata + a content probe are checked
+    against the documents table itself — so the driver verifies the
+    whole blob path VALUE-exactly (promoted from rows-only, VERDICT r05
+    #8): byte length must equal the text's UTF-8 octet length and the
+    blob's first 4 bytes must decode to the text's first characters.
+    At scale: one task per file, metadata-only pruning via
+    pathGlobFilter/modifiedAfter, recursiveFileLookup for partitioned
+    layouts.
     """
+    from nfl_predictions_spark.operators.extended import _staged_path
+
+    out = _staged_path(sf_dir, "doc_blobs", sources=("documents",))
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < _BLOB_DOCS)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(out, f"doc_{r.doc_id:05d}.bin"), "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+        with open(marker, "w"):
+            pass
     return (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
         .select(
-            F.regexp_extract(F.col("path"), r"([^/]+)\.parquet$", 1).alias("name"),
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
             F.col("length").alias("n_bytes"),
-            F.decode(F.substring(F.col("content"), 1, 4), "UTF-8").alias("magic"),
+            F.decode(F.substring(F.col("content"), 1, 4), "UTF-8").alias("head"),
         )
-        .orderBy("name")
+        .orderBy("doc_id")
     )
 
 

@@ -1096,6 +1096,75 @@ def q212_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q212_ivf_recall"] = q212_ivf_recall
 
 
+_IVF_RECALL_MEDOID_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+m AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {_IVF_NLIST}),
+a AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, m.cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_D2_DUCK.format(x='e.emb', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM e, m
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {_N_QUERIES}),
+probe AS (
+  SELECT qid, qe, cell FROM (
+    SELECT q.qid, q.qe, m.cell,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        round({_D2_DUCK.format(x='q.qe', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM q, m
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+p AS (
+  SELECT probe.qid, a.vec_id AS cid,
+    list_dot_product(qe, e.emb)
+      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e.emb, e.emb)))
+      AS cos
+  FROM probe JOIN a USING (cell) JOIN e ON e.vec_id = a.vec_id
+),
+approx AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+      row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
+    FROM p
+  ) WHERE rn <= {_TOP_K}
+),
+px AS (
+  SELECT qid, vec_id AS cid,
+    list_dot_product(qe, emb)
+      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(emb, emb))) AS cos
+  FROM q, e
+),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+      row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
+    FROM px
+  ) WHERE rn <= {_TOP_K}
+)
+SELECT x.qid, CAST(count(ap.cid) AS BIGINT) AS hits,
+       CAST(count(ap.cid) AS DOUBLE) / {_TOP_K} AS recall
+FROM exact x LEFT JOIN approx ap ON ap.qid = x.qid AND ap.cid = x.cid
+GROUP BY x.qid ORDER BY x.qid
+"""
+
+
+@_q("q212b_ivf_recall_medoid", _IVF_RECALL_MEDOID_ORACLE)
+def q212b_ivf_recall_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the DETERMINISTIC medoid IVF index (q41e) against the
+    exact baseline (q41) — the oracle-backed certification of the
+    recall HARNESS itself (VERDICT r05 #8): every stage (exact top-k,
+    medoid assign/probe/rescore, per-query hit join) is SQL-expressible,
+    so the driver hash-checks the full recall computation end-to-end.
+    q212 stays rows-only BY DESIGN (its KMeans quantizer is MLlib-only)
+    with its recall floor pinned in tests; this twin proves the
+    shared ``recall_vs_exact`` plumbing value-exactly."""
+    return recall_vs_exact(
+        q41_ann_topk(spark, sf_dir), q41e_ann_ivf_medoid(spark, sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # q219 — product-quantization ANN (ADC shortlist + exact rerank)
 # ---------------------------------------------------------------------------

@@ -511,6 +511,15 @@ def q237_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds rn*100 <= nk); the one division per band is
     BIGINT/BIGINT. Two map-side-combinable aggs + a key-space join —
     strictly cheaper than the join being diagnosed.
+
+    No key-space rank window (VERDICT r05's single-partition family):
+    band membership depends only on a key's rank vs floor(nk/100) and
+    floor(nk/10), and ranks within a tie group of equal out_rows are
+    consecutive, so each DISTINCT out_rows value (a bounded frame —
+    products of two small per-key counts) contributes
+    clamp(boundary - cum_below, 0, group_size) keys to each band in
+    closed form. Which keys straddle a boundary is tie-order dependent,
+    but the banded COUNTS and SUMS are not.
     """
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
@@ -523,29 +532,48 @@ def q237_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     prod = co.join(cl, "k").select(
         "k", (F.col("c_o") * F.col("c_l")).cast("long").alias("out_rows")
     )
-    wr = Window.orderBy(F.desc("out_rows"), F.asc("k"))
-    wall = Window.partitionBy()
-    r = (
-        prod.withColumn("rn", F.row_number().over(wr))
-        .withColumn("nk", F.count(F.lit(1)).over(wall))
-        .withColumn("total", F.sum("out_rows").over(wall))
+    g = prod.groupBy(F.col("out_rows").alias("v")).agg(
+        F.count(F.lit(1)).alias("gs")
     )
-    band = (
-        F.when(F.col("rn") * 100 <= F.col("nk"), "top1pct")
-        .when(F.col("rn") * 10 <= F.col("nk"), "top10pct")
-        .otherwise("rest")
+    wv = Window.orderBy(F.desc("v")).rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        g.withColumn("cb", F.coalesce(F.sum("gs").over(wv), F.lit(0)))
+        .withColumn("nk", F.sum("gs").over(Window.partitionBy()))
+        .withColumn(
+            "total",
+            F.sum(F.col("v") * F.col("gs")).over(Window.partitionBy()),
+        )
+    )
+    b1 = F.floor(F.col("nk") / 100)
+    b10 = F.floor(F.col("nk") / 10)
+    upto1 = F.greatest(F.least(b1 - F.col("cb"), F.col("gs")), F.lit(0))
+    upto10 = F.greatest(F.least(b10 - F.col("cb"), F.col("gs")), F.lit(0))
+    in10 = upto10 - upto1
+    rest = F.col("gs") - upto10
+    one = offs.agg(
+        F.sum(upto1).alias("k1"),
+        F.sum(upto1 * F.col("v")).alias("o1"),
+        F.sum(in10).alias("k10"),
+        F.sum(in10 * F.col("v")).alias("o10"),
+        F.sum(rest).alias("kr"),
+        F.sum(rest * F.col("v")).alias("orr"),
+        F.any_value("total").alias("total"),
+    )
+    stacked = one.select(
+        F.expr(
+            "stack(3, 'top1pct', k1, o1, 'top10pct', k10, o10, "
+            "'rest', kr, orr) AS (band, n_keys, out_rows)"
+        ),
+        "total",
     )
     return (
-        r.select(band.alias("band"), "out_rows", "total")
-        .groupBy("band")
-        .agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            F.sum("out_rows").cast("long").alias("out_rows"),
-            (
-                F.sum("out_rows").cast("double") / F.any_value("total")
-            ).alias("share"),
+        stacked.filter(F.col("n_keys") > 0)
+        .select(
+            "band",
+            F.col("n_keys").cast("long"),
+            F.col("out_rows").cast("long").alias("out_rows"),
+            (F.col("out_rows").cast("double") / F.col("total")).alias("share"),
         )
-        .select("band", F.col("n_keys").cast("long"), "out_rows", "share")
         .orderBy("band")
     )
 

@@ -27,17 +27,25 @@ def test_recursive_cte_calendar_is_dense(spark):
 
 
 def test_binary_ingest_reads_real_content(spark):
-    """binaryFile rows carry the actual file bytes: every testdata
-    parquet file starts with the PAR1 magic and reports its true size."""
-    import os
+    """binaryFile rows carry the actual staged blob bytes: one row per
+    staged doc, byte length equal to the source text's UTF-8 length,
+    and the blob head decoding back to the text's first characters."""
+    from nfl_predictions_spark.operators.modern import _BLOB_DOCS, q78_binary_ingest
+    from nfl_predictions_spark.sources.tables import table
+    from pyspark.sql import functions as F
 
-    from nfl_predictions_spark.operators.modern import q78_binary_ingest
-
-    rows = q78_binary_ingest(spark, SF_SMOKE).collect()
-    assert {r.name for r in rows} >= {"lineitem", "orders", "events"}
-    for r in rows:
-        assert r.magic == "PAR1"
-        assert r.n_bytes == os.path.getsize(os.path.join(SF_SMOKE, f"{r.name}.parquet"))
+    rows = {r.doc_id: r for r in q78_binary_ingest(spark, SF_SMOKE).collect()}
+    src = (
+        table(spark, SF_SMOKE, "documents")
+        .where(F.col("doc_id") < _BLOB_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(rows) == len(src) == _BLOB_DOCS
+    for s in src:
+        r = rows[s.doc_id]
+        assert r.n_bytes == len(s.text.encode("utf-8"))
+        assert r.head == s.text[:4]
 
 
 def test_variant_extract_matches_from_json(spark):

@@ -1,12 +1,23 @@
 """Physical-plan audit across the whole query registry.
 
-Greps every oracle-backed query's executed plan for scale red flags:
+Checks every oracle-backed query's executed plan for scale red flags:
 
 - CartesianProduct / BroadcastNestedLoopJoin where not intended
+  (text fragment grep)
 - row-at-a-time Python UDF (BatchEvalPython) outside the declared UDF
-  parity query
-- parquet scans with no pushed filters on filtered queries
-- global Sort without a Limit (full-sort antipattern) where avoidable
+  parity query (text fragment grep)
+- WindowExec / WindowInPandasExec / WindowGroupLimitExec with an EMPTY
+  partition spec (py4j plan-tree walk): Spark moves the whole input to
+  ONE task for such windows — the single-partition order-statistic
+  antipattern VERDICT r05 called out. Allowed only for windows over
+  provably BOUNDED frames (per-bucket count frames, k-row aggregates),
+  each justified in ALLOW["EmptyPartitionWindow"].
+
+Global ``orderBy`` is deliberately NOT flagged: Spark plans it as a
+RangePartitioning exchange + per-partition sorts, which scales; the
+single-task hazard is exactly the empty-partition window. Subquery
+expression plans are not traversed (the bounded scalar-subquery
+broadcasts are covered by the BroadcastNestedLoopJoin grep).
 
 Usage: python tools/plan_audit.py [sf_dir]
 Exit 1 if any unexpected red flag appears. This is the enforcement arm
@@ -78,8 +89,116 @@ ALLOW = {
         "q301_ks_test",  # 1-row group-total broadcast (n1, n2)
         "q302_markov_stationary",  # 1-row state-count broadcast (uniform v0)
         "q304_grid_range_agg",  # fixed 3-rect list x tile-grid classification
+        # round 6
+        "q204_rfm_segmentation",  # 1-row quintile-cut-tuple broadcasts (x3 dims)
+        "q256_session_quality",  # 1-row rank-selected median broadcast
+    },
+    # Empty-partition windows over provably BOUNDED frames only. The
+    # frame feeding each of these windows is an aggregate whose row
+    # count is independent of (or sublinear in) the data size — bucket
+    # histograms, calendar grids, vocabularies, per-range offsets —
+    # never the raw table. Windows whose input is already limited
+    # (TakeOrderedAndProject / WindowGroupLimit) are auto-exempt.
+    "EmptyPartitionWindow": {
+        # --- rank-select / two-level prefix-sum machinery: the window
+        # runs over the per-bucket COUNTS frame (≤ value-span/width
+        # rows), never the data (timeseries._rank_select_values)
+        "q198_conversion_latency",
+        "q256_session_quality",
+        "q204_rfm_segmentation",  # + Window.partitionBy() totals on same frame
+        "q211_pareto_concentration",  # $10k revenue-bucket frame
+        "q250_auc_calibration",  # ≤24-row per-score frame
+        "q301_ks_test",  # value-bucket subtotal frame
+        "q183_histogram_median",  # pass-2: one narrowed bucket (~n/256 rows)
+        "q205_skew_diagnostics",  # distinct lineitems-per-order values (~7)
+        "q237_join_skew_profile",  # distinct out_rows products frame
+        "q247_curriculum_order",  # distinct doc lengths / 10x256 md5 buckets
+        "q109_token_shards",  # doc-group subtotals (docs/500), documented 2-phase
+        "q130_sequence_packing",  # same _token_offsets group frame
+        "q174_sorted_neighborhood",  # per-range-partition offsets (#partitions rows)
+        # --- calendar / time-grid frames (bounded by time span, not rows)
+        "q129_max_concurrency",  # per-day delta frame
+        "q155b_sliding_distinct_hll",  # per-day HLL sketch frame
+        "q210_growth_accounting",  # per-day frame
+        "q240_rolling_corr",  # per-hour frame
+        # --- small fixed-cardinality stats frames
+        "q200_ratio_to_report",  # region x nation aggregate (25 rows)
+        "q207_benford_audit",  # 9 first-digit rows
+        "q297_isotonic_calibration",  # ≤_ISO_MAX_BIN price bins
+        "q169_equidepth_histogram",  # cut-rank counts frame (see q204 machinery)
+        # --- vocabulary-sized frames (sublinear in corpus; documented)
+        "q141_zipf_fit",  # HAVING-thresholded vocab, rank-by-partials at scale
+        "q266_doc_keyphrases",  # vocab totals window (avoids 1-row BNLJ)
+        "q300_sharded_topk_bounds",  # shard x M kept-candidates frame
+        # --- skyline: stage-2 window runs over per-bucket skyline
+        # survivors (O(64 x log n) for 2-D random data), not the table
+        "q161_skyline",
     },
 }
+
+#: Nodes that pass rows through without changing their count materially.
+_PASS_THROUGH = {
+    "ProjectExec",
+    "FilterExec",
+    "SortExec",
+    "ShuffleExchangeExec",
+    "InputAdapter",
+    "WholeStageCodegenExec",
+    "CoalesceExec",
+    "ColumnarToRowExec",
+    "RowToColumnarExec",
+    "AQEShuffleReadExec",
+    "ShuffleQueryStageExec",
+}
+
+#: Nodes that bound their output to a constant row count.
+_LIMIT_NODES = {
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+    "WindowGroupLimitExec",  # rank-filter pushdown: per-partition top-k
+}
+
+
+def _iter_nodes(node):
+    """Walk a SparkPlan tree via py4j, descending into AQE wrappers."""
+    yield node
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _iter_nodes(node.inputPlan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _iter_nodes(children.apply(i))
+
+
+def _limit_bounded(node) -> bool:
+    """True if this subtree's row count is bounded by an upstream limit
+    before any non-pass-through operator."""
+    cls = node.getClass().getSimpleName()
+    if cls in _LIMIT_NODES:
+        return True
+    if cls in _PASS_THROUGH and node.children().size() == 1:
+        return _limit_bounded(node.children().apply(0))
+    return False
+
+
+def empty_partition_windows(jplan) -> int:
+    """Count window nodes that would move all input to one task.
+
+    A window whose input chain already hits a limit node (Catalyst
+    rewrites ``filter(rank <= k)`` into TakeOrderedAndProject /
+    WindowGroupLimit) is bounded and not counted."""
+    hits = 0
+    for node in _iter_nodes(jplan):
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowInPandasExec"):
+            if node.partitionSpec().isEmpty() and not _limit_bounded(
+                node.children().apply(0)
+            ):
+                hits += 1
+    return hits
 
 
 def main() -> None:
@@ -108,13 +227,22 @@ def main() -> None:
             continue
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            jplan = df._jdf.queryExecution().executedPlan()
+            plan = jplan.toString()
         except Exception as e:  # pragma: no cover
             failures.append(f"{name}: plan build failed: {e}")
             continue
         for frag, allowed in ALLOW.items():
+            if frag == "EmptyPartitionWindow":
+                continue
             if frag in plan and name not in allowed:
                 failures.append(f"{name}: unexpected {frag}")
+        n_epw = empty_partition_windows(jplan)
+        if n_epw and name not in ALLOW["EmptyPartitionWindow"]:
+            failures.append(
+                f"{name}: {n_epw} empty-partition window(s) — single-task "
+                "sort of the window input"
+            )
         print(f"audited {name}")
 
     if failures:
