@@ -2093,7 +2093,8 @@ def q273_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q274 — SemDeDup: cluster-bounded semantic deduplication
 # ---------------------------------------------------------------------------
 
-_SDD_CELLS = 8  # coarse cells (medoids anchored on vec_id < _SDD_CELLS)
+_SDD_CELLS = 8  # minimum coarse cells (medoids anchored on low vec_ids)
+_SDD_CELL_TARGET = 1024  # expected vectors per cell: cells scale with n
 _SDD_TAU = 0.40  # duplicate threshold on the round-6 pair cosine
 
 #: Fixed-point quantum for exact cross-engine dot products: values
@@ -2121,7 +2122,8 @@ def _sdd_oracle() -> str:
     return f"""
     WITH e AS (SELECT vec_id, {_SDD_QEMB} AS emb FROM embeddings),
     m AS (SELECT vec_id AS cell, emb AS c FROM e
-          WHERE vec_id < {_SDD_CELLS}),
+          WHERE vec_id < (SELECT greatest({_SDD_CELLS},
+                                 count(*) // {_SDD_CELL_TARGET}) FROM e)),
     x AS (
       SELECT e.vec_id, e.emb, m.cell, {r6em} AS ccos,
              row_number() OVER (PARTITION BY e.vec_id
@@ -2149,9 +2151,14 @@ def _sdd_oracle() -> str:
 def q274_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication that bounds the quadratic pair comparison by
-    CLUSTERING first — embeddings are assigned to {_SDD_CELLS} coarse
-    cells (deterministic medoid anchors, q41e's quantizer shape),
-    pairwise cosine runs only WITHIN a cell, and of any pair above
+    CLUSTERING first — embeddings are assigned to
+    max({_SDD_CELLS}, n // {_SDD_CELL_TARGET}) coarse cells
+    (deterministic medoid anchors, q41e's quantizer shape; the cell
+    count GROWS with the corpus so a cell stays ~{_SDD_CELL_TARGET}
+    vectors — the published SemDeDup regime, and what keeps the
+    per-cell Gram task's memory and the O(sum c_i^2) total work LINEAR
+    in n instead of n^2/k with a fixed k, VERDICT r05 #6). Pairwise
+    cosine runs only WITHIN a cell, and of any pair above
     tau={_SDD_TAU} the less-central member (lower cosine to its cell
     anchor; vec_id tie-break) is marked duplicate. Returns the
     per-cell census: vectors / duplicates / kept.
@@ -2179,10 +2186,13 @@ def q274_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
 
-    # bounded driver pull: the anchor matrix is _SDD_CELLS x dim — the
-    # same k x d class as the engine's k-means centroid pulls
+    # one metadata-cheap count fixes the cell budget (same formula as
+    # the oracle's scalar subquery), then a bounded driver pull: the
+    # anchor matrix is ncells x dim — the same k x d class as the
+    # engine's k-means centroid pulls
+    ncells = max(_SDD_CELLS, emb.count() // _SDD_CELL_TARGET)
     med_rows = (
-        emb.filter(F.col("vec_id") < _SDD_CELLS).orderBy("vec_id").collect()
+        emb.filter(F.col("vec_id") < ncells).orderBy("vec_id").collect()
     )
     M = np.floor(
         np.array([r.embedding for r in med_rows], dtype=np.float64) * _SDD_Q + 0.5
