@@ -1343,3 +1343,123 @@ def q267_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "c_custkey", "s_suppkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q307 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS)
+# ---------------------------------------------------------------------------
+
+_WN_W = 4  # winnowing window (consecutive shingle hashes)
+
+
+def _winnow_oracle() -> str:
+    h = _h60_duck("s")
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             [{{'pos': i - 1, 's': ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]}}
+              for i in range(1, len(ts) - 1)] AS gs
+      FROM tok WHERE len(ts) >= 3
+    ),
+    sh1 AS (SELECT doc_id, unnest(gs) AS g FROM sh0),
+    sh AS (SELECT doc_id, g.pos AS pos, g.s AS s FROM sh1),
+    r AS (SELECT doc_id, pos, CAST({h} AS BIGINT) AS h FROM sh),
+    mx AS (SELECT doc_id, max(pos) AS mp FROM r GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id, a.pos AS j, b.h, b.pos
+      FROM r a
+      JOIN r b ON b.doc_id = a.doc_id
+              AND b.pos BETWEEN a.pos AND a.pos + {_WN_W - 1}
+      JOIN mx m ON m.doc_id = a.doc_id
+      WHERE a.pos <= m.mp - {_WN_W - 1}
+    ),
+    pick AS (SELECT doc_id, j, min(h) AS mh FROM cand GROUP BY doc_id, j),
+    sel AS (
+      SELECT c.doc_id, c.j, p.mh AS h, max(c.pos) AS pos
+      FROM cand c
+      JOIN pick p ON p.doc_id = c.doc_id AND p.j = c.j AND c.h = p.mh
+      GROUP BY c.doc_id, c.j, p.mh
+    ),
+    fp AS (SELECT DISTINCT doc_id, h, pos FROM sel),
+    ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+           FROM r GROUP BY doc_id),
+    nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+           FROM fp GROUP BY doc_id)
+    SELECT ns.doc_id, ns.n_shingles,
+           CAST(coalesce(nf.n_fp, 0) AS BIGINT) AS n_fingerprints,
+           round(CAST(coalesce(nf.n_fp, 0) AS DOUBLE)
+                 / (ns.n_shingles - {_WN_W - 1}), 6) AS density
+    FROM ns LEFT JOIN nf USING (doc_id)
+    WHERE ns.n_shingles >= {_WN_W}
+    ORDER BY ns.doc_id
+    """
+
+
+@_q("q307_winnowing_fingerprints", _winnow_oracle())
+def q307_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every 3-token shingle, slide a
+    w={_WN_W} window over consecutive hashes, and in each window keep
+    the MINIMUM hash (rightmost occurrence on ties). The selected
+    (hash, position) set is the document's fingerprint — the
+    guarantee-backed sparse sampling (any shared substring of length
+    >= w+k-1 tokens yields a shared fingerprint) that plain modular
+    "0 mod p" sampling lacks. Emitted per doc: shingle count,
+    fingerprint count, and selection density (theory: -> 2/(w+1)).
+
+    Shape: positions come from one posexplode of the zipped shifted
+    slices (shingle_rows' lambda-free idiom, order preserved); the
+    sliding min is a rows-frame window PARTITIONED BY doc_id — per-doc
+    state only, no corpus-wide sort; the rightmost-tie pick is
+    min(struct(hash, -pos)) so a single frame computes value AND
+    position. The 60-bit md5-slice hash is the engine-neutral _h60
+    the SimHash family already certifies.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = (
+        docs.repartition(F.col("doc_id"))
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .withColumn("m", F.size("tk") - 2)
+        .filter(F.col("m") >= 1)
+    )
+    zipped = F.arrays_zip(
+        *[F.slice("tk", j + 1, F.col("m")).alias(f"w{j}") for j in range(3)]
+    )
+    sh = d.select("doc_id", F.posexplode(zipped).alias("pos", "g")).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", *[F.col(f"g.w{j}") for j in range(3)]).alias("s"),
+    )
+    r = sh.select("doc_id", "pos", _h60_spark("s").alias("h"))
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WN_W - 1)
+    )
+    p = r.withColumn("cnt", F.count(F.lit(1)).over(wf)).withColumn(
+        "sel",
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(wf),
+    )
+    fp = (
+        p.filter(F.col("cnt") == _WN_W)
+        .select("doc_id", F.col("sel.h").alias("h"), (-F.col("sel.np")).alias("fpos"))
+        .distinct()
+    )
+    ns = r.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    nf = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    return (
+        ns.join(nf, "doc_id", "left")
+        .filter(F.col("n_shingles") >= _WN_W)
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_fp"), F.lit(0)).cast("long").alias("n_fingerprints"),
+            F.round(
+                F.coalesce(F.col("n_fp"), F.lit(0)).cast("double")
+                / (F.col("n_shingles") - F.lit(_WN_W - 1)),
+                6,
+            ).alias("density"),
+        )
+        .orderBy("doc_id")
+    )

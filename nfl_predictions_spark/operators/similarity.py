@@ -2506,3 +2506,97 @@ def q296_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "ham", F.round("cos_raw", 6).alias("cos"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q309 — simplified silhouette (centroid-based clustering quality)
+# ---------------------------------------------------------------------------
+
+_SIL_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+m AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {_IVF_NLIST}),
+d AS (
+  SELECT e.vec_id, m.cell,
+         round({_D2_DUCK.format(x='e.emb', c='m.c')}, 6) AS d2
+  FROM e, m
+),
+r AS (
+  SELECT vec_id, cell, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+  FROM d
+),
+ab AS (
+  SELECT a.vec_id, a.cell, a.d2 AS a, b.d2 AS b,
+         round((b.d2 - a.d2) / greatest(a.d2, b.d2), 6) AS s
+  FROM r a JOIN r b ON b.vec_id = a.vec_id AND b.rn = 2
+  WHERE a.rn = 1
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS mean_silhouette,
+       min(s) AS worst_silhouette
+FROM ab GROUP BY cell ORDER BY cell
+"""
+
+
+@_q("q309_simplified_silhouette", _SIL_ORACLE)
+def q309_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (Hruschka 2004): clustering-quality score
+    per vector using ANCHOR distances only — a(x) = distance to the
+    own-cell anchor, b(x) = distance to the nearest OTHER anchor,
+    s = (b - a)/max(a, b) — the O(n*k) diagnostic a 100 TB pipeline
+    runs instead of the O(n^2) full silhouette, here over the q41e
+    medoid cells the ANN/SemDeDup family indexes with. Per cell: size,
+    mean s (low mean = cell boundary bleeds into a neighbor), worst s.
+
+    Shape: one broadcast of the k-anchor table into the corpus scan;
+    a and b fall out of the two smallest (rounded) squared distances
+    per vector (sorted k-list per row, no window); per-cell means sum
+    round-6 DECIMALs so summation order cannot move the mean (q254's
+    idiom). Distances use the 3-fold dot identity, so both engines
+    agree bit-for-bit before rounding.
+    """
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    med = emb.filter(F.col("vec_id") < _IVF_NLIST).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+    d2 = F.round(
+        _dot(F.col("emb"), F.col("emb"))
+        - 2 * _dot(F.col("emb"), F.col("c"))
+        + _dot(F.col("c"), F.col("c")),
+        6,
+    )
+    per = (
+        emb.crossJoin(F.broadcast(med))
+        .select("vec_id", "cell", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cell")).alias("best"),
+            F.sort_array(F.collect_list("d2")).alias("ds"),
+        )
+        .select(
+            "vec_id",
+            F.col("best.cell").alias("cell"),
+            F.col("best.d2").alias("a"),
+            F.col("ds")[1].alias("b"),
+        )
+    )
+    s = F.round(
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")), 6
+    )
+    return (
+        per.select("cell", s.alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+            F.min("s").alias("worst_silhouette"),
+        )
+        .orderBy("cell")
+    )

@@ -2499,3 +2499,419 @@ def q301_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
         "at_x",
     )
+
+
+# ---------------------------------------------------------------------------
+# q310 — Brier score + Murphy decomposition (probabilistic forecast eval)
+# ---------------------------------------------------------------------------
+
+_BRIER_ORACLE = """
+WITH ev AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS h,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         date_part('day', ts) % 2 = 0 AS train
+  FROM events
+),
+tr AS (
+  SELECT h, CAST(sum(y) AS DOUBLE) / count(*) AS p
+  FROM ev WHERE train GROUP BY h
+),
+te AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM ev WHERE NOT train GROUP BY h
+),
+b AS (
+  SELECT te.h, te.n, te.pos, tr.p,
+         CAST(te.pos AS DOUBLE) / te.n AS o
+  FROM te JOIN tr ON tr.h = te.h
+),
+tot AS (
+  SELECT h, n, pos, p, o,
+         sum(n) OVER () AS nn,
+         CAST(sum(pos) OVER () AS DOUBLE) / sum(n) OVER () AS obar
+  FROM b
+),
+terms AS (
+  SELECT nn, obar,
+         CAST(round(pos * (p - 1) * (p - 1) + (n - pos) * p * p, 6)
+              AS DECIMAL(24,6)) AS brier_t,
+         CAST(round(n * (p - o) * (p - o), 6) AS DECIMAL(24,6)) AS rel_t,
+         CAST(round(n * (o - obar) * (o - obar), 6) AS DECIMAL(24,6)) AS res_t
+  FROM tot
+)
+SELECT CAST(any_value(nn) AS BIGINT) AS n_eval,
+       round(CAST(sum(brier_t) AS DOUBLE) / any_value(nn), 6) AS brier,
+       round(CAST(sum(rel_t) AS DOUBLE) / any_value(nn), 6) AS reliability,
+       round(CAST(sum(res_t) AS DOUBLE) / any_value(nn), 6) AS resolution,
+       round(any_value(obar) * (1 - any_value(obar)), 6) AS uncertainty
+FROM terms
+"""
+
+
+@_q("q310_brier_decomposition", _BRIER_ORACLE)
+def q310_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition — THE
+    probabilistic-forecast scorecard: train a per-hour purchase-rate
+    forecast on even calendar days, evaluate it on odd days, and report
+    Brier = reliability - resolution + uncertainty. Reliability asks
+    "when it says 30%, does 30% happen?", resolution rewards forecasts
+    that separate regimes, uncertainty is the irreducible base-rate
+    term — the exact breakdown a model-monitoring pipeline alerts on.
+
+    Shape: two hour-keyed hash aggregates (train rates, eval outcomes)
+    joined on the 24-row hour key; the base-rate window runs over that
+    BOUNDED frame only. Per-bin contributions are round-6 DECIMAL
+    quantized before the cross-bin sum (q254's idiom), so summation
+    order cannot move the reported doubles and the oracle is
+    hash-exact.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("h"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (F.dayofmonth("ts") % 2 == 0).alias("train"),
+    )
+    tr = (
+        ev.filter("train")
+        .groupBy("h")
+        .agg((F.sum("y").cast("double") / F.count(F.lit(1))).alias("p"))
+    )
+    te = (
+        ev.filter(~F.col("train"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    b = te.join(tr, "h").withColumn(
+        "o", F.col("pos").cast("double") / F.col("n")
+    )
+    wall = Window.partitionBy()
+    tot = b.withColumn("nn", F.sum("n").over(wall)).withColumn(
+        "obar", F.sum("pos").over(wall).cast("double") / F.sum("n").over(wall)
+    )
+    dec = "decimal(24,6)"
+    brier_t = F.round(
+        F.col("pos") * (F.col("p") - 1) * (F.col("p") - 1)
+        + (F.col("n") - F.col("pos")) * F.col("p") * F.col("p"),
+        6,
+    ).cast(dec)
+    rel_t = F.round(
+        F.col("n") * (F.col("p") - F.col("o")) * (F.col("p") - F.col("o")), 6
+    ).cast(dec)
+    res_t = F.round(
+        F.col("n") * (F.col("o") - F.col("obar")) * (F.col("o") - F.col("obar")),
+        6,
+    ).cast(dec)
+    return tot.select(
+        "nn", "obar", brier_t.alias("bt"), rel_t.alias("rt"), res_t.alias("st")
+    ).agg(
+        F.any_value("nn").cast("long").alias("n_eval"),
+        F.round(F.sum("bt").cast("double") / F.any_value("nn"), 6).alias("brier"),
+        F.round(F.sum("rt").cast("double") / F.any_value("nn"), 6).alias(
+            "reliability"
+        ),
+        F.round(F.sum("st").cast("double") / F.any_value("nn"), 6).alias(
+            "resolution"
+        ),
+        F.round(F.any_value("obar") * (1 - F.any_value("obar")), 6).alias(
+            "uncertainty"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q311 — split-conformal prediction thresholds (+ held-out coverage)
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHAS = (0.1, 0.05)
+
+_CONF_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS h,
+         date_part('day', ts) % 3 AS m, CAST(value AS DOUBLE) AS v
+  FROM events
+),
+tr AS (
+  SELECT event_type, h,
+         round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS pred
+  FROM base WHERE m = 0 GROUP BY event_type, h
+),
+cal AS (
+  SELECT b.event_id,
+         CAST(round(abs(b.v - t.pred) * 1e6, 0) AS BIGINT) AS si
+  FROM base b JOIN tr t ON t.event_type = b.event_type AND t.h = b.h
+  WHERE b.m = 1
+),
+te AS (
+  SELECT CAST(round(abs(b.v - t.pred) * 1e6, 0) AS BIGINT) AS si
+  FROM base b JOIN tr t ON t.event_type = b.event_type AND t.h = b.h
+  WHERE b.m = 2
+),
+r AS (
+  SELECT si, row_number() OVER (ORDER BY si, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM cal
+),
+qs AS (
+  SELECT a.alpha,
+         any_value(r.n) AS n_cal,
+         max(CASE WHEN r.rn = least(CAST(ceil((r.n + 1) * (1 - a.alpha))
+                                         AS BIGINT), r.n)
+                  THEN r.si END) AS qi
+  FROM r CROSS JOIN (SELECT unnest([{", ".join(f"CAST({a} AS DOUBLE)" for a in _CONF_ALPHAS)}])
+                     AS alpha) a
+  GROUP BY a.alpha
+)
+SELECT qs.alpha, CAST(qs.n_cal AS BIGINT) AS n_cal,
+       qs.qi / 1e6 AS qhat,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN te.si <= qs.qi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       round(CAST(sum(CASE WHEN te.si <= qs.qi THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS coverage
+FROM qs CROSS JOIN te
+GROUP BY qs.alpha, qs.n_cal, qs.qi
+ORDER BY qs.alpha
+"""
+
+
+@_q("q311_conformal_thresholds", _CONF_ORACLE)
+def q311_conformal_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction (Vovk; Lei et al.): calibrate a
+    distribution-free error bound for a point predictor — per
+    (event_type, hour) mean from the train split (days mod 3 == 0),
+    nonconformity = |value - prediction| on the calibration split
+    (mod 1), threshold qhat = the ceil((n+1)(1-alpha))-th smallest
+    calibration score, then EMPIRICAL coverage of value in
+    prediction +/- qhat on the held-out test split (mod 2) — the
+    finite-sample-guaranteed uncertainty machinery production ML
+    serves next to every regression output.
+
+    Shape: scores quantize to integer micro-units (half-up on both
+    engines) so ordering is discretization-exact; the two per-alpha
+    order statistics come from the histogram-narrowed distributed rank
+    select (_rank_select_values — nothing sorts the calibration set in
+    one task); coverage is one aggregate over the test scores against
+    the broadcast 2-row threshold table.
+    """
+    from nfl_predictions_spark.operators.timeseries import _rank_select_values
+
+    base = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("long").alias("h"),
+        (F.dayofmonth("ts") % 3).alias("m"),
+        F.col("value").cast("double").alias("v"),
+    )
+    tr = (
+        base.filter(F.col("m") == 0)
+        .groupBy("event_type", "h")
+        .agg(
+            F.round(
+                F.sum(F.round("v", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pred")
+        )
+    )
+    si = F.round(F.abs(F.col("v") - F.col("pred")) * 1e6, 0).cast("long")
+    cal = (
+        base.filter(F.col("m") == 1)
+        .join(tr, ["event_type", "h"])
+        .select("event_id", si.alias("si"))
+    )
+    te = (
+        base.filter(F.col("m") == 2)
+        .join(tr, ["event_type", "h"])
+        .select(si.alias("si"))
+    )
+    ranks = {
+        f"q_{i}": (
+            lambda n, a=a: F.least(
+                F.ceil((n + 1) * (1 - a)).cast("long"), n.cast("long")
+            )
+        )
+        for i, a in enumerate(_CONF_ALPHAS)
+    }
+    sel = _rank_select_values(cal, "si", ["event_id"], 1_000_000, ranks)
+    thr = sel.select(
+        F.expr(
+            "stack({n}, {args}) AS (alpha, qi)".format(
+                n=len(_CONF_ALPHAS),
+                args=", ".join(
+                    f"CAST({a} AS DOUBLE), q_{i}"
+                    for i, a in enumerate(_CONF_ALPHAS)
+                ),
+            )
+        ),
+        F.col("n").alias("n_cal"),
+    )
+    return (
+        te.crossJoin(F.broadcast(thr))
+        .groupBy("alpha", "n_cal", "qi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("si") <= F.col("qi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "alpha",
+            F.col("n_cal").cast("long"),
+            (F.col("qi") / F.lit(1e6)).alias("qhat"),
+            "n_test",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("alpha")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q313 — CUPED variance-reduced A/B readout (pre-period covariate)
+# ---------------------------------------------------------------------------
+
+_CUPED_ORACLE = """
+WITH peruser AS (
+  SELECT user_id,
+         CASE WHEN strpos('01234567',
+                          substr(md5(CAST(user_id AS VARCHAR) || ':cuped'), 1, 1)
+                    ) > 0
+              THEN 'T' ELSE 'C' END AS arm,
+         CAST(sum(CASE WHEN date_part('day', ts) <= 15
+                       THEN CAST(round(value, 6) AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS x,
+         CAST(sum(CASE WHEN date_part('day', ts) > 15
+                       THEN CAST(round(value, 6) AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS y
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(x, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(y, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(x * y, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(round(x * x, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(y * y, 6) AS DECIMAL(24,6))) AS DOUBLE) AS syy
+  FROM peruser
+),
+st AS (
+  SELECT n, sx / n AS xbar,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+         1 - ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS vr
+  FROM g
+)
+SELECT p.arm, CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(round(p.y, 6) AS DECIMAL(24,6))) AS DOUBLE)
+             / count(*), 6) AS mean_y,
+       round(CAST(sum(CAST(round(p.y, 6) AS DECIMAL(24,6))) AS DOUBLE)
+               / count(*)
+             - st.theta
+               * (CAST(sum(CAST(round(p.x, 6) AS DECIMAL(24,6))) AS DOUBLE)
+                    / count(*)
+                  - st.xbar), 6) AS mean_y_cuped,
+       round(st.theta, 6) AS theta,
+       round(st.vr, 6) AS var_ratio
+FROM peruser p CROSS JOIN st
+GROUP BY p.arm, st.theta, st.xbar, st.vr
+ORDER BY p.arm
+"""
+
+
+@_q("q313_cuped_ab_readout", _CUPED_ORACLE)
+def q313_cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013): the variance-reduction every mature
+    experimentation platform applies before reading an A/B test — the
+    post-period metric Y is adjusted by the PRE-period covariate X
+    (theta = cov(X,Y)/var(X); Y' = Y - theta(X - mean(X))), which
+    removes the between-user variance X predicts and shrinks the
+    metric's variance by the squared correlation (reported as
+    var_ratio = 1 - rho^2). Arms come from the q108 md5 hash split;
+    pre = days 1-15, post = days 16+.
+
+    Shape: one user-keyed aggregate builds (X, Y); theta and the
+    variance ratio come from the five global sufficient statistics
+    (q137's OLS-from-sums idiom, round-6 DECIMAL-quantized so
+    summation order cannot move them); the per-arm adjusted mean is
+    CLOSED FORM from per-arm sums — mean(Y') = mean(Y) -
+    theta(mean(X) - xbar) — so no per-user adjusted column ever
+    materializes. One 1-row broadcast joins the stats onto the 2-row
+    arm aggregate.
+    """
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":cuped"))),
+            1,
+            1,
+        ).isin(*list("01234567")),
+        "T",
+    ).otherwise("C")
+    dec = "decimal(18,6)"
+    q6 = lambda c: F.round(c, 6).cast(dec)  # noqa: E731
+    peruser = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.dayofmonth("ts") <= 15, q6(F.col("value"))).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            )
+            .cast("double")
+            .alias("x"),
+            F.sum(
+                F.when(F.dayofmonth("ts") > 15, q6(F.col("value"))).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .select(arm.alias("arm"), "x", "y")
+    )
+    d24 = "decimal(24,6)"
+    s = lambda c: F.sum(F.round(c, 6).cast(d24)).cast("double")  # noqa: E731
+    g = peruser.agg(
+        F.count(F.lit(1)).alias("n"),
+        s(F.col("x")).alias("sx"),
+        s(F.col("y")).alias("sy"),
+        s(F.col("x") * F.col("y")).alias("sxy"),
+        s(F.col("x") * F.col("x")).alias("sxx"),
+        s(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    st = g.select(
+        n,
+        (sx / n).alias("xbar"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("theta"),
+        (
+            1
+            - ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("vr"),
+    )
+    per_arm = peruser.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        s(F.col("y")).alias("asy"),
+        s(F.col("x")).alias("asx"),
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(st))
+        .select(
+            "arm",
+            "n_users",
+            F.round(F.col("asy") / F.col("n_users"), 6).alias("mean_y"),
+            F.round(
+                F.col("asy") / F.col("n_users")
+                - F.col("theta")
+                * (F.col("asx") / F.col("n_users") - F.col("xbar")),
+                6,
+            ).alias("mean_y_cuped"),
+            F.round("theta", 6).alias("theta"),
+            F.round("vr", 6).alias("var_ratio"),
+        )
+        .orderBy("arm")
+    )

@@ -1478,3 +1478,136 @@ def q266_doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q308 — n-gram overlap evaluation (BLEU-style clipped precision)
+# ---------------------------------------------------------------------------
+
+
+def _bleu_oracle() -> str:
+    return """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
+    pairs AS (
+      SELECT r.doc_id AS ref_id, c.doc_id AS cand_id,
+             r.ts AS rts, c.ts AS cts
+      FROM tok r JOIN tok c ON c.doc_id = r.doc_id + 1
+      WHERE r.doc_id % 2 = 0
+    ),
+    cg1 AS (SELECT ref_id, g, count(*) AS c FROM
+              (SELECT ref_id, unnest(cts) AS g FROM pairs) GROUP BY ref_id, g),
+    rg1 AS (SELECT ref_id, g, count(*) AS c FROM
+              (SELECT ref_id, unnest(rts) AS g FROM pairs) GROUP BY ref_id, g),
+    cg2 AS (SELECT ref_id, g, count(*) AS c FROM
+              (SELECT ref_id, unnest([cts[i] || ' ' || cts[i+1]
+                       for i in range(1, len(cts))]) AS g FROM pairs)
+            GROUP BY ref_id, g),
+    rg2 AS (SELECT ref_id, g, count(*) AS c FROM
+              (SELECT ref_id, unnest([rts[i] || ' ' || rts[i+1]
+                       for i in range(1, len(rts))]) AS g FROM pairs)
+            GROUP BY ref_id, g),
+    p1 AS (
+      SELECT cg1.ref_id,
+             CAST(sum(least(cg1.c, coalesce(rg1.c, 0))) AS DOUBLE)
+               / sum(cg1.c) AS p
+      FROM cg1 LEFT JOIN rg1 ON rg1.ref_id = cg1.ref_id AND rg1.g = cg1.g
+      GROUP BY cg1.ref_id
+    ),
+    p2 AS (
+      SELECT cg2.ref_id,
+             CAST(sum(least(cg2.c, coalesce(rg2.c, 0))) AS DOUBLE)
+               / sum(cg2.c) AS p
+      FROM cg2 LEFT JOIN rg2 ON rg2.ref_id = cg2.ref_id AND rg2.g = cg2.g
+      GROUP BY cg2.ref_id
+    )
+    SELECT pr.ref_id, pr.cand_id,
+           CAST(len(pr.rts) AS BIGINT) AS ref_tokens,
+           CAST(len(pr.cts) AS BIGINT) AS cand_tokens,
+           round(p1.p, 6) AS p1, round(p2.p, 6) AS p2,
+           round(sqrt(p1.p * p2.p), 6) AS bleu2
+    FROM pairs pr
+    JOIN p1 ON p1.ref_id = pr.ref_id
+    JOIN p2 ON p2.ref_id = pr.ref_id
+    ORDER BY pr.ref_id
+    """
+
+
+@_q("q308_ngram_overlap_eval", _bleu_oracle())
+def q308_ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-style clipped n-gram precision between deterministic
+    (reference, candidate) doc pairs (each even doc scored against its
+    successor) — the generation-eval metric an LLM pipeline runs over
+    millions of (reference, output) pairs: modified 1- and 2-gram
+    precision with per-gram CLIPPING (a candidate gram counts at most
+    as often as the reference has it — the Papineni 2002 rule that
+    kills degenerate repetition), combined by geometric mean.
+    sqrt(p1*p2) is IEEE-correctly-rounded, so no libm exp/ln enters
+    the compared values (the brevity penalty is deliberately factored
+    out into the emitted length columns).
+
+    Shape: per-doc gram counts are corpus-scan hash aggregates; the
+    clip is a (pair, gram)-keyed LEFT join between candidate and
+    reference gram tables — gram-space sized, shuffle on (pair_id,
+    gram), never a doc x doc product. Pairing is an equi-join on
+    doc_id+1: at 100 TB reference/candidate tables co-partition on
+    the pair key.
+    """
+    tok = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", F.split("text", " ").alias("ts"))
+        .filter(F.size("ts") >= 2)
+    )
+    r = tok.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("ref_id"), F.col("ts").alias("rts")
+    )
+    c = tok.select(
+        (F.col("doc_id") - 1).alias("ref_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.col("ts").alias("cts"),
+    )
+    pairs = r.join(c, "ref_id")
+
+    def grams(side: str, n: int) -> DataFrame:
+        col = f"{side}ts"
+        if n == 1:
+            g = pairs.select("ref_id", F.explode(col).alias("g"))
+        else:
+            m = F.size(col) - 1
+            z = F.arrays_zip(
+                F.slice(col, 1, m).alias("a"), F.slice(col, 2, m).alias("b")
+            )
+            g = pairs.filter(m >= 1).select(
+                "ref_id", F.explode(z).alias("z")
+            ).select(
+                "ref_id", F.concat_ws(" ", "z.a", "z.b").alias("g")
+            )
+        return g.groupBy("ref_id", "g").agg(F.count(F.lit(1)).alias("c"))
+
+    def prec(n: int) -> DataFrame:
+        cg, rg = grams("c", n), grams("r", n)
+        j = cg.join(
+            rg.select("ref_id", "g", F.col("c").alias("rc")), ["ref_id", "g"], "left"
+        )
+        return j.groupBy("ref_id").agg(
+            (
+                F.sum(F.least(F.col("c"), F.coalesce(F.col("rc"), F.lit(0))))
+                .cast("double")
+                / F.sum("c")
+            ).alias(f"p{n}")
+        )
+
+    return (
+        pairs.join(prec(1), "ref_id")
+        .join(prec(2), "ref_id")
+        .select(
+            "ref_id",
+            "cand_id",
+            F.size("rts").cast("long").alias("ref_tokens"),
+            F.size("cts").cast("long").alias("cand_tokens"),
+            F.round("p1", 6).alias("p1"),
+            F.round("p2", 6).alias("p2"),
+            F.round(F.sqrt(F.col("p1") * F.col("p2")), 6).alias("bleu2"),
+        )
+        .orderBy("ref_id")
+    )

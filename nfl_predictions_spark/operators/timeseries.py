@@ -2559,3 +2559,155 @@ def q303_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len")
     )
+
+
+# ---------------------------------------------------------------------------
+# q312 — Kaplan-Meier survival estimator (user lifetime with censoring)
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+hz AS (SELECT max(CAST(ts AS DATE)) AS horizon FROM events),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.t0
+  GROUP BY e.user_id
+),
+per AS (
+  SELECT v.user_id,
+         CASE WHEN p.tc IS NULL
+              THEN date_diff('day', CAST(v.t0 AS DATE), hz.horizon)
+              ELSE date_diff('day', CAST(v.t0 AS DATE), CAST(p.tc AS DATE))
+         END AS dur,
+         CASE WHEN p.tc IS NULL THEN 0 ELSE 1 END AS conv
+  FROM v LEFT JOIN p ON p.user_id = v.user_id CROSS JOIN hz
+),
+g AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS d
+  FROM per GROUP BY dur
+),
+risk AS (
+  SELECT dur, n, d,
+         sum(n) OVER (ORDER BY dur
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS n_risk
+  FROM g
+),
+ev AS (SELECT dur, d, n_risk FROM risk WHERE d > 0),
+lg AS (
+  SELECT dur, d, n_risk,
+         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead,
+         CASE WHEN d < n_risk
+              THEN CAST(round(ln(1 - CAST(d AS DOUBLE) / n_risk), 6)
+                        AS DECIMAL(18,6))
+              ELSE CAST(0 AS DECIMAL(18,6)) END AS li
+  FROM ev
+),
+cm AS (
+  SELECT dur, d, n_risk,
+         sum(li) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cl,
+         max(dead) OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS zf
+  FROM lg
+)
+SELECT CAST(dur AS BIGINT) AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_converted,
+       round(CAST(d AS DOUBLE) / n_risk, 6) AS hazard,
+       CASE WHEN zf = 1 THEN 0.0
+            ELSE round(exp(CAST(cl AS DOUBLE)), 6) END AS survival
+FROM cm ORDER BY dur_days
+"""
+
+
+@_q("q312_kaplan_meier", _KM_ORACLE)
+def q312_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator for time-to-conversion — the
+    censoring-correct version of q198's funnel latency: duration =
+    days from a user's first view to their first purchase at-or-after
+    it; users who never convert are right-CENSORED at the corpus
+    horizon (they inform the at-risk set without counting as events —
+    dropping them is the classic conversion-metric bias this estimator
+    exists to fix). Per distinct conversion time: at-risk count,
+    conversion count, hazard d/n, and S(t) = prod(1 - d/n) — the
+    survival curve whose complement is the honest conversion rate.
+
+    Shape: two user-keyed min aggregates (q198's shape), then
+    everything runs on the per-duration frame (bounded by the day
+    span, not by users): the at-risk suffix sum and the cumulative
+    log-survival both window over that bounded frame. The product is
+    exp of a cumulative sum of round-6-DECIMAL log terms, so the
+    cross-row accumulation is exact and only the final libm exp
+    touches floats (the q110 log-aggregate precedent); the d == n_risk
+    terminal step short-circuits to 0 before any ln(0).
+    """
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    hz = ev.agg(F.max(F.col("ts").cast("date")).alias("horizon"))
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    per = (
+        v.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(hz))
+        .select(
+            F.when(
+                F.col("tc").isNull(),
+                F.datediff("horizon", F.col("t0").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("tc").cast("date"), F.col("t0").cast("date"))
+            )
+            .alias("dur"),
+            F.when(F.col("tc").isNull(), 0).otherwise(1).alias("conv"),
+        )
+    )
+    g = per.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("d")
+    )
+    wrisk = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    ev = (
+        g.withColumn("n_risk", F.sum("n").over(wrisk))
+        .filter(F.col("d") > 0)
+    )
+    li = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(F.log(1 - F.col("d").cast("double") / F.col("n_risk")), 6).cast(
+            "decimal(18,6)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    dead = F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cm = (
+        ev.withColumn("li", li)
+        .withColumn("dead", dead)
+        .withColumn("cl", F.sum("li").over(wcum))
+        .withColumn("zf", F.max("dead").over(wcum))
+    )
+    return cm.select(
+        F.col("dur").cast("long").alias("dur_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_converted"),
+        F.round(F.col("d").cast("double") / F.col("n_risk"), 6).alias("hazard"),
+        F.when(F.col("zf") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cl").cast("double")), 6))
+        .alias("survival"),
+    ).orderBy("dur_days")

@@ -92,6 +92,11 @@ ALLOW = {
         # round 6
         "q204_rfm_segmentation",  # 1-row quintile-cut-tuple broadcasts (x3 dims)
         "q256_session_quality",  # 1-row rank-selected median broadcast
+        "q212b_ivf_recall_medoid",  # q41/q41e subtrees' 5-row query broadcasts
+        "q309_simplified_silhouette",  # k-row anchor-table broadcast (q41e shape)
+        "q312_kaplan_meier",  # 1-row horizon-date broadcast
+        "q311_conformal_thresholds",  # 2-row (alpha, qhat) threshold broadcast
+        "q313_cuped_ab_readout",  # 1-row sufficient-statistics broadcast
     },
     # Empty-partition windows over provably BOUNDED frames only. The
     # frame feeding each of these windows is an aggregate whose row
@@ -133,6 +138,10 @@ ALLOW = {
         # --- skyline: stage-2 window runs over per-bucket skyline
         # survivors (O(64 x log n) for 2-D random data), not the table
         "q161_skyline",
+        # --- round-6 additions: windows over bounded aggregate frames
+        "q310_brier_decomposition",  # 24-row hour-bin frame
+        "q311_conformal_thresholds",  # rank-select bucket-counts frame
+        "q312_kaplan_meier",  # per-duration frame (day-span bounded)
     },
 }
 
