@@ -14,6 +14,14 @@ Methodology (round 4):
   (stage-level deltas around the first run): shuffle read/write bytes,
   memory+disk spill, and input bytes are the actual 100 TB scale-killers
   that wall-clock alone cannot show (VERDICT r03 "What's missing" #3).
+
+Methodology (round 6, ADVICE r05 #1): the query-builder call is timed
+INSIDE each run — several queries do real work eagerly at construction
+(staged stores, iterative peel loops, driver-action probes) that the
+pre-r06 bench missed. ``value``/``queries`` therefore include
+construction; ``value_exec``/``queries_exec`` are the write-only
+medians comparable to rounds <=5, and ``eager_construct_sec`` names
+the queries whose construction does >20% of their work.
 """
 
 from __future__ import annotations
@@ -241,8 +249,10 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     per_query_min: dict[str, float] = {}
+    per_query_exec: dict[str, float] = {}
     telemetry: dict[str, dict[str, float]] = {}
     total = 0.0
+    total_exec = 0.0
     construct_secs: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
@@ -274,12 +284,16 @@ def main() -> None:
         med = round(statistics.median(runs), 3)
         per_query[name] = med
         per_query_min[name] = round(min(runs), 3)
+        per_query_exec[name] = round(
+            statistics.median(r - c for r, c in zip(runs, constructs)), 3
+        )
         med_construct = round(statistics.median(constructs), 3)
         # Flag eager-construction queries (ADVICE r05 #1): construction
         # doing >20% of the work means the plan executes before the write.
         if med > 0.05 and med_construct > 0.2 * med:
             construct_secs[name] = med_construct
         total += med
+        total_exec += per_query_exec[name]
 
     # Emission contract (VERDICT r04 "Next round" #1): the driver captures
     # only a ~2 KB tail of stdout and parses the LAST line. Round 4's line
@@ -292,6 +306,11 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "queries_min": per_query_min,
+        # write-only medians (run minus construction) — the round-5
+        # comparable numbers; `queries` now includes construction
+        # (ADVICE r05 #1), which the pre-r06 bench did not time
+        "queries_exec": per_query_exec,
+        "value_exec": round(total_exec, 3),
         "runs_per_query": n_runs,
         "telemetry_mb": telemetry,
         # queries whose construction does >20% of their work eagerly
@@ -314,6 +333,7 @@ def main() -> None:
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
+        "value_exec": round(total_exec, 3),
         "unit": "sec",
         "sf": sf,
         "runs_per_query": n_runs,

@@ -1011,3 +1011,99 @@ def q294_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .orderBy("l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q315 — Adamic-Adar link prediction (common-neighbor recommendation)
+# ---------------------------------------------------------------------------
+
+_AA_DEG_CAP = 64  # hub cap: only wedge centers with degree <= cap emit pairs
+_AA_OUT = 20
+
+
+def _adamic_adar_oracle() -> str:
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b ON b.l_orderkey = a.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+    ctr AS (SELECT z, d FROM deg WHERE d BETWEEN 2 AND {_AA_DEG_CAP}),
+    wedge AS (
+      SELECT e1.b AS u, e2.b AS v, c.d
+      FROM e e1
+      JOIN ctr c ON c.z = e1.a
+      JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+    ),
+    agg AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(CAST(round(1.0 / ln(d), 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS aa
+      FROM wedge GROUP BY u, v
+    ),
+    cand AS (
+      SELECT agg.u, agg.v, agg.n_common, agg.aa
+      FROM agg LEFT JOIN e0 ON e0.a = agg.u AND e0.b = agg.v
+      WHERE e0.a IS NULL
+    )
+    SELECT u, v, n_common, round(aa, 6) AS aa_score,
+           CAST(row_number() OVER (ORDER BY round(aa, 6) DESC, u, v)
+                AS BIGINT) AS rnk
+    FROM cand
+    ORDER BY round(aa, 6) DESC, u, v LIMIT {_AA_OUT}
+    """
+
+
+def q315_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph: for
+    part pairs NOT yet bought together, score by the common neighbors
+    z, each weighted 1/ln(deg(z)) — rare shared neighbors say more
+    than promiscuous ones. The top-{_AA_OUT} pairs are the "customers
+    who bought these also bought..." candidates a recommender
+    backfills, and the same wedge shape powers friend-of-friend
+    suggestion everywhere.
+
+    Scale: wedge enumeration is sum(deg(z)^2) — the triangle-count
+    hazard — so wedge CENTERS are capped at degree {_AA_DEG_CAP} (the
+    standard hub prune; 1/ln(deg) already discounts exactly the hubs
+    the cap drops, so top-score candidates are insensitive to it).
+    Work is then bounded by n x cap per center, shuffles key on the
+    wedge center then the (u, v) pair, and the existing-edge anti-join
+    runs on the pair key. Per-wedge weights quantize to round-6
+    DECIMAL before summing, so cross-engine accumulation is exact.
+    The staged dst-bucketed edge store (copurchase_edges) feeds every
+    stage without re-deriving the graph.
+    """
+    e = copurchase_edges(spark, sf_dir)  # directed both ways, distinct
+    deg = e.groupBy(F.col("a").alias("z")).agg(F.count(F.lit(1)).alias("d"))
+    ctr = deg.filter((F.col("d") >= 2) & (F.col("d") <= _AA_DEG_CAP))
+    e1 = e.select(F.col("a").alias("z"), F.col("b").alias("u"))
+    e2 = e.select(F.col("a").alias("z"), F.col("b").alias("v"))
+    w = F.round(1.0 / F.log(F.col("d")), 6).cast("decimal(18,6)")
+    wedge = (
+        e1.join(ctr, "z")
+        .join(e2, "z")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(w).cast("double").alias("aa"),
+        )
+    )
+    existing = e.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    cand = wedge.join(existing, ["u", "v"], "left_anti")
+    wr = Window.orderBy(F.desc(F.round("aa", 6)), F.asc("u"), F.asc("v"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _AA_OUT)
+        .select("u", "v", "n_common", F.round("aa", 6).alias("aa_score"), "rnk")
+        .orderBy("rnk")
+    )
+
+
+QUERIES["q315_adamic_adar"] = q315_adamic_adar
+ORACLE["q315_adamic_adar"] = _adamic_adar_oracle()

@@ -383,3 +383,126 @@ def q300_sharded_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPK_K)
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q316 — KMV (k-minimum-values) distinct sketch, mergeable, oracle-exact
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SCALE = 1 << 60  # hash domain: 60-bit md5 slice
+
+
+def _kmv_h60_duck(expr: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) "
+        f"* {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+def _kmv_oracle() -> str:
+    h = _kmv_h60_duck("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH u AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    hs AS (SELECT DISTINCT day, CAST({h} AS BIGINT) AS hv FROM u),
+    daily AS (SELECT day, CAST(count(*) AS BIGINT) AS exact_daily
+              FROM hs GROUP BY day),
+    rk AS (
+      SELECT day, hv,
+             row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+      FROM hs
+    ),
+    sk AS (
+      SELECT day, list(hv ORDER BY hv) AS arr
+      FROM rk WHERE rn <= {_KMV_K} GROUP BY day
+    ),
+    win AS (
+      SELECT day, arr,
+             flatten(list(arr) OVER (ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS raw
+      FROM sk
+    ),
+    mrg AS (
+      SELECT day, len(arr) AS sketch_size,
+             list_sort(list_distinct(raw))[1:{_KMV_K}] AS m
+      FROM win
+    )
+    SELECT mrg.day, daily.exact_daily,
+           CAST(len(mrg.m) AS BIGINT) AS merged_size,
+           round(CASE WHEN len(mrg.m) < {_KMV_K}
+                      THEN CAST(len(mrg.m) AS DOUBLE)
+                      ELSE ({_KMV_K} - 1)
+                           / (CAST(mrg.m[{_KMV_K}] AS DOUBLE) / {_KMV_SCALE})
+                 END, 6) AS users_7d_est
+    FROM mrg JOIN daily ON daily.day = mrg.day
+    ORDER BY mrg.day
+    """
+
+
+@_q("q316_kmv_distinct_sketch", _kmv_oracle())
+def q316_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count
+    sketch: keep only the {_KMV_K} smallest 60-bit hashes per day —
+    constant state — and estimate distinct users as (k-1)/R_k where
+    R_k is the k-th minimum normalized hash. Unlike the DataSketches
+    HLL path (q155b, engine-native and therefore rows-only), KMV is
+    pure order statistics on an engine-neutral md5 hash, so the WHOLE
+    sketch lifecycle — build, 7-day trailing MERGE (union the hash
+    lists, keep the k smallest), estimate — carries a full value
+    oracle. Mergeability is the point: sketches union losslessly, the
+    re-cut k-minimum set of a union is exact, and a sketch smaller
+    than k IS the exact count.
+
+    Shape: per-day k-minima via a day-partitioned rank filter (Spark
+    plans WindowGroupLimit: each input partition keeps k, then k per
+    partition merge — never a full sort); everything after runs on the
+    calendar-day frame with ≤7k-element arrays. Estimate arithmetic is
+    one division on the identical double in both engines.
+    """
+    from nfl_predictions_spark.operators.dedup import _h60_spark
+    from pyspark.sql import Window
+
+    u = (
+        table(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    hs = u.select(
+        "day", _h60_spark(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    daily = hs.groupBy("day").agg(F.count(F.lit(1)).alias("exact_daily"))
+    wrk = Window.partitionBy("day").orderBy("hv")
+    sk = (
+        hs.withColumn("rn", F.row_number().over(wrk))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("day")
+        .agg(F.sort_array(F.collect_list("hv")).alias("arr"))
+    )
+    wday = Window.orderBy("day").rowsBetween(-6, 0)
+    mrg = sk.withColumn(
+        "m",
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("arr").over(wday)))
+            ),
+            1,
+            _KMV_K,
+        ),
+    )
+    est = F.when(
+        F.size("m") < _KMV_K, F.size("m").cast("double")
+    ).otherwise(
+        (_KMV_K - 1)
+        / (F.element_at("m", _KMV_K).cast("double") / F.lit(float(_KMV_SCALE)))
+    )
+    return (
+        mrg.join(daily, "day")
+        .select(
+            "day",
+            F.col("exact_daily").cast("long"),
+            F.size("m").cast("long").alias("merged_size"),
+            F.round(est, 6).alias("users_7d_est"),
+        )
+        .orderBy("day")
+    )

@@ -595,3 +595,188 @@ def q306_regex_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# q314 — WordPiece greedy longest-match tokenization (BERT-style)
+# ---------------------------------------------------------------------------
+#
+# Completes the tokenizer family: BPE merges bottom-up (q160/q162), the
+# unigram model segments OPTIMALLY (q216), GPT-2 pre-tokenizes by regex
+# (q306) — WordPiece segments GREEDILY, longest vocabulary match first,
+# with distinct word-initial and '##'-continuation piece forms. The
+# greedy scan is exactly BERT's runtime algorithm; unlike q216's DP it
+# is order-dependent, so the oracle certifies the precise greedy path,
+# not just an objective value.
+
+_WP_MIN_WLEN = 3
+_WP_MAX_WLEN = 14
+_WP_MAX_PIECE = 4
+_WP_TOPK = 150
+_WP_OUT = 40
+
+
+def _wordpiece_oracle() -> str:
+    single = (
+        "((form NOT LIKE '##%' AND len(form) = 1) "
+        "OR (form LIKE '##%' AND len(form) = 3))"
+    )
+    multi = (
+        "((form NOT LIKE '##%' AND len(form) >= 2) "
+        "OR (form LIKE '##%' AND len(form) >= 4))"
+    )
+    frm = (
+        "CASE WHEN r.pos = 1 THEN substring(r.w, r.pos, j.jl) "
+        "ELSE '##' || substring(r.w, r.pos, j.jl) END"
+    )
+    return f"""
+    WITH RECURSIVE wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE len(w) BETWEEN {_WP_MIN_WLEN} AND {_WP_MAX_WLEN}
+      GROUP BY w
+    ), pc AS (
+      SELECT form, CAST(sum(f) AS BIGINT) AS c
+      FROM (
+        SELECT CASE WHEN i = 1 THEN substring(w, i, l)
+                    ELSE '##' || substring(w, i, l) END AS form, f
+        FROM (
+          SELECT w, f, l, unnest(generate_series(1, len(w) - l + 1)) AS i
+          FROM wf, (SELECT unnest(generate_series(1, {_WP_MAX_PIECE})) AS l)
+          WHERE len(w) >= l
+        )
+      ) GROUP BY form
+    ), vocab AS (
+      SELECT form FROM pc WHERE {single}
+      UNION ALL
+      SELECT form FROM (
+        SELECT form FROM pc WHERE {multi}
+        ORDER BY c DESC, form LIMIT {_WP_TOPK}
+      )
+    ), tw AS (SELECT w, f FROM wf ORDER BY f DESC, w LIMIT {_WP_OUT}),
+    jmp AS (
+      SELECT w, i AS pos, max(l) AS jl
+      FROM (
+        SELECT t.w, l, unnest(generate_series(1, len(t.w) - l + 1)) AS i
+        FROM tw t, (SELECT unnest(generate_series(1, {_WP_MAX_PIECE})) AS l)
+        WHERE len(t.w) >= l
+      )
+      WHERE (CASE WHEN i = 1 THEN substring(w, i, l)
+                  ELSE '##' || substring(w, i, l) END)
+            IN (SELECT form FROM vocab)
+      GROUP BY w, i
+    ), rec AS (
+      SELECT w, 1 AS pos, 0 AS n, '' AS seg FROM tw
+      UNION ALL
+      SELECT r.w, r.pos + j.jl, r.n + 1,
+             CASE WHEN r.seg = '' THEN {frm}
+                  ELSE r.seg || '|' || {frm} END
+      FROM rec r JOIN jmp j ON j.w = r.w AND j.pos = r.pos
+    )
+    SELECT t.w AS word, t.f AS freq, CAST(r.n AS BIGINT) AS n_pieces,
+           r.seg AS seg
+    FROM tw t JOIN rec r ON r.w = t.w AND r.pos = len(t.w) + 1
+    ORDER BY t.f DESC, t.w
+    """
+
+
+@_q("q314_wordpiece_tokenize", _wordpiece_oracle())
+def q314_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenization (Wu et al. 2016 / BERT): greedy LONGEST
+    vocabulary match left-to-right, with separate word-initial and
+    '##'-continuation piece forms — the runtime segmenter behind every
+    BERT-family model. The vocabulary is derived deterministically from
+    the corpus itself: all single-character forms (which guarantee the
+    greedy scan always advances — no [UNK] needed) plus the
+    top-{_WP_TOPK} multi-character forms (2-{_WP_MAX_PIECE} chars) by
+    corpus-weighted positional frequency, count-desc/form-asc
+    tie-broken.
+
+    Distribution (q216's trainer decomposition): one corpus scan folds
+    to the word-frequency table; piece counting explodes
+    (length x position) over that vocabulary-sized frame; the bounded
+    vocab is collected + broadcast; greedy segmentation is one
+    Arrow-batched pass over distinct words — O(len x {_WP_MAX_PIECE})
+    set probes per word, no shuffle after the word-freq groupBy.
+
+    Certification: the oracle rebuilds the vocab in SQL, precomputes
+    the longest-match jump table per (word, position), and walks the
+    exact greedy path with a recursive CTE — engine segmentations must
+    agree piece-for-piece, not just in count.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(
+            (F.length("w") >= _WP_MIN_WLEN) & (F.length("w") <= _WP_MAX_WLEN)
+        )
+    )
+    wf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    wf = wf.localCheckpoint(eager=True)  # scanned twice: pieces + segment
+
+    ls = F.explode(F.sequence(F.lit(1), F.lit(_WP_MAX_PIECE))).alias("l")
+    form = F.when(
+        F.col("i") == 1, F.expr("substring(w, i, l)")
+    ).otherwise(F.concat(F.lit("##"), F.expr("substring(w, i, l)")))
+    pc = (
+        wf.select("w", "f", ls)
+        .filter(F.length("w") >= F.col("l"))
+        .select(
+            "w",
+            "f",
+            "l",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - F.col("l") + 1)
+            ).alias("i"),
+        )
+        .select(form.alias("form"), "f")
+        .groupBy("form")
+        .agg(F.sum("f").alias("c"))
+    )
+    is_cont = F.col("form").startswith("##")
+    plen = F.when(is_cont, F.length("form") - 2).otherwise(F.length("form"))
+    singles = pc.filter(plen == 1).select("form")
+    multi = (
+        pc.filter(plen >= 2)
+        .orderBy(F.desc("c"), F.asc("form"))
+        .limit(_WP_TOPK)
+        .select("form")
+    )
+    voc = {r["form"] for r in singles.unionByName(multi).collect()}
+    bvoc = spark.sparkContext.broadcast(voc)
+
+    def greedy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = bvoc.value
+        for pdf in batches:
+            out = {"word": [], "freq": [], "n_pieces": [], "seg": []}
+            for w, f in zip(pdf["w"], pdf["f"]):
+                pos, parts = 0, []
+                while pos < len(w):
+                    for l in range(min(_WP_MAX_PIECE, len(w) - pos), 0, -1):
+                        p = w[pos : pos + l]
+                        fm = p if pos == 0 else "##" + p
+                        if fm in v:
+                            parts.append(fm)
+                            pos += l
+                            break
+                    else:  # single-char forms make this unreachable
+                        parts.append("?")
+                        pos += 1
+                out["word"].append(w)
+                out["freq"].append(int(f))
+                out["n_pieces"].append(len(parts))
+                out["seg"].append("|".join(parts))
+            yield pd.DataFrame(out)
+
+    segmented = wf.mapInPandas(
+        greedy, schema="word string, freq long, n_pieces long, seg string"
+    )
+    return (
+        segmented.orderBy(F.desc("freq"), F.asc("word"))
+        .limit(_WP_OUT)
+        .orderBy(F.desc("freq"), F.asc("word"))
+    )

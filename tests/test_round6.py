@@ -146,3 +146,90 @@ def test_cuped_reduces_or_preserves_variance(spark):
     adj = sum(r.mean_y_cuped * r.n_users for r in rows.values()) / n
     # pooled adjusted mean equals pooled raw mean (theta term cancels)
     assert abs(raw - adj) < 1e-4, (raw, adj)
+
+
+def test_wordpiece_roundtrip_and_forms(spark):
+    """Pieces reassemble the word exactly; the first piece is a start
+    form, every later piece a '##' continuation — the invariant greedy
+    WordPiece must keep regardless of vocabulary content."""
+    from nfl_predictions_spark.operators.tokenizer import q314_wordpiece_tokenize
+
+    rows = q314_wordpiece_tokenize(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        parts = r.seg.split("|")
+        assert len(parts) == r.n_pieces
+        assert not parts[0].startswith("##")
+        assert all(p.startswith("##") for p in parts[1:])
+        rebuilt = parts[0] + "".join(p[2:] for p in parts[1:])
+        assert rebuilt == r.word, (r.word, r.seg)
+
+
+def test_adamic_adar_candidates_are_new_links(spark):
+    """Every recommended pair must be non-adjacent in the co-purchase
+    graph, have >= 1 common neighbor, and carry a positive score with
+    dense ranks."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.graph import (
+        copurchase_edges,
+        q315_adamic_adar,
+    )
+
+    out = q315_adamic_adar(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    e = copurchase_edges(spark, SF_SMOKE).filter(F.col("a") < F.col("b"))
+    leak = out.join(
+        e, (out.u == e.a) & (out.v == e.b), "inner"
+    ).count()
+    assert leak == 0
+    for r in rows:
+        assert r.u < r.v and r.n_common >= 1 and r.aa_score > 0
+
+
+def test_kmv_exact_below_k_and_error_bound(spark):
+    """A merged sketch smaller than k reports the EXACT count; at or
+    above k the (k-1)/R_k estimate lands within the standard KMV
+    relative-error envelope (a few / sqrt(k)) of the true trailing
+    distinct count."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.sketches import (
+        _KMV_K,
+        q316_kmv_distinct_sketch,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    rows = q316_kmv_distinct_sketch(spark, SF_SMOKE).collect()
+    assert rows
+    # exact 7-day trailing distinct, brute-force on the tiny fixture
+    days = sorted({r.day for r in rows})
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    byday = defaultdict(set)
+    for r in ev:
+        byday[r.day].add(r.user_id)
+    import datetime
+
+    for r in rows:
+        exact = len(
+            set().union(
+                *(
+                    byday.get(r.day - datetime.timedelta(days=o), set())
+                    for o in range(7)
+                )
+            )
+        )
+        if r.merged_size < _KMV_K:
+            assert r.users_7d_est == exact == r.merged_size
+        else:
+            rel = abs(r.users_7d_est - exact) / exact
+            assert rel < 5.0 / (_KMV_K ** 0.5), (r.day, exact, r.users_7d_est)

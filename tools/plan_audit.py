@@ -142,6 +142,7 @@ ALLOW = {
         "q310_brier_decomposition",  # 24-row hour-bin frame
         "q311_conformal_thresholds",  # rank-select bucket-counts frame
         "q312_kaplan_meier",  # per-duration frame (day-span bounded)
+        "q316_kmv_distinct_sketch",  # per-day sketch frame (calendar bounded)
     },
 }
 
