@@ -2915,3 +2915,146 @@ def q313_cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# q318 — Poisson bootstrap CI (deterministic hash-derived resampling)
+# ---------------------------------------------------------------------------
+
+_PB_B = 64  # bootstrap replicates
+#: Poisson(1) CDF thresholds for the inverse-CDF draw (cap at 6);
+#: literal doubles so both engines branch identically.
+_PB_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _pb_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {i}" for i, c in enumerate(_PB_CDF)
+    )
+    return f"CASE {branches} ELSE {len(_PB_CDF)} END"
+
+
+def _pb_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _h60_duck
+
+    h = _h60_duck("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    w = _pb_weight_sql(f"(CAST({h} AS BIGINT) / {1 << 60})")
+    return f"""
+    WITH reps AS (
+      SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS x, b.b,
+             {w} AS w
+      FROM orders o,
+           (SELECT unnest(range(0, {_PB_B})) AS b) b
+    ),
+    rmean AS (
+      SELECT b,
+             round(CAST(sum(w * x) AS DOUBLE) / sum(w), 6) AS m
+      FROM reps GROUP BY b
+    ),
+    boot AS (
+      SELECT list_sort(list(m)) AS ms,
+             CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS sm,
+             CAST(sum(CAST(round(m * m, 6) AS DECIMAL(24,6))) AS DOUBLE) AS smm
+      FROM rmean
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*), 6) AS mean_price
+      FROM orders
+    )
+    SELECT base.n_orders, base.mean_price,
+           boot.ms[{max(1, round(0.025 * _PB_B))}] AS ci_lo,
+           boot.ms[{round(0.975 * _PB_B)}] AS ci_hi,
+           round(sqrt((boot.nb * boot.smm - boot.sm * boot.sm)
+                      / (boot.nb * (boot.nb - 1))), 6) AS boot_se
+    FROM base CROSS JOIN boot
+    """
+
+
+@_q("q318_poisson_bootstrap_ci", _pb_oracle())
+def q318_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012 — "Estimating uncertainty
+    for massive data streams", the Google-scale bootstrap): instead of
+    resampling n rows with replacement (impossible distributed), each
+    row enters replicate b with an independent Poisson(1) multiplicity
+    — here drawn DETERMINISTICALLY by inverse-CDF on a 60-bit
+    md5(row:b) hash, so both engines materialize the identical
+    {_PB_B} resamples with no RNG state. Reports the mean order price
+    with its percentile CI and bootstrap SE — the uncertainty line
+    every KPI dashboard should carry.
+
+    Shape: one explode x{_PB_B} over orders feeding a {_PB_B}-group
+    weighted aggregate (map-side combinable; at 100 TB this is the
+    textbook trade — B passes' worth of weighted sums in one shuffle
+    of B groups); the replicate-means frame is {_PB_B} rows, where the
+    percentile pick and the SE (round-6 DECIMAL sufficient sums) are
+    driver-free array ops. Weighted sums ride exact DECIMAL(18,2) x
+    integer weights, so replicate means are cross-engine exact before
+    the one rounding.
+    """
+    from nfl_predictions_spark.operators.dedup import _h60_spark
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("x")
+    )
+    reps = o.select(
+        "o_orderkey",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_PB_B - 1))).alias("b"),
+    )
+    u = _h60_spark(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        )
+    ).cast("double") / F.lit(float(1 << 60))
+    wexpr = F.lit(len(_PB_CDF))
+    for i in range(len(_PB_CDF) - 1, -1, -1):
+        wexpr = F.when(u < _PB_CDF[i], i).otherwise(wexpr)
+    rmean = (
+        reps.select("b", "x", wexpr.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("x")).cast("double") / F.sum("w"), 6
+            ).alias("m")
+        )
+    )
+    boot = rmean.agg(
+        F.sort_array(F.collect_list("m")).alias("ms"),
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.col("m").cast("decimal(18,6)")).cast("double").alias("sm"),
+        F.sum(F.round(F.col("m") * F.col("m"), 6).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("smm"),
+    )
+    base = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_price"
+        ),
+    )
+    lo_i, hi_i = max(1, round(0.025 * _PB_B)), round(0.975 * _PB_B)
+    return base.crossJoin(F.broadcast(boot)).select(
+        F.col("n_orders").cast("long"),
+        "mean_price",
+        F.element_at("ms", lo_i).alias("ci_lo"),
+        F.element_at("ms", hi_i).alias("ci_hi"),
+        F.round(
+            F.sqrt(
+                (F.col("nb") * F.col("smm") - F.col("sm") * F.col("sm"))
+                / (F.col("nb") * (F.col("nb") - 1))
+            ),
+            6,
+        ).alias("boot_se"),
+    )

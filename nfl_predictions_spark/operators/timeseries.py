@@ -2711,3 +2711,144 @@ def q312_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("cl").cast("double")), 6))
         .alias("survival"),
     ).orderBy("dur_days")
+
+
+# ---------------------------------------------------------------------------
+# q317 — multi-touch attribution (first / last / linear credit models)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_DAYS = 3
+
+_ATTR_ORACLE = f"""
+WITH conv AS (
+  SELECT user_id, ts AS ct, event_id AS cid FROM events
+  WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_type AS channel, ts, event_id FROM events
+  WHERE event_type IN ('view', 'click')
+),
+joined AS (
+  SELECT c.cid, c.user_id, t.channel, t.ts, t.event_id
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.ts < c.ct
+   AND t.ts >= c.ct - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+),
+per AS (
+  SELECT cid, channel, ts, event_id,
+         count(*) OVER (PARTITION BY cid) AS n,
+         row_number() OVER (PARTITION BY cid ORDER BY ts, event_id) AS rn
+  FROM joined
+),
+credits AS (
+  SELECT 'first_touch' AS model, channel,
+         CAST(CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END AS DECIMAL(18,6)) AS cr
+  FROM per
+  UNION ALL
+  SELECT 'last_touch', channel,
+         CAST(CASE WHEN rn = n THEN 1.0 ELSE 0.0 END AS DECIMAL(18,6))
+  FROM per
+  UNION ALL
+  SELECT 'linear', channel,
+         CAST(round(1.0 / n, 6) AS DECIMAL(18,6))
+  FROM per
+),
+direct AS (
+  SELECT m.model, 'direct' AS channel,
+         CAST(count(*) AS DECIMAL(18,6)) AS cr
+  FROM conv c
+  LEFT JOIN (SELECT DISTINCT cid FROM joined) j ON j.cid = c.cid
+  CROSS JOIN (SELECT unnest(['first_touch', 'last_touch', 'linear'])
+              AS model) m
+  WHERE j.cid IS NULL
+  GROUP BY m.model
+),
+allc AS (
+  SELECT model, channel, cr FROM credits WHERE cr > 0
+  UNION ALL SELECT model, channel, cr FROM direct
+)
+SELECT model, channel,
+       CAST(round(sum(cr), 6) AS DOUBLE) AS credit,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM allc GROUP BY model, channel ORDER BY model, channel
+"""
+
+
+@_q("q317_attribution_models", _ATTR_ORACLE)
+def q317_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: every purchase distributes one
+    unit of credit over the user's view/click touches in the prior
+    {_ATTR_WINDOW_DAYS} days under three industry models at once —
+    first-touch (discovery), last-touch (closer), linear (equal split)
+    — with purchases having no in-window touch credited to 'direct'.
+    The three models over identical joined data is exactly how an
+    attribution comparison dashboard is built.
+
+    Shape: conversions join touches on the USER key (equi) with the
+    lookback as a residual range predicate — at scale both sides
+    co-partition on user_id and a touch meets only its own user's
+    conversions; per-conversion ordering windows partition by the
+    conversion id (per-group state only). Linear credits quantize
+    1/n to round-6 DECIMAL before summing, so cross-engine
+    accumulation is exact; zero-credit rows are dropped on BOTH sides
+    so the n_rows census matches too.
+    """
+    ev = table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ct"), F.col("event_id").alias("cid")
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_type").alias("channel"), "ts", "event_id"
+    )
+    joined = conv.join(touch, "user_id").filter(
+        (F.col("ts") < F.col("ct"))
+        & (F.col("ts") >= F.col("ct") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAY"))
+    )
+    wp = Window.partitionBy("cid")
+    per = joined.select(
+        "cid",
+        "channel",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number()
+        .over(wp.orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    dec = "decimal(18,6)"
+    credits = None
+    for model, cr in [
+        ("first_touch", F.when(F.col("rn") == 1, 1.0).otherwise(0.0)),
+        ("last_touch", F.when(F.col("rn") == F.col("n"), 1.0).otherwise(0.0)),
+        ("linear", F.round(1.0 / F.col("n"), 6)),
+    ]:
+        part = per.select(
+            F.lit(model).alias("model"),
+            "channel",
+            cr.cast(dec).alias("cr"),
+        )
+        credits = part if credits is None else credits.unionByName(part)
+    direct = (
+        conv.join(joined.select("cid").distinct(), "cid", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_direct"))
+        .select(
+            F.explode(
+                F.array(
+                    *[F.lit(m) for m in ("first_touch", "last_touch", "linear")]
+                )
+            ).alias("model"),
+            F.lit("direct").alias("channel"),
+            F.col("n_direct").cast(dec).alias("cr"),
+        )
+    )
+    # cr > 0 on the WHOLE union: with zero direct conversions the
+    # aggregate still yields literal rows with cr = 0, which the
+    # oracle's empty GROUP BY would not emit
+    allc = credits.unionByName(direct).filter(F.col("cr") > 0)
+    return (
+        allc.groupBy("model", "channel")
+        .agg(
+            F.round(F.sum("cr"), 6).cast("double").alias("credit"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .orderBy("model", "channel")
+    )

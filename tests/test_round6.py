@@ -233,3 +233,44 @@ def test_kmv_exact_below_k_and_error_bound(spark):
         else:
             rel = abs(r.users_7d_est - exact) / exact
             assert rel < 5.0 / (_KMV_K ** 0.5), (r.day, exact, r.users_7d_est)
+
+
+def test_attribution_conserves_credit(spark):
+    """Per model, total credit across channels equals the number of
+    purchases exactly — every conversion distributes one unit, whether
+    to touches or to 'direct'. The strongest invariant an attribution
+    pipeline has."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.timeseries import (
+        q317_attribution_models,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    n_purchases = (
+        table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    rows = q317_attribution_models(spark, SF_SMOKE).collect()
+    by_model = {}
+    for r in rows:
+        by_model.setdefault(r.model, 0.0)
+        by_model[r.model] += r.credit
+    assert set(by_model) == {"first_touch", "last_touch", "linear"}
+    for model, total in by_model.items():
+        # linear credits are round-6 quantized per touch; allow that slack
+        assert abs(total - n_purchases) < 1e-3, (model, total, n_purchases)
+
+
+def test_poisson_bootstrap_ci_shape(spark):
+    """CI endpoints bracket a sane region: lo < hi, the point estimate
+    sits inside (or within a few SE of) the interval, SE is positive
+    and far smaller than the mean at this n."""
+    from nfl_predictions_spark.operators.stats import q318_poisson_bootstrap_ci
+
+    r = q318_poisson_bootstrap_ci(spark, SF_SMOKE).collect()[0]
+    assert r.ci_lo < r.ci_hi
+    assert r.boot_se > 0
+    assert r.ci_lo - 5 * r.boot_se < r.mean_price < r.ci_hi + 5 * r.boot_se
+    assert r.boot_se < 0.2 * r.mean_price

@@ -97,6 +97,7 @@ ALLOW = {
         "q312_kaplan_meier",  # 1-row horizon-date broadcast
         "q311_conformal_thresholds",  # 2-row (alpha, qhat) threshold broadcast
         "q313_cuped_ab_readout",  # 1-row sufficient-statistics broadcast
+        "q318_poisson_bootstrap_ci",  # 1-row replicate-means-array broadcast
     },
     # Empty-partition windows over provably BOUNDED frames only. The
     # frame feeding each of these windows is an aggregate whose row
