@@ -980,18 +980,43 @@ def q169_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a query (bucket boundaries + exact per-bucket mass).
 
     ntile over the (value, pk) total order makes bucket membership
-    deterministic across engines even on duplicate values. Scale note:
-    a global ntile is a single-partition sort at 100 TB — the
-    production variant of this statistic samples first or uses the
-    t-digest path (q45b); this operator is the exact certifier, and the
-    sort is on the |table| that survives ANALYZE's sampling, not the
-    raw corpus.
+    deterministic across engines even on duplicate values — but NO
+    global ntile sort ever runs (q204's machinery): the
+    {_HIST_BUCKETS - 1} cut ranks' exact (value, pk) sort-key TUPLES
+    come from the histogram-narrowed distributed rank select, and
+    every row buckets itself with broadcast tuple comparisons, so the
+    statistic builds with hash aggregates plus one bounded-frame
+    prefix sum — the shape ANALYZE actually needs at 100 TB.
     """
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    from nfl_predictions_spark.operators.timeseries import _rank_select_values
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        "o_orderkey",
+        F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("cents"),
+    )
+    nb = _HIST_BUCKETS
+    cut_ranks = {
+        f"c{j}": (
+            lambda n, j=j: F.floor(n / nb) * j + F.least(F.lit(j), n % nb)
+        )
+        for j in range(1, nb)
+    }
+    cuts = _rank_select_values(
+        src.select("cents", "o_orderkey"),
+        "cents",
+        ["o_orderkey"],
+        1_000_000,
+        cut_ranks,
+        pick_struct=True,
+    ).select(*[F.col(f"c{j}").alias(f"c{j}") for j in range(1, nb)])
+    probe = F.struct(F.col("cents"), F.col("o_orderkey"))
+    bucket = F.lit(1)
+    for j in range(1, nb):
+        bucket = bucket + (probe > F.col(f"c{j}")).cast("int")
     return (
-        table(spark, sf_dir, "orders")
-        .select("o_totalprice", "o_orderkey")
-        .withColumn("bucket", F.ntile(_HIST_BUCKETS).over(w).cast("long"))
+        src.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket.cast("long"))
         .groupBy("bucket")
         .agg(
             F.min("o_totalprice").alias("lo"),

@@ -98,6 +98,7 @@ ALLOW = {
         "q311_conformal_thresholds",  # 2-row (alpha, qhat) threshold broadcast
         "q313_cuped_ab_readout",  # 1-row sufficient-statistics broadcast
         "q318_poisson_bootstrap_ci",  # 1-row replicate-means-array broadcast
+        "q169_equidepth_histogram",  # 1-row cut-tuple broadcast (q204 shape)
     },
     # Empty-partition windows over provably BOUNDED frames only. The
     # frame feeding each of these windows is an aggregate whose row
@@ -131,7 +132,7 @@ ALLOW = {
         "q200_ratio_to_report",  # region x nation aggregate (25 rows)
         "q207_benford_audit",  # 9 first-digit rows
         "q297_isotonic_calibration",  # ≤_ISO_MAX_BIN price bins
-        "q169_equidepth_histogram",  # cut-rank counts frame (see q204 machinery)
+        "q169_equidepth_histogram",  # rank-select per-bucket counts frame
         # --- vocabulary-sized frames (sublinear in corpus; documented)
         "q141_zipf_fit",  # HAVING-thresholded vocab, rank-by-partials at scale
         "q266_doc_keyphrases",  # vocab totals window (avoids 1-row BNLJ)
