@@ -180,6 +180,19 @@ HEADLINE = [
     "q204_rfm_segmentation",
     "q211_pareto_concentration",
     "q174_sorted_neighborhood",
+    # round-6 operator additions
+    "q307_winnowing_fingerprints",
+    "q308_ngram_overlap_eval",
+    "q309_simplified_silhouette",
+    "q310_brier_decomposition",
+    "q311_conformal_thresholds",
+    "q312_kaplan_meier",
+    "q313_cuped_ab_readout",
+    "q314_wordpiece_tokenize",
+    "q315_adamic_adar",
+    "q316_kmv_distinct_sketch",
+    "q317_attribution_models",
+    "q318_poisson_bootstrap_ci",
 ]
 
 _METRIC_FIELDS = {
