@@ -283,17 +283,35 @@ _PREFIX_GROUP = 500  # docs per prefix group (tune to ~partition size at scale)
 
 def _token_offsets(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tok, start_off): each document's global token offset in
-    doc_id order, via the scalable two-phase prefix sum (per-group
-    subtotals -> tiny-table prefix window -> keyed within-group window).
-    Shared by q109 (sharding) and q130 (sequence packing) so both cut
-    the corpus at identical offsets."""
+    doc_id order, via a THREE-level prefix sum (per-group subtotals ->
+    per-supergroup subtotals -> tiny-table prefix window -> two keyed
+    within-group windows). The only empty-partition window runs over
+    the supergroup frame — docs / {_PREFIX_GROUP}^2 rows (e.g. 40 rows
+    for 10M docs), so no task ever holds a data-proportional frame at
+    ANY corpus size; every other window partitions on its (super)group
+    key. Shared by q109 (sharding) and q130 (sequence packing) so both
+    cut the corpus at identical offsets."""
     d = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
     g = d.withColumn("grp", F.floor(F.col("doc_id") / _PREFIX_GROUP))
-    wg = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    gsub = g.groupBy("grp").agg(F.sum("n_tok").alias("g_tok")).withColumn(
+        "sgrp", F.floor(F.col("grp") / _PREFIX_GROUP)
+    )
+    wsg = Window.orderBy("sgrp").rowsBetween(Window.unboundedPreceding, -1)
+    sbases = (
+        gsub.groupBy("sgrp")
+        .agg(F.sum("g_tok").alias("s_tok"))
+        .withColumn("s_base", F.coalesce(F.sum("s_tok").over(wsg), F.lit(0)))
+        .select("sgrp", "s_base")
+    )
+    wgin = Window.partitionBy("sgrp").orderBy("grp").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     bases = (
-        g.groupBy("grp")
-        .agg(F.sum("n_tok").alias("g_tok"))
-        .withColumn("g_base", F.coalesce(F.sum("g_tok").over(wg), F.lit(0)))
+        gsub.join(F.broadcast(sbases), "sgrp")
+        .withColumn(
+            "g_base",
+            F.col("s_base") + F.coalesce(F.sum("g_tok").over(wgin), F.lit(0)),
+        )
         .select("grp", "g_base")
     )
     ww = Window.partitionBy("grp").orderBy("doc_id").rowsBetween(

@@ -120,8 +120,8 @@ ALLOW = {
         "q205_skew_diagnostics",  # distinct lineitems-per-order values (~7)
         "q237_join_skew_profile",  # distinct out_rows products frame
         "q247_curriculum_order",  # distinct doc lengths / 10x256 md5 buckets
-        "q109_token_shards",  # doc-group subtotals (docs/500), documented 2-phase
-        "q130_sequence_packing",  # same _token_offsets group frame
+        "q109_token_shards",  # supergroup frame (docs/500^2 rows, 3-level)
+        "q130_sequence_packing",  # same _token_offsets supergroup frame
         "q174_sorted_neighborhood",  # per-range-partition offsets (#partitions rows)
         # --- calendar / time-grid frames (bounded by time span, not rows)
         "q129_max_concurrency",  # per-day delta frame
