@@ -274,3 +274,54 @@ def test_poisson_bootstrap_ci_shape(spark):
     assert r.boot_se > 0
     assert r.ci_lo - 5 * r.boot_se < r.mean_price < r.ci_hi + 5 * r.boot_se
     assert r.boot_se < 0.2 * r.mean_price
+
+
+def test_rank_select_values_matches_brute_force(spark):
+    """The histogram-narrowed rank select must equal the brute-force
+    sorted pick for assorted ranks, widths, and tie patterns — this is
+    the shared machinery under q198/q256/q204/q211/q169/q311."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.timeseries import _rank_select_values
+
+    # deterministic values with heavy ties: v = (i * 7) % 50, id = i
+    rows = [(i, (i * 7) % 50) for i in range(997)]
+    g = spark.createDataFrame(rows, "rid long, v long")
+    ranks = {
+        "r1": lambda n: F.lit(1),
+        "mid": lambda n: F.floor((n + 1) / 2),
+        "p90": lambda n: F.greatest(F.ceil(n * 0.9), F.lit(1)),
+        "last": lambda n: n,
+    }
+    for width in (1, 7, 1000):
+        sel = _rank_select_values(g, "v", ["rid"], width, ranks).collect()[0]
+        ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+        n = len(ordered)
+        import math
+
+        expect = {
+            "r1": ordered[0][1],
+            "mid": ordered[(n + 1) // 2 - 1][1],
+            "p90": ordered[max(math.ceil(n * 0.9), 1) - 1][1],
+            "last": ordered[-1][1],
+        }
+        assert sel.n == n
+        for k, v in expect.items():
+            assert getattr(sel, k) == v, (width, k, getattr(sel, k), v)
+
+
+def test_rank_select_struct_picks_tiebreak(spark):
+    """pick_struct returns the full (value, tiebreak) sort-key tuple at
+    the rank — the exact-ntile-cut contract: on a tie group the tuple
+    identifies WHICH row is the boundary."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.timeseries import _rank_select_values
+
+    rows = [(i, 5) for i in range(10)] + [(10 + i, 9) for i in range(10)]
+    g = spark.createDataFrame(rows, "rid long, v long")
+    sel = _rank_select_values(
+        g, "v", ["rid"], 1, {"c": lambda n: F.lit(7)}, pick_struct=True
+    ).collect()[0]
+    # rank 7 under (v, rid): the 7th of the v=5 tie group -> rid 6
+    assert sel.c.v == 5 and sel.c.rid == 6
