@@ -10,6 +10,9 @@ same contracts as plain functions over a SparkSession + two models:
 - ``score_batch(df)``      — N rows in one vectorized pass
 - ``next_play(cursor)``    — positional row lookup over an ordered plays
                              table (the /index "next play" cursor)
+- ``render_index(cursor)`` / ``handle_index_form(form)`` — the /index
+  HTML form round-trip (prefill → score → advance cursor), bound to
+  GET|POST / and /index by ``serve_http`` (VERDICT r05 missing #2)
 
 Models load once at service construction (the reference loads at boot,
 ``assets/app_nfl.py:337-338``; its Livy path reloads per statement —
@@ -80,28 +83,128 @@ class ScoringService:
         service = self
 
         class _Handler(BaseHTTPRequestHandler):
+            def _reply(self, code: int, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path not in ("/", "/index"):
+                    self.send_error(404, "unknown route")
+                    return
+                try:
+                    page = service.render_index(0).encode("utf-8")
+                except ValueError as e:  # no plays table attached
+                    self._reply(400, str(e).encode(), "text/plain")
+                    return
+                self._reply(200, page, "text/html")
+
             def do_POST(self):
+                n = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n).decode("utf-8")
+                if self.path in ("/", "/index"):
+                    from urllib.parse import parse_qs
+
+                    form = {k: v[0] for k, v in parse_qs(body).items()}
+                    try:
+                        page = service.handle_index_form(form).encode("utf-8")
+                        self._reply(200, page, "text/html")
+                    except (ValueError, KeyError) as e:
+                        self._reply(400, str(e).encode(), "text/plain")
+                    return
                 if self.path != "/api":
                     self.send_error(404, "unknown route")
                     return
-                n = int(self.headers.get("Content-Length", "0"))
-                body = self.rfile.read(n).decode("utf-8")
                 try:
                     out = service.score_json(body).encode("utf-8")
                     code = 200
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
                     out = json.dumps({"error": str(e)}).encode("utf-8")
                     code = 400
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(out)))
-                self.end_headers()
-                self.wfile.write(out)
+                self._reply(code, out, "application/json")
 
             def log_message(self, *args):  # keep test output clean
                 pass
 
         return HTTPServer((host, port), _Handler)
+
+    # -- /index form flow (reference assets/app_nfl.py:236-280) -------------
+    _INDEX_TEMPLATE = (
+        "<html><body><h1>next play</h1>$banner"
+        '<form method="POST" action="/index">'
+        '<input type="hidden" name="row_number" value="$row_number">'
+        '<input name="datestamp" value="$datestamp">'
+        '<input name="posteam" value="$posteam">'
+        '<input name="DefensiveTeam" value="$DefensiveTeam">'
+        '<input name="quarter" value="$quarter">'
+        '<input name="down" value="$down">'
+        '<input name="timesecs" value="$timesecs">'
+        '<input name="yrdline100" value="$yrdline100">'
+        '<input name="ydstogo" value="$ydstogo">'
+        '<input name="ydsnet" value="$ydsnet">'
+        '<input name="playtype_lag" value="$playtype_lag">'
+        '<input type="submit" value="predict"></form></body></html>'
+    )
+
+    def render_index(self, cursor: int, prediction: dict | None = None) -> str:
+        """The /index page at a cursor: a form prefilled with that play
+        (field names exactly the reference template's —
+        ``assets/app_nfl.py:251-261`` reads them back by these keys),
+        plus the prediction banner after a POST. Rendering is stdlib
+        string.Template; the engine core stays framework-free, same
+        policy as serve_http."""
+        import html
+        import string
+
+        play = self.next_play(cursor)
+        if play is None:
+            return "<html><body><h1>no more plays</h1></body></html>"
+        banner = ""
+        if prediction is not None:
+            banner = (
+                f"<p>best_play={html.escape(str(prediction['best_play']))} "
+                f"passing_yards={round(prediction['passing_yards'], 2)} "
+                f"running_yards={round(prediction['running_yards'], 2)}</p>"
+            )
+        return string.Template(self._INDEX_TEMPLATE).substitute(
+            banner=banner,
+            row_number=cursor,
+            datestamp=html.escape(str(play["Date"])),
+            posteam=html.escape(str(play["posteam"])),
+            DefensiveTeam=html.escape(str(play["DefensiveTeam"])),
+            quarter=play["qtr"],
+            down=play["down"],
+            timesecs=play["TimeSecs"],
+            yrdline100=play["yrdline100"],
+            ydstogo=play["ydstogo"],
+            ydsnet=play["ydsnet"],
+            playtype_lag=html.escape(str(play["PlayType_lag"])),
+        )
+
+    def handle_index_form(self, form: dict) -> str:
+        """POST /index: score the submitted form, ADVANCE the cursor,
+        render the next play with the prediction banner — the
+        reference's form round-trip (``assets/app_nfl.py:250-272``),
+        including its month_day = int(MM + DD) derivation from the
+        datestamp. Missing/malformed fields raise (the engine's
+        fail-loud policy), they do not 500 silently."""
+        datestamp = form["datestamp"]
+        record = {
+            "qtr": int(form["quarter"]),
+            "down": int(form["down"]),
+            "TimeSecs": int(form["timesecs"]),
+            "yrdline100": int(form["yrdline100"]),
+            "ydstogo": int(form["ydstogo"]),
+            "ydsnet": int(form["ydsnet"]),
+            "month_day": int(datestamp[5:7] + datestamp[8:10]),
+            "posteam": form["posteam"],
+            "DefensiveTeam": form["DefensiveTeam"],
+            "PlayType_lag": form["playtype_lag"],
+        }
+        prediction = self.score(record)
+        return self.render_index(int(form["row_number"]) + 1, prediction)
 
     # -- /index cursor ------------------------------------------------------
     def next_play(self, cursor: int) -> dict | None:

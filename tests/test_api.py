@@ -241,3 +241,59 @@ def test_single_record_scoring_launches_no_shuffle(spark, service):
             f"job {jid} has stages {info.stageIds}: single-record scoring "
             "must be shuffle-free"
         )
+
+
+def test_index_form_roundtrip(service):
+    """The /index HTML flow (reference assets/app_nfl.py:236-280): GET
+    renders a form prefilled with play 0; POSTing that form back scores
+    it, ADVANCES the cursor, and renders play 1 with the prediction
+    banner. Field names must be exactly the reference template's."""
+    import re
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    srv = service.serve_http()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        page = urllib.request.urlopen(base + "/index").read().decode()
+        fields = dict(re.findall(r'name="([^"]+)" value="([^"]*)"', page))
+        play0 = service.next_play(0)
+        assert fields["row_number"] == "0"
+        assert fields["posteam"] == str(play0["posteam"])
+        assert fields["timesecs"] == str(play0["TimeSecs"])
+
+        body = urllib.parse.urlencode(fields).encode()
+        req = urllib.request.Request(
+            base + "/index",
+            data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        page2 = urllib.request.urlopen(req).read().decode()
+        assert "best_play=" in page2  # prediction banner rendered
+        fields2 = dict(re.findall(r'name="([^"]+)" value="([^"]*)"', page2))
+        play1 = service.next_play(1)
+        assert fields2["row_number"] == "1"
+        assert fields2["posteam"] == str(play1["posteam"])
+        # the banner's prediction equals direct in-process scoring of
+        # the same form
+        import json as _json
+
+        record = {
+            "qtr": int(fields["quarter"]),
+            "down": int(fields["down"]),
+            "TimeSecs": int(fields["timesecs"]),
+            "yrdline100": int(fields["yrdline100"]),
+            "ydstogo": int(fields["ydstogo"]),
+            "ydsnet": int(fields["ydsnet"]),
+            "month_day": int(fields["datestamp"][5:7] + fields["datestamp"][8:10]),
+            "posteam": fields["posteam"],
+            "DefensiveTeam": fields["DefensiveTeam"],
+            "PlayType_lag": fields["playtype_lag"],
+        }
+        direct = service.score(record)
+        assert f"best_play={direct['best_play']}" in page2
+    finally:
+        srv.shutdown()
