@@ -171,3 +171,104 @@ def connect_jdbc_sql(port: int, sql: str, timeout: float = 120.0) -> list[list[s
             f"no rows from beeline (rc={out.returncode}): {out.stderr[-500:]}"
         )
     return rows
+
+
+class ConnectSessionPool:
+    """Session reuse + reconnect semantics over Spark Connect — the
+    engine's mapping of the reference's Livy session management
+    (``assets/app_nfl.py:74-148``: create-or-reuse a named session,
+    600 s heartbeat/idle TTL, 0.25 s fixed-interval statement polling
+    with unbounded waits). Differences are deliberate:
+
+    - statements on Connect are SYNCHRONOUS, so there is nothing to
+      poll; only TRANSPORT failures need handling, and those get
+      bounded retries with exponential backoff (base 0.25 s — the
+      reference's poll interval — doubling per attempt) around a
+      session rebuild, instead of an infinite 0.25 s loop.
+    - sessions are reused by name until idle longer than ``ttl_s``
+      (the reference's 600 s heartbeat window); an expired or failed
+      session is closed and rebuilt transparently on next use.
+
+    Transport-agnostic: ``factory()`` returns any object with
+    ``execute(sql) -> rows`` and ``close()``; ``jdbc_session(port)``
+    adapts the in-container Connect JDBC path.
+    """
+
+    def __init__(
+        self,
+        factory,
+        ttl_s: float = 600.0,
+        max_retries: int = 3,
+        base_backoff_s: float = 0.25,
+    ):
+        self._factory = factory
+        self._ttl = ttl_s
+        self._max_retries = max_retries
+        self._backoff = base_backoff_s
+        self._sessions: dict[str, tuple[object, float]] = {}
+        self.stats = {"created": 0, "reused": 0, "expired": 0, "retries": 0}
+
+    def _get(self, name: str):
+        sess = self._sessions.get(name)
+        if sess is not None:
+            handle, last_used = sess
+            if time.time() - last_used <= self._ttl:
+                self.stats["reused"] += 1
+                return handle
+            self.stats["expired"] += 1
+            self._close_quietly(handle)
+            del self._sessions[name]
+        handle = self._factory()
+        self.stats["created"] += 1
+        self._sessions[name] = (handle, time.time())
+        return handle
+
+    @staticmethod
+    def _close_quietly(handle):
+        try:
+            handle.close()
+        except Exception:
+            pass
+
+    def execute(self, name: str, sql: str):
+        """Run ``sql`` on the named session, rebuilding the session and
+        retrying (bounded, backed off) on transport failure."""
+        delay = self._backoff
+        last_err: Exception | None = None
+        for attempt in range(self._max_retries + 1):
+            handle = self._get(name)
+            try:
+                rows = handle.execute(sql)
+                self._sessions[name] = (handle, time.time())
+                return rows
+            except Exception as e:  # transport failure: rebuild + retry
+                last_err = e
+                self.stats["retries"] += 1
+                self._close_quietly(handle)
+                self._sessions.pop(name, None)
+                if attempt < self._max_retries:
+                    time.sleep(delay)
+                    delay *= 2
+        raise RuntimeError(
+            f"session '{name}' failed after {self._max_retries + 1} attempts"
+        ) from last_err
+
+    def close(self):
+        for handle, _ in self._sessions.values():
+            self._close_quietly(handle)
+        self._sessions.clear()
+
+
+def jdbc_session(port: int):
+    """Adapt the in-container Connect JDBC path to the pool's session
+    protocol (each statement is its own beeline process; the SERVER
+    holds the long-lived state, so close() is a no-op)."""
+
+    class _Jdbc:
+        def execute(self, sql: str):
+            return connect_jdbc_sql(port, sql)
+
+        def close(self):
+            pass
+
+    return _Jdbc()

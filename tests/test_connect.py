@@ -65,3 +65,68 @@ def test_connect_join_agg_matches_duckdb(connect_port, duck):
     ).fetchall()
     assert rows[0] == ["nation", "cnt"]
     assert [(r[0], int(r[1])) for r in rows[1:]] == expected
+
+
+def test_session_pool_reuse_expiry_reconnect():
+    """Livy-parity session semantics on a fake transport: reuse within
+    the TTL, rebuild after expiry, bounded-retry reconnect through a
+    transient failure, loud error when the transport stays dead."""
+    import pytest
+
+    from nfl_predictions_spark.connect import ConnectSessionPool
+
+    class Flaky:
+        instances = 0
+
+        def __init__(self, fail_times: int):
+            Flaky.instances += 1
+            self.fail_times = fail_times
+
+        def execute(self, sql):
+            if self.fail_times > 0:
+                self.fail_times -= 1
+                raise ConnectionError("transport down")
+            return [["ok"], [sql]]
+
+        def close(self):
+            pass
+
+    # reuse within TTL
+    made = []
+    pool = ConnectSessionPool(
+        lambda: made.append(Flaky(0)) or made[-1], ttl_s=60.0, base_backoff_s=0.0
+    )
+    assert pool.execute("s1", "Q1")[1] == ["Q1"]
+    assert pool.execute("s1", "Q2")[1] == ["Q2"]
+    assert len(made) == 1 and pool.stats["reused"] >= 1
+
+    # expiry rebuilds
+    pool._ttl = 0.0
+    pool.execute("s1", "Q3")
+    assert len(made) == 2 and pool.stats["expired"] == 1
+
+    # transient failure: one retry, then success on the rebuilt session
+    pool2 = ConnectSessionPool(lambda: Flaky(0), ttl_s=60.0, base_backoff_s=0.0)
+    first = Flaky(1)
+    pool2._sessions["s"] = (first, __import__("time").time())
+    assert pool2.execute("s", "Q")[0] == ["ok"]
+    assert pool2.stats["retries"] == 1
+
+    # permanently dead transport fails loudly after bounded retries
+    pool3 = ConnectSessionPool(
+        lambda: Flaky(99), ttl_s=60.0, max_retries=2, base_backoff_s=0.0
+    )
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        pool3.execute("s", "Q")
+
+
+def test_session_pool_over_real_connect(connect_port):
+    """The pool drives the real in-container Connect server: two
+    statements on one named session, stats show reuse."""
+    from nfl_predictions_spark.connect import ConnectSessionPool, jdbc_session
+
+    pool = ConnectSessionPool(lambda: jdbc_session(connect_port))
+    assert pool.execute("svc", "SELECT 1 + 1 AS two")[1] == ["2"]
+    assert pool.execute("svc", "SELECT 'x' AS c")[1] == ["x"]
+    assert pool.stats["created"] == 1 and pool.stats["reused"] == 1
+    pool.close()
