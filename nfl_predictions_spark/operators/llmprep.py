@@ -2290,3 +2290,116 @@ def q298_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ai", "aj")
     )
+
+
+# ---------------------------------------------------------------------------
+# q319 — Kneser-Ney smoothed bigram model (the production n-gram smoother)
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount
+_KN_OUT = 30
+
+
+@_q(
+    "q319_kneser_ney_bigrams",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
+    split AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tok)
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM split GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1p_l
+           FROM c12 GROUP BY w1),
+    contr AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_r
+              FROM c12 GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n1p_all FROM c12),
+    scored AS (
+      SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+             CAST(c12.c12 AS DOUBLE) / c1.c1 AS mle,
+             (greatest(c12.c12 - {_KN_D}, 0)
+              + {_KN_D} * c1.n1p_l
+                * (CAST(contr.n1p_r AS DOUBLE) / tot.n1p_all)) / c1.c1 AS pkn
+      FROM c12
+      JOIN c1 ON c1.w1 = c12.w1
+      JOIN contr ON contr.w2 = c12.w2
+      CROSS JOIN tot
+    )
+    SELECT w1, w2, c12, round(mle, 6) AS p_mle, round(pkn, 6) AS p_kn
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY c12 DESC, w1, w2) AS rn
+      FROM scored
+    ) WHERE rn <= {_KN_OUT}
+    ORDER BY c12 DESC, w1, w2
+    """,
+)
+def q319_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman's winner) — the smoothing production n-gram LMs
+    (KenLM, the CCNet-class perplexity filters) actually use, one step
+    past q138's add-one: mass is removed by ABSOLUTE discount d={_KN_D}
+    and redistributed via the CONTINUATION probability (how many
+    distinct left-contexts a word follows — 'francisco' is frequent but
+    nearly always after 'san', so its continuation mass is tiny; add-one
+    gets exactly this wrong). Emitted for the top-{_KN_OUT} bigrams:
+    raw MLE next to P_KN, so the discount/backoff effect is visible
+    per row.
+
+    Shape: the model is FOUR hash aggregates over the bigram-type
+    table (pair counts, left totals + left fan-out in one pass,
+    right fan-out, type total) joined back on their own keys — every
+    stage key-partitioned and map-side combinable; the 1-row type
+    total broadcasts. P_KN is pure rational arithmetic on BIGINT
+    counts evaluated by the identical expression in both engines; the
+    only rounding is the emitted 1e-6.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = (
+        spread(docs)
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .withColumn("m", F.size("tk") - 1)
+        .filter(F.col("m") >= 1)
+    )
+    split = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.col("m")).alias("w1"),
+                F.slice("tk", 2, F.col("m")).alias("w2"),
+            )
+        ).alias("g")
+    ).select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    c12 = split.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_l")
+    )
+    contr = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_r"))
+    tot = c12.agg(F.count(F.lit(1)).alias("n1p_all"))
+    mle = F.col("c12").cast("double") / F.col("c1")
+    pkn = (
+        F.greatest(F.col("c12") - _KN_D, F.lit(0.0))
+        + _KN_D
+        * F.col("n1p_l")
+        * (F.col("n1p_r").cast("double") / F.col("n1p_all"))
+    ) / F.col("c1")
+    scored = (
+        c12.join(c1, "w1")
+        .join(contr, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", mle.alias("mle"), pkn.alias("pkn"))
+    )
+    wr = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _KN_OUT)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long"),
+            F.round("mle", 6).alias("p_mle"),
+            F.round("pkn", 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+    )

@@ -325,3 +325,43 @@ def test_rank_select_struct_picks_tiebreak(spark):
     ).collect()[0]
     # rank 7 under (v, rid): the 7th of the v=5 tie group -> rid 6
     assert sel.c.v == 5 and sel.c.rid == 6
+
+
+def test_kneser_ney_probability_bounds(spark):
+    """P_KN is a proper discounted probability: in (0, 1], never
+    exceeding the undiscounted MLE by more than the redistributed
+    mass d*n1p_l/c1 can justify, and exactly reproducible from raw
+    bigram counts for the single most frequent bigram."""
+    from collections import Counter
+
+    from nfl_predictions_spark.operators.llmprep import (
+        _KN_D,
+        q319_kneser_ney_bigrams,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    rows = q319_kneser_ney_bigrams(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.p_kn <= 1 and 0 < r.p_mle <= 1
+
+    # recompute the top bigram's P_KN from scratch in Python
+    texts = [
+        r.text for r in table(spark, SF_SMOKE, "documents").select("text").collect()
+    ]
+    c12, c1 = Counter(), Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    n1p_l = Counter(a for a, _ in c12)
+    n1p_r = Counter(b for _, b in c12)
+    top = rows[0]
+    key = (top.w1, top.w2)
+    expect = (
+        max(c12[key] - _KN_D, 0)
+        + _KN_D * n1p_l[top.w1] * (n1p_r[top.w2] / len(c12))
+    ) / c1[top.w1]
+    assert abs(top.p_kn - round(expect, 6)) < 1e-9
+    assert top.c12 == c12[key]
