@@ -193,6 +193,7 @@ HEADLINE = [
     "q316_kmv_distinct_sketch",
     "q317_attribution_models",
     "q318_poisson_bootstrap_ci",
+    "q319_kneser_ney_bigrams",
 ]
 
 _METRIC_FIELDS = {
