@@ -99,6 +99,7 @@ ALLOW = {
         "q313_cuped_ab_readout",  # 1-row sufficient-statistics broadcast
         "q318_poisson_bootstrap_ci",  # 1-row replicate-means-array broadcast
         "q169_equidepth_histogram",  # 1-row cut-tuple broadcast (q204 shape)
+        "q319_kneser_ney_bigrams",  # 1-row bigram-type-total broadcast
     },
     # Empty-partition windows over provably BOUNDED frames only. The
     # frame feeding each of these windows is an aggregate whose row
