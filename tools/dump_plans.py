@@ -63,6 +63,15 @@ SHOWCASE = [
     ("q219_pq_ann", "PQ ANN — broadcast codebooks+dtab, shortlist-only rerank"),
     ("q221_mv_retraction", "MV retraction — signed delta agg merged into base view"),
     ("q223_temperature_balance", "temp mixture — lang-sized budgets, one rank window"),
+    # round 6: the rank-select family and headline additions
+    ("q198_conversion_latency", "rank select — bucket counts + target-bucket-only rank"),
+    ("q204_rfm_segmentation", "exact ntile — broadcast cut tuples, no global sort"),
+    ("q211_pareto_concentration", "two-level prefix sum — pass 2 on crossing buckets"),
+    ("q250_auc_calibration", "tied rank-sum — 24-row per-score frame, no per-row rank"),
+    ("q307_winnowing_fingerprints", "winnowing — per-doc sliding min, struct tie-break"),
+    ("q314_wordpiece_tokenize", "WordPiece — word-freq fold, broadcast vocab, one Arrow pass"),
+    ("q316_kmv_distinct_sketch", "KMV — day-partitioned WindowGroupLimit k-minima"),
+    ("q318_poisson_bootstrap_ci", "Poisson bootstrap — one B-group weighted aggregate"),
 ]
 
 
