@@ -168,19 +168,24 @@ class ScoringService:
                 f"passing_yards={round(prediction['passing_yards'], 2)} "
                 f"running_yards={round(prediction['running_yards'], 2)}</p>"
             )
+        # Escape EVERY substituted value, numeric-typed columns included —
+        # XSS safety must not depend on the plays table's column types
+        # staying numeric (ADVICE r06 #4). banner is already escaped
+        # markup, so it alone is substituted verbatim.
+        esc = lambda v: html.escape(str(v), quote=True)  # noqa: E731
         return string.Template(self._INDEX_TEMPLATE).substitute(
             banner=banner,
-            row_number=cursor,
-            datestamp=html.escape(str(play["Date"])),
-            posteam=html.escape(str(play["posteam"])),
-            DefensiveTeam=html.escape(str(play["DefensiveTeam"])),
-            quarter=play["qtr"],
-            down=play["down"],
-            timesecs=play["TimeSecs"],
-            yrdline100=play["yrdline100"],
-            ydstogo=play["ydstogo"],
-            ydsnet=play["ydsnet"],
-            playtype_lag=html.escape(str(play["PlayType_lag"])),
+            row_number=esc(cursor),
+            datestamp=esc(play["Date"]),
+            posteam=esc(play["posteam"]),
+            DefensiveTeam=esc(play["DefensiveTeam"]),
+            quarter=esc(play["qtr"]),
+            down=esc(play["down"]),
+            timesecs=esc(play["TimeSecs"]),
+            yrdline100=esc(play["yrdline100"]),
+            ydstogo=esc(play["ydstogo"]),
+            ydsnet=esc(play["ydsnet"]),
+            playtype_lag=esc(play["PlayType_lag"]),
         )
 
     def handle_index_form(self, form: dict) -> str:

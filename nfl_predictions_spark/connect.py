@@ -236,15 +236,20 @@ class ConnectSessionPool:
         delay = self._backoff
         last_err: Exception | None = None
         for attempt in range(self._max_retries + 1):
-            handle = self._get(name)
+            # _get() is inside the try so a session-CREATION transport
+            # failure (factory() raising) consumes a retry with backoff
+            # exactly like a statement failure (ADVICE r06 #2).
+            handle = None
             try:
+                handle = self._get(name)
                 rows = handle.execute(sql)
                 self._sessions[name] = (handle, time.time())
                 return rows
             except Exception as e:  # transport failure: rebuild + retry
                 last_err = e
                 self.stats["retries"] += 1
-                self._close_quietly(handle)
+                if handle is not None:
+                    self._close_quietly(handle)
                 self._sessions.pop(name, None)
                 if attempt < self._max_retries:
                     time.sleep(delay)

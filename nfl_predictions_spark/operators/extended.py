@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -164,13 +165,22 @@ def _staged_path(sf_dir: str, kind: str, sources: tuple = ("events",)) -> str:
     root = os.path.join(tempfile.gettempdir(), "nfl_predictions_spark")
     prefix = f"{kind}_{base}"
     out = os.path.join(root, f"{prefix}_{fp.hexdigest()[:10]}")
+    # Deferred GC (ADVICE r06 #5): only reap superseded generations that
+    # have been quiet for GC_GRACE_S, so a concurrent session still
+    # scanning the previous generation (or a second sf_dir sharing a
+    # basename) is never pulled out from under a running query. Fresh
+    # supersessions survive until the next call after the grace window.
+    GC_GRACE_S = 1800.0
+    now = time.time()
     try:
         for name in os.listdir(root):
-            if (
-                (name == prefix or name.startswith(prefix + "_"))
-                and os.path.join(root, name) != out
-            ):
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            path = os.path.join(root, name)
+            if (name == prefix or name.startswith(prefix + "_")) and path != out:
+                try:
+                    if now - os.stat(path).st_mtime > GC_GRACE_S:
+                        shutil.rmtree(path, ignore_errors=True)
+                except OSError:
+                    pass
     except OSError:
         pass
     return out

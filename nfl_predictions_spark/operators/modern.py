@@ -294,7 +294,9 @@ def q78_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the documents table itself — so the driver verifies the
     whole blob path VALUE-exactly (promoted from rows-only, VERDICT r05
     #8): byte length must equal the text's UTF-8 octet length and the
-    blob's first 4 bytes must decode to the text's first characters.
+    decoded blob's first 4 CHARACTERS must equal left(text, 4) — the
+    whole blob is decoded before slicing so a multi-byte codepoint in
+    the head can never be split (ADVICE r06 #1).
     At scale: one task per file, metadata-only pruning via
     pathGlobFilter/modifiedAfter, recursiveFileLookup for partitioned
     layouts.
@@ -325,7 +327,11 @@ def q78_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("doc_id"),
             F.col("length").alias("n_bytes"),
-            F.decode(F.substring(F.col("content"), 1, 4), "UTF-8").alias("head"),
+            # Decode the WHOLE blob, then take 4 CHARACTERS — matching the
+            # oracle's left(text, 4). Slicing the raw bytes first would
+            # split a multi-byte UTF-8 codepoint whenever the first 4
+            # characters aren't all ASCII (ADVICE r06 #1).
+            F.substring(F.decode(F.col("content"), "UTF-8"), 1, 4).alias("head"),
         )
         .orderBy("doc_id")
     )

@@ -393,16 +393,12 @@ _KMV_K = 64
 _KMV_SCALE = 1 << 60  # hash domain: 60-bit md5 slice
 
 
-def _kmv_h60_duck(expr: str) -> str:
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) "
-        f"* {16 ** (14 - i)}"
-        for i in range(15)
-    )
-
-
 def _kmv_oracle() -> str:
-    h = _kmv_h60_duck("CAST(user_id AS VARCHAR)")
+    # Shared 60-bit engine-neutral hash — same helper the dedup suite
+    # uses (ADVICE r06 #3: was a verbatim redefinition).
+    from nfl_predictions_spark.operators.dedup import _h60_duck
+
+    h = _h60_duck("CAST(user_id AS VARCHAR)")
     return f"""
     WITH u AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
     hs AS (SELECT DISTINCT day, CAST({h} AS BIGINT) AS hv FROM u),
@@ -418,9 +414,12 @@ def _kmv_oracle() -> str:
       FROM rk WHERE rn <= {_KMV_K} GROUP BY day
     ),
     win AS (
+      -- RANGE on epoch-day: a true trailing 7-day CALENDAR window, so a
+      -- gap in active days shrinks the merge instead of reaching back
+      -- past the period (ADVICE r06 #3).
       SELECT day, arr,
-             flatten(list(arr) OVER (ORDER BY day
-                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS raw
+             flatten(list(arr) OVER (ORDER BY (day - DATE '1970-01-01')
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS raw
       FROM sk
     ),
     mrg AS (
@@ -448,9 +447,9 @@ def q316_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     R_k is the k-th minimum normalized hash. Unlike the DataSketches
     HLL path (q155b, engine-native and therefore rows-only), KMV is
     pure order statistics on an engine-neutral md5 hash, so the WHOLE
-    sketch lifecycle — build, 7-day trailing MERGE (union the hash
-    lists, keep the k smallest), estimate — carries a full value
-    oracle. Mergeability is the point: sketches union losslessly, the
+    sketch lifecycle — build, trailing 7-CALENDAR-DAY MERGE (RANGE
+    frame on the epoch-day ordinal: union the hash lists, keep the k
+    smallest), estimate — carries a full value oracle. Mergeability is the point: sketches union losslessly, the
     re-cut k-minimum set of a union is exact, and a sketch smaller
     than k IS the exact count.
 
@@ -479,7 +478,13 @@ def q316_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sort_array(F.collect_list("hv")).alias("arr"))
     )
-    wday = Window.orderBy("day").rowsBetween(-6, 0)
+    # RANGE over epoch-day, not ROWS over active days: across a calendar
+    # gap the merge covers the 7-DAY period, not the last 7 days with
+    # data (ADVICE r06 #3). unix_date gives the integer day ordinal the
+    # range frame needs; the frame is still bounded (≤7 day-rows).
+    wday = (
+        Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
+    )
     mrg = sk.withColumn(
         "m",
         F.slice(

@@ -1,0 +1,146 @@
+"""Round-7 fixes (ADVICE r06): regression pins for the five advisory
+findings — q78 character-vs-byte head semantics, session-pool retry on
+CREATION failure, q316 calendar-range merge, uniform /index escaping,
+and deferred staged-store GC."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from tests.conftest import SF_SMOKE
+
+
+def test_q78_head_is_characters_not_bytes(spark):
+    """ADVICE r06 #1: the blob 'head' must be the first 4 CHARACTERS of
+    the decoded text (matching the oracle's left(text, 4)), never the
+    first 4 bytes — a multi-byte UTF-8 codepoint in the head would
+    otherwise be split. Exercised on a synthetic blob whose first 4
+    chars cost 8 bytes."""
+    from pyspark.sql import functions as F
+
+    text = "éééésuffix"  # 4 chars = 8 UTF-8 bytes
+    df = spark.createDataFrame(
+        [(text.encode("utf-8"),)], "content binary"
+    ).select(
+        F.substring(F.decode(F.col("content"), "UTF-8"), 1, 4).alias("head")
+    )
+    assert df.collect()[0].head == text[:4]
+    # and the production query still round-trips the real fixture
+    from nfl_predictions_spark.operators.modern import q78_binary_ingest
+
+    rows = q78_binary_ingest(spark, SF_SMOKE).limit(5).collect()
+    assert rows and all(len(r.head) <= 4 for r in rows)
+
+
+def test_session_pool_retries_creation_failures():
+    """ADVICE r06 #2: a factory() that fails transiently during session
+    CREATION must consume bounded retries with backoff (not propagate
+    immediately), and succeed once the transport recovers."""
+    from nfl_predictions_spark.connect import ConnectSessionPool
+
+    calls = {"n": 0}
+
+    class _Handle:
+        def execute(self, sql):
+            return [("ok",)]
+
+        def close(self):
+            pass
+
+    def flaky_factory():
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise ConnectionError("transport down during create")
+        return _Handle()
+
+    pool = ConnectSessionPool(flaky_factory, base_backoff_s=0.0)
+    assert pool.execute("s1", "SELECT 1") == [("ok",)]
+    assert calls["n"] == 3
+    assert pool.stats["retries"] == 2
+
+    def dead_factory():
+        raise ConnectionError("always down")
+
+    pool2 = ConnectSessionPool(dead_factory, max_retries=2, base_backoff_s=0.0)
+    try:
+        pool2.execute("s1", "SELECT 1")
+        raise AssertionError("expected bounded-retry failure")
+    except RuntimeError as e:
+        assert "3 attempts" in str(e)
+
+
+def test_kmv_merge_uses_calendar_range(spark):
+    """ADVICE r06 #3: the 7-day trailing KMV merge is a RANGE frame on
+    the epoch-day ordinal — across a calendar gap it merges the 7-DAY
+    period, not the last 7 ACTIVE days. Day 100 must NOT see day 1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sk = spark.createDataFrame(
+        [("2024-01-01", [1]), ("2024-04-10", [2]), ("2024-04-11", [3])],
+        "day_s string, arr array<int>",
+    ).select(F.col("day_s").cast("date").alias("day"), "arr")
+    wday = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
+    got = {
+        str(r.day): sorted(r.m)
+        for r in sk.withColumn(
+            "m", F.flatten(F.collect_list("arr").over(wday))
+        ).collect()
+    }
+    assert got["2024-01-01"] == [1]
+    assert got["2024-04-10"] == [2]  # gap: does NOT reach back to day 1
+    assert got["2024-04-11"] == [2, 3]
+
+
+def test_render_index_escapes_every_field(tmp_path):
+    """ADVICE r06 #4: every substituted /index value is html-escaped,
+    including historically numeric columns — XSS safety must not depend
+    on the plays table's dtypes."""
+    from nfl_predictions_spark.api import ScoringService
+
+    svc = ScoringService.__new__(ScoringService)
+
+    payload = '"><script>alert(1)</script>'
+    svc.next_play = lambda cursor: {
+        "Date": "2015-09-10",
+        "posteam": payload,
+        "DefensiveTeam": "NE",
+        "qtr": payload,  # numeric column gone stringly — still safe
+        "down": 1,
+        "TimeSecs": 3600,
+        "yrdline100": 80,
+        "ydstogo": 10,
+        "ydsnet": 0,
+        "PlayType_lag": "Pass",
+    }
+    page = svc.render_index(0)
+    assert "<script>" not in page
+    assert "&lt;script&gt;" in page
+
+
+def test_staged_gc_keeps_fresh_generations(tmp_path, monkeypatch):
+    """ADVICE r06 #5: a superseded staged generation younger than the
+    grace window survives GC (a concurrent reader may still be scanning
+    it); one older than the window is reaped."""
+    import tempfile
+
+    from nfl_predictions_spark.operators import extended
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    root = tmp_path / "nfl_predictions_spark"
+    root.mkdir()
+    fresh = root / "blobs_sfX_aaaaaaaaaa"
+    stale = root / "blobs_sfX_bbbbbbbbbb"
+    other = root / "otherkind_sfX_cccccccccc"
+    for d in (fresh, stale, other):
+        d.mkdir()
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    os.utime(other, (old, old))
+
+    out = extended._staged_path(str(tmp_path / "sfX"), "blobs")
+    assert fresh.exists(), "fresh superseded generation must survive GC"
+    assert not stale.exists(), "quiet superseded generation must be reaped"
+    assert other.exists(), "other kinds are never this call's business"
+    assert out != str(fresh) and out != str(stale)
