@@ -73,7 +73,13 @@ def _registry():
     # q292-q304 (record linkage, MMR, SemDeDup, matryoshka/Hamming ANN,
     # CBO/AQE/bloom/skew join machinery, DV reads, k-core, grouped
     # logreg, Bradley-Terry, isotonic, KS test), (3) the head of the
-    # SQL-surface block q44-q104. Computed by tools/rotate_window.py.
+    # SQL-surface block q44-q104. Round 7 rotates per VERDICT r06 #1:
+    # the same 8 sentinels + (1) the 15 round-6-era additions
+    # (q307-q319, q212b, oracle-promoted q78), (2) the 7 queries
+    # rewritten since their last driver row (the rank-select family +
+    # q174/q247, whose green rows predate the rewrite), (3) q154/q155
+    # (VERDICT r06 #7: never checked anywhere), (4) the q47-q69 head
+    # of the SQL-surface block. Computed by tools/rotate_window.py.
     window = [
         # sentinels — one proven-green entry per family
         "q12_agg_pricing_summary",
@@ -84,51 +90,52 @@ def _registry():
         "q39_minhash_lsh_pairs",
         "q40_token_stats",
         "q41_ann_topk",
-        # TPC-H macro completions (never driver-checked headline tier)
-        "q280_tpch_q6",
-        "q281_tpch_q2",
-        "q282_tpch_q7",
-        "q283_tpch_q8",
-        "q284_tpch_q9",
-        "q285_tpch_q11",
-        "q286_tpch_q12",
-        "q287_tpch_q13",
-        "q288_tpch_q15",
-        "q289_tpch_q16",
-        "q290_tpch_q19",
-        "q291_tpch_q20",
-        # round-5 operator families
-        "q267_record_linkage",
-        "q273_mmr_rerank",
-        "q274_semdedup",
-        "q295_matryoshka_recall",
-        "q296_hamming_ann",
-        "q270_replica_reconciliation",
-        "q271_window_group_limit",
-        "q278_cbo_join_reorder",
-        "q279_aqe_runtime_replan",
-        "q272_runtime_bloom_join",
-        "q276_hybrid_skew_join",
-        "q299_bitmap_distinct_rollup",
-        "q300_sharded_topk_bounds",
-        "q277_deletion_vector_read",
-        "q304_grid_range_agg",
-        "q302_markov_stationary",
-        "q303_activity_streaks",
-        "q294_kcore",
-        "q292_k_anonymity",
-        "q298_label_agreement",
-        "q275_grouped_logreg",
-        "q293_bradley_terry",
-        "q297_isotonic_calibration",
-        "q301_ks_test",
-        # head of the SQL-surface block
-        "q94_nearest_centroid",
-        "q98_fuzzy_match",
-        "q44_pivot",
-        "q44b_unpivot",
-        "q45_percentiles",
-        "q46_scalar_subquery",
+        # round-6-era additions (never driver-checked)
+        "q307_winnowing_fingerprints",
+        "q308_ngram_overlap_eval",
+        "q309_simplified_silhouette",
+        "q310_brier_decomposition",
+        "q311_conformal_thresholds",
+        "q312_kaplan_meier",
+        "q313_cuped_ab_readout",
+        "q314_wordpiece_tokenize",
+        "q315_adamic_adar",
+        "q316_kmv_distinct_sketch",
+        "q317_attribution_models",
+        "q318_poisson_bootstrap_ci",
+        "q319_kneser_ney_bigrams",
+        "q212b_ivf_recall_medoid",
+        "q78_binary_ingest",
+        # rewritten since their last driver row (rank-select family + q174/q247)
+        "q198_conversion_latency",
+        "q204_rfm_segmentation",
+        "q211_pareto_concentration",
+        "q256_session_quality",
+        "q174_sorted_neighborhood",
+        "q169_equidepth_histogram",
+        "q247_curriculum_order",
+        # never checked by driver OR judge sample (VERDICT r06 #7)
+        "q154_image_resize_stats",
+        "q155_sliding_distinct",
+        # q47-q69 head of the SQL-surface block
+        "q47_sql_api",
+        "q48_partition_pruned_scan",
+        "q49_json_source",
+        "q49b_orc_source",
+        "q50_exists_agg_having",
+        "q54_python_udtf",
+        "q55_merge_upsert",
+        "q56_window_ranks",
+        "q56b_window_range_frame",
+        "q56c_window_value_fns",
+        "q57_posexplode",
+        "q58_stats_agg",
+        "q59_hash_sample",
+        "q60_grouping_sets_sql",
+        "q61_array_funcs",
+        "q62_struct_nested",
+        "q67_stratified_sample",
+        "q69_python_datasource",
     ]
     ordered: dict[str, Callable] = {}
     for name in window:
