@@ -2922,36 +2922,48 @@ def q313_cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PB_B = 64  # bootstrap replicates
-#: Poisson(1) CDF thresholds for the inverse-CDF draw (cap at 6);
-#: literal doubles so both engines branch identically.
-_PB_CDF = (
-    0.36787944117144233,
-    0.7357588823428847,
-    0.9196986029286058,
-    0.9810118431238462,
-    0.9963401531726563,
-    0.9994058151824183,
-)
+_PB_CHUNK = 8  # replicates drawn per md5 (one 16-bit slice each)
+#: Poisson(1) CDF thresholds quantized to the 16-bit draw domain
+#: (floor(cdf * 2^16), cap at 6): INTEGER literals so both engines
+#: branch identically with zero float-comparison ambiguity. One md5
+#: yields 32 hex chars = eight independent 16-bit uniform draws, so the
+#: map cost is md5 per (row, chunk-of-8-replicates) — 8x fewer hashes
+#: than one md5 per (row, replicate) (VERDICT r06 #2).
+_PB_T16 = (24109, 48218, 60273, 64291, 65296, 65497)
 
 
 def _pb_weight_sql(u: str) -> str:
     branches = " ".join(
-        f"WHEN {u} < {c} THEN {i}" for i, c in enumerate(_PB_CDF)
+        f"WHEN {u} < {c} THEN {i}" for i, c in enumerate(_PB_T16)
     )
-    return f"CASE {branches} ELSE {len(_PB_CDF)} END"
+    return f"CASE {branches} ELSE {len(_PB_T16)} END"
+
+
+def _pb_u16_duck(h: str, j: str) -> str:
+    """16-bit integer from hex chars [4j+1, 4j+4] of md5 string ``h`` —
+    the DuckDB mirror of Spark's conv(substring(h, 4j+1, 4), 16, 10)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, 4 * {j} + {k + 1}, 1)) - 1)"
+        f" * {16 ** (3 - k)}"
+        for k in range(4)
+    )
 
 
 def _pb_oracle() -> str:
-    from nfl_predictions_spark.operators.dedup import _h60_duck
-
-    h = _h60_duck("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
-    w = _pb_weight_sql(f"(CAST({h} AS BIGINT) / {1 << 60})")
+    u16 = _pb_u16_duck("ch.h", "j.j")
+    w = _pb_weight_sql(f"({u16})")
     return f"""
-    WITH reps AS (
-      SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS x, b.b,
-             {w} AS w
+    WITH ch AS (
+      SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS x, c.c,
+             md5(CAST(o.o_orderkey AS VARCHAR) || ':'
+                 || CAST(c.c AS VARCHAR)) AS h
       FROM orders o,
-           (SELECT unnest(range(0, {_PB_B})) AS b) b
+           (SELECT unnest(range(0, {_PB_B // _PB_CHUNK})) AS c) c
+    ),
+    reps AS (
+      SELECT ch.o_orderkey, ch.x, ch.c * {_PB_CHUNK} + j.j AS b,
+             {w} AS w
+      FROM ch, (SELECT unnest(range(0, {_PB_CHUNK})) AS j) j
     ),
     rmean AS (
       SELECT b,
@@ -2986,43 +2998,69 @@ def q318_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     for massive data streams", the Google-scale bootstrap): instead of
     resampling n rows with replacement (impossible distributed), each
     row enters replicate b with an independent Poisson(1) multiplicity
-    — here drawn DETERMINISTICALLY by inverse-CDF on a 60-bit
-    md5(row:b) hash, so both engines materialize the identical
-    {_PB_B} resamples with no RNG state. Reports the mean order price
-    with its percentile CI and bootstrap SE — the uncertainty line
-    every KPI dashboard should carry.
+    — here drawn DETERMINISTICALLY by inverse-CDF on a 16-bit md5
+    slice, so both engines materialize the identical {_PB_B} resamples
+    with no RNG state. One md5(row:chunk) yields EIGHT independent
+    16-bit uniform draws (32 hex chars / 4), so the hash cost is
+    {_PB_B // _PB_CHUNK} md5s per row, not {_PB_B} (VERDICT r06 #2:
+    8x map-cost cut); the CDF cutoffs are integer 16-bit thresholds
+    ({_PB_T16}) so the branch is exact integer compare in both
+    engines. Reports the mean order price with its percentile CI and
+    bootstrap SE — the uncertainty line every KPI dashboard should
+    carry.
 
-    Shape: one explode x{_PB_B} over orders feeding a {_PB_B}-group
-    weighted aggregate (map-side combinable; at 100 TB this is the
-    textbook trade — B passes' worth of weighted sums in one shuffle
-    of B groups); the replicate-means frame is {_PB_B} rows, where the
-    percentile pick and the SE (round-6 DECIMAL sufficient sums) are
-    driver-free array ops. Weighted sums ride exact DECIMAL(18,2) x
-    integer weights, so replicate means are cross-engine exact before
-    the one rounding.
+    Shape: explode x{_PB_B // _PB_CHUNK} chunks (md5 computed once per
+    chunk row) then posexplode the 8 slice draws, feeding a
+    {_PB_B}-group weighted aggregate (map-side combinable; at 100 TB
+    this is the textbook trade — B passes' worth of weighted sums in
+    one shuffle of B groups); the replicate-means frame is {_PB_B}
+    rows, where the percentile pick and the SE (round-6 DECIMAL
+    sufficient sums) are driver-free array ops. Weighted sums ride
+    exact DECIMAL(18,2) x integer weights, so replicate means are
+    cross-engine exact before the one rounding.
     """
-    from nfl_predictions_spark.operators.dedup import _h60_spark
-
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("x")
     )
-    reps = o.select(
-        "o_orderkey",
+    # Rebalance BEFORE the x64 fan-out: downstream work is 64x the scan,
+    # so one round-robin shuffle of the 2-column base rows guarantees
+    # every core gets a share even when the scan yields few splits (a
+    # small file here; a skewed file layout at scale). Spark cannot
+    # split one task's explode output across cores after the fact.
+    fanout = o.repartition(spark.sparkContext.defaultParallelism)
+    chunks = fanout.select(
         "x",
-        F.explode(F.sequence(F.lit(0), F.lit(_PB_B - 1))).alias("b"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_PB_B // _PB_CHUNK - 1))
+        ).alias("c"),
+        F.col("o_orderkey").cast("string").alias("k"),
+    ).select(
+        "x",
+        "c",
+        # kept as its own projection so codegen computes ONE md5 per
+        # chunk row; the 8 slices below reference this column
+        F.md5(
+            F.concat(F.col("k"), F.lit(":"), F.col("c").cast("string"))
+        ).alias("h"),
     )
-    u = _h60_spark(
-        F.concat(
-            F.col("o_orderkey").cast("string"),
-            F.lit(":"),
-            F.col("b").cast("string"),
-        )
-    ).cast("double") / F.lit(float(1 << 60))
-    wexpr = F.lit(len(_PB_CDF))
-    for i in range(len(_PB_CDF) - 1, -1, -1):
-        wexpr = F.when(u < _PB_CDF[i], i).otherwise(wexpr)
+    u16s = F.array(
+        *[
+            F.conv(F.substring(F.col("h"), 4 * j + 1, 4), 16, 10).cast("int")
+            for j in range(_PB_CHUNK)
+        ]
+    )
+    drawn = chunks.select(
+        "x", "c", F.posexplode(u16s).alias("j", "u16")
+    )
+    wexpr = F.lit(len(_PB_T16))
+    for i in range(len(_PB_T16) - 1, -1, -1):
+        wexpr = F.when(F.col("u16") < _PB_T16[i], i).otherwise(wexpr)
     rmean = (
-        reps.select("b", "x", wexpr.alias("w"))
+        drawn.select(
+            (F.col("c") * _PB_CHUNK + F.col("j")).alias("b"),
+            "x",
+            wexpr.alias("w"),
+        )
         .groupBy("b")
         .agg(
             F.round(
