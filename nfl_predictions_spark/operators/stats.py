@@ -2174,7 +2174,13 @@ def q293_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("l"),
         )
     )
-    c = cmp.groupBy("w", "l").agg(F.count(F.lit(1)).alias("cnt"))
+    # One eager materialization of the ONLY data-sized relation: after
+    # this groupBy the frame is bounded by |brands|^2 (~625 rows).
+    # Without it, every per-iteration checkpoint below re-executed the
+    # lineitem self-join (4 heavy passes; 7.2 s of q293's construction
+    # at sf0.1 — VERDICT r06 #3). With it, the iterations checkpoint
+    # millisecond-sized model frames only.
+    c = cmp.groupBy("w", "l").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
     nij = (
         c.select(F.col("w").alias("i"), F.col("l").alias("j"), "cnt")
         .unionByName(c.select(F.col("l").alias("i"), F.col("w").alias("j"), "cnt"))
