@@ -194,6 +194,34 @@ HEADLINE = [
     "q317_attribution_models",
     "q318_poisson_bootstrap_ci",
     "q319_kneser_ney_bigrams",
+    # round-7 widening (VERDICT r06 #5): every operator module gets at
+    # least one benched representative so scale regressions anywhere in
+    # the registry surface as wall-time moves, not silence.
+    # graph family
+    "q95_pagerank",
+    "q66_connected_components",
+    "q139_triangle_count",
+    "q145_bfs_levels",
+    "q265_hierarchy_rollup",
+    # warehouse family
+    "q118_scd2_dimension",
+    "q170_snapshot_diff",
+    "q228_scd2_merge_apply",
+    "q239_lsm_compaction",
+    # modern-SQL surface
+    "q72_recursive_cte",
+    "q85_pandas_api",
+    "q86_approx_top_k",
+    # previously unrepresented modules
+    "q161_skyline",
+    "q65_range_join",
+    "q129_max_concurrency",
+    "q40f_tfidf_top_terms",
+    "q43_multimodal_features",
+    "q154_image_resize_stats",
+    "q31_stream_tumbling",
+    "q171_stream_dedup_ttl",
+    "q37c_ml_index_assemble",
 ]
 
 _METRIC_FIELDS = {

@@ -1096,10 +1096,17 @@ def q315_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("u"), F.col("b").alias("v")
     )
     cand = wedge.join(existing, ["u", "v"], "left_anti")
+    # Top-k FIRST via orderBy+limit (TakeOrderedAndProject: each
+    # partition keeps its own top-{_AA_OUT}, the driver merges k-row
+    # heaps — never a global sort), THEN rank the {_AA_OUT} survivors
+    # with a window over that bounded frame. The previous global
+    # row_number window pulled EVERY candidate pair into one partition
+    # — the dominant cost at sf1 and a scale cliff (VERDICT r06 #6).
     wr = Window.orderBy(F.desc(F.round("aa", 6)), F.asc("u"), F.asc("v"))
     return (
-        cand.withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rnk") <= _AA_OUT)
+        cand.orderBy(F.desc(F.round("aa", 6)), F.asc("u"), F.asc("v"))
+        .limit(_AA_OUT)
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .select("u", "v", "n_common", F.round("aa", 6).alias("aa_score"), "rnk")
         .orderBy("rnk")
     )
