@@ -2403,3 +2403,187 @@ def q319_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q320 — exact-k per-stratum sample (the distributed reservoir)
+# ---------------------------------------------------------------------------
+
+_RSV_K = 10
+
+
+def _reservoir_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _h60_duck
+
+    h = _h60_duck("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, CAST({h} AS BIGINT) AS hk FROM documents
+    ), r AS (
+      SELECT lang, doc_id, hk,
+             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+    FROM r WHERE rk <= {_RSV_K} ORDER BY lang, rk
+    """
+
+
+@_q("q320_reservoir_sample", _reservoir_oracle())
+def q320_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample per stratum — the distributed reservoir.
+    ``sample(fraction)`` (q59/q67's shape) only gives an EXPECTED size;
+    eval-set builds and human-annotation batches need exactly k per
+    language. The classic reservoir algorithm is sequential; its
+    distributed equivalent is an ORDER STATISTIC: key every row by a
+    uniform deterministic hash and keep the k smallest per stratum —
+    identical in distribution to a uniform k-subset, reproducible on
+    any cluster, no RNG state, stable under re-partitioning (the q108
+    properties, for fixed-size samples). Weighted variants (Efraimidis-
+    Spirakis A-ES, key u^(1/w)) drop into the same plan by changing the
+    sort key.
+
+    Shape: one scan + a per-stratum rank filter that Spark plans as
+    WindowGroupLimit — every input partition keeps its own top-k, then
+    k-per-partition merge; never a global or per-stratum full sort.
+    The 60-bit md5 hash is the engine-neutral draw (dedup._h60_spark),
+    so both engines select the identical sample."""
+    from nfl_predictions_spark.operators.dedup import _h60_spark
+
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", _h60_spark(F.col("doc_id").cast("string")).alias("hk")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("hk"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _RSV_K)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q321 — per-document perplexity under the KN bigram LM (quality filter)
+# ---------------------------------------------------------------------------
+
+_PPL_OUT = 20
+
+
+def _kn_ppl_oracle() -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
+    inst AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM tok)
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM inst GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1p_l
+           FROM c12 GROUP BY w1),
+    contr AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_r
+              FROM c12 GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n1p_all FROM c12),
+    model AS (
+      SELECT c12.w1, c12.w2,
+             (greatest(c12.c12 - {_KN_D}, 0)
+              + {_KN_D} * c1.n1p_l
+                * (CAST(contr.n1p_r AS DOUBLE) / tot.n1p_all)) / c1.c1 AS pkn
+      FROM c12
+      JOIN c1 ON c1.w1 = c12.w1
+      JOIN contr ON contr.w2 = c12.w2
+      CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT inst.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             -avg(ln(model.pkn)) AS xent
+      FROM inst JOIN model ON model.w1 = inst.w1 AND model.w2 = inst.w2
+      GROUP BY inst.doc_id
+    ),
+    r AS (
+      SELECT doc_id, n_bigrams, xent,
+             row_number() OVER (ORDER BY xent DESC, doc_id) AS rn
+      FROM per_doc
+    )
+    SELECT doc_id, n_bigrams, round(xent, 6) AS xent,
+           round(exp(xent), 6) AS ppl, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {_PPL_OUT} ORDER BY rn
+    """
+
+
+@_q("q321_kn_doc_perplexity", _kn_ppl_oracle())
+def q321_kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the interpolated Kneser-Ney bigram
+    LM — the CCNet-class quality filter run end-to-end: q319 builds the
+    model, this scores every document against it and surfaces the
+    {_PPL_OUT} WORST (highest cross-entropy) — the reject list a
+    perplexity-filtered corpus build actually acts on. (CCNet scores
+    against a KenLM trained on Wikipedia; here the corpus scores
+    itself, which is the identical dataflow with zero external
+    artifacts — every in-corpus bigram is in-model, so no OOV backoff
+    branch is needed.)
+
+    Scale shape: the model is the bigram-TYPE table (vocabulary-
+    squared upper bound, far smaller in practice) and the scoring side
+    is bigram INSTANCES — both shuffle-keyed on (w1, w2), so the join
+    co-partitions; per-doc aggregation is map-side combinable; the
+    final top-{_PPL_OUT} is a WindowGroupLimit rank, never a global
+    sort. pkn is pure rational arithmetic on BIGINT counts (bit-equal
+    cross-engine); ln/exp ride the q110 contract (both engines' libm
+    on identical doubles, absorbed by the 1e-6 rounding)."""
+    d = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .withColumn("m", F.size("tk") - 1)
+        .filter(F.col("m") >= 1)
+    )
+    inst = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.col("m")).alias("w1"),
+                F.slice("tk", 2, F.col("m")).alias("w2"),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    c12 = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_l")
+    )
+    contr = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_r"))
+    tot = c12.agg(F.count(F.lit(1)).alias("n1p_all"))
+    pkn = (
+        F.greatest(F.col("c12") - _KN_D, F.lit(0.0))
+        + _KN_D
+        * F.col("n1p_l")
+        * (F.col("n1p_r").cast("double") / F.col("n1p_all"))
+    ) / F.col("c1")
+    model = (
+        c12.join(c1, "w1")
+        .join(contr, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", pkn.alias("pkn"))
+    )
+    per_doc = (
+        inst.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.avg(F.log("pkn"))).alias("xent"),
+        )
+    )
+    w = Window.orderBy(F.desc("xent"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _PPL_OUT)
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long"),
+            F.round("xent", 6).alias("xent"),
+            F.round(F.exp("xent"), 6).alias("ppl"),
+            "rn",
+        )
+        .orderBy("rn")
+    )

@@ -144,3 +144,48 @@ def test_staged_gc_keeps_fresh_generations(tmp_path, monkeypatch):
     assert not stale.exists(), "quiet superseded generation must be reaped"
     assert other.exists(), "other kinds are never this call's business"
     assert out != str(fresh) and out != str(stale)
+
+
+def test_reservoir_sample_exact_k_and_uniformity(spark):
+    """q320: exactly k rows per stratum (when the stratum has >= k
+    docs), deterministic across runs, and sample membership is
+    invariant to input partitioning (the reservoir contract)."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.llmprep import (
+        _RSV_K,
+        q320_reservoir_sample,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    out = q320_reservoir_sample(spark, SF_SMOKE)
+    per = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    pop = {
+        r.lang: r.cnt
+        for r in table(spark, SF_SMOKE, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    for lang, n in pop.items():
+        assert per.get(lang, 0) == min(n, _RSV_K)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, q320_reservoir_sample(spark, SF_SMOKE).collect()))
+    assert a == b
+
+
+def test_kn_doc_perplexity_bounds(spark):
+    """q321: cross-entropy is positive (every P_KN < 1 on this corpus),
+    ppl == exp(xent) to rounding, and the emitted list is the WORST
+    docs — monotone non-increasing xent down the ranking."""
+    import math
+
+    from nfl_predictions_spark.operators.llmprep import q321_kn_doc_perplexity
+
+    rows = q321_kn_doc_perplexity(spark, SF_SMOKE).collect()
+    assert rows
+    xs = [r.xent for r in rows]
+    assert xs == sorted(xs, reverse=True)
+    for r in rows:
+        assert r.xent > 0 and r.n_bigrams >= 1
+        assert abs(r.ppl - math.exp(r.xent)) < max(1e-4, r.ppl * 1e-5)

@@ -100,6 +100,7 @@ ALLOW = {
         "q318_poisson_bootstrap_ci",  # 1-row replicate-means-array broadcast
         "q169_equidepth_histogram",  # 1-row cut-tuple broadcast (q204 shape)
         "q319_kneser_ney_bigrams",  # 1-row bigram-type-total broadcast
+        "q321_kn_doc_perplexity",  # same 1-row type-total broadcast as q319
     },
     # Empty-partition windows over provably BOUNDED frames only. The
     # frame feeding each of these windows is an aggregate whose row
