@@ -41,6 +41,37 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
+def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact near-dup pair set (q39b's 3-gram Jaccard >= 0.8 edges,
+    (d1, d2) with d1 < d2), staged ONCE per fixture as parquet.
+
+    Six queries consume this edge set (q66 components, q134 survivors,
+    q139 triangles, q145 BFS, q260 savings, q248 leakage audit), and
+    each was re-deriving the full shingle pipeline per CONSTRUCTION —
+    ~7 s apiece at sf0.1, the dominant share of the graph family's
+    bench time. A 100 TB dedup pipeline materializes its candidate/
+    verified pair relation exactly once and every downstream consumer
+    reads the table; this mirrors that, with the copurchase_edges
+    fingerprint discipline (documents.parquet size+mtime key, deferred
+    GC via extended._staged_path) so a regenerated fixture can never
+    reuse stale pairs. q39b itself stays the unstaged correctness
+    baseline the oracle replays."""
+    import os
+
+    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
+    from nfl_predictions_spark.operators.extended import _staged_path
+
+    out = _staged_path(sf_dir, "neardup_pairs", sources=("documents",))
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            q39b_ngram_jaccard_pairs(spark, sf_dir)
+            .select("d1", "d2")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return spark.read.parquet(out).select("d1", "d2")
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The directed co-purchase part graph (both orientations of every
     distinct same-order part pair), staged ONCE per fixture as a
@@ -173,9 +204,7 @@ def q66_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: exact 3-gram Jaccard >= 0.8 pairs
     (q39b's edge set) closed under transitivity; each doc labeled with
     the min doc_id of its cluster."""
-    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
-
-    pairs = q39b_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    pairs = neardup_pairs(spark, sf_dir)
     return (
         connected_components(pairs, "d1", "d2")
         .select(F.col("id").alias("doc_id"), "component")
@@ -244,10 +273,9 @@ def q134_cluster_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same ranking."""
     from pyspark.sql import Window
 
-    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
     from nfl_predictions_spark.sources.tables import table
 
-    pairs = q39b_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    pairs = neardup_pairs(spark, sf_dir)
     comp = connected_components(pairs, "d1", "d2").select(
         F.col("id").alias("doc_id"), "component"
     )
@@ -433,13 +461,7 @@ def q139_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree agg, Σ d(d-1)/2 — exact integer math. The (small) edge list
     is localCheckpointed once and reused by all three join legs instead
     of re-deriving the shingle pipeline three times."""
-    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
-
-    e = (
-        q39b_ngram_jaccard_pairs(spark, sf_dir)
-        .select("d1", "d2")
-        .localCheckpoint(eager=True)
-    )
+    e = neardup_pairs(spark, sf_dir).localCheckpoint(eager=True)
     tri = (
         e.alias("x")
         .join(e.alias("y"), F.col("y.d1") == F.col("x.d2"))
@@ -559,10 +581,8 @@ def q145_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     traversal (label propagation, q95's PageRank push, k-hop
     neighborhoods). Driver touches ONE scalar (the seed id); levels
     never leave the cluster."""
-    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
-
-    pairs = q39b_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
-    pairs = pairs.localCheckpoint(eager=True)  # q39b subtree reused every round
+    pairs = neardup_pairs(spark, sf_dir)
+    pairs = pairs.localCheckpoint(eager=True)  # staged pairs reused every round
     seed = pairs.agg(F.min(F.least("d1", "d2"))).first()[0]
     return (
         bfs_levels(pairs, "d1", "d2", seed)
@@ -731,11 +751,10 @@ def q260_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unclustered docs + one per cluster). The shrink rate is a single
     BIGINT/BIGINT division.
     """
-    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
     from nfl_predictions_spark.sources.tables import table
 
     docs = table(spark, sf_dir, "documents")
-    pairs = q39b_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    pairs = neardup_pairs(spark, sf_dir)
     comp = connected_components(pairs, "d1", "d2").select(
         F.col("id").alias("doc_id"), "component"
     )

@@ -2006,10 +2006,10 @@ def q248_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan cost beyond the near-dup candidate generation the pipeline
     already runs.
     """
-    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
+    from nfl_predictions_spark.operators.graph import neardup_pairs
 
     docs = table(spark, sf_dir, "documents")
-    pairs = q39b_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    pairs = neardup_pairs(spark, sf_dir)
     bucket = (
         F.ascii(F.substring(F.md5("text"), 1, 1)) * 256
         + F.ascii(F.substring(F.md5("text"), 2, 1))
