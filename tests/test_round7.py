@@ -189,3 +189,24 @@ def test_kn_doc_perplexity_bounds(spark):
     for r in rows:
         assert r.xent > 0 and r.n_bigrams >= 1
         assert abs(r.ppl - math.exp(r.xent)) < max(1e-4, r.ppl * 1e-5)
+
+
+def test_neardup_pairs_staged_equals_q39b(spark):
+    """The fingerprint-staged near-dup pair relation must be exactly
+    q39b's pair set (same rows, same order-insensitive content) — the
+    staging is a materialization, never a semantic change."""
+    from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
+    from nfl_predictions_spark.operators.graph import neardup_pairs
+
+    staged = sorted(
+        map(tuple, neardup_pairs(spark, SF_SMOKE).select("d1", "d2").collect())
+    )
+    live = sorted(
+        map(
+            tuple,
+            q39b_ngram_jaccard_pairs(spark, SF_SMOKE)
+            .select("d1", "d2")
+            .collect(),
+        )
+    )
+    assert staged == live and staged
