@@ -72,6 +72,11 @@ SHOWCASE = [
     ("q314_wordpiece_tokenize", "WordPiece — word-freq fold, broadcast vocab, one Arrow pass"),
     ("q316_kmv_distinct_sketch", "KMV — day-partitioned WindowGroupLimit k-minima"),
     ("q318_poisson_bootstrap_ci", "Poisson bootstrap — one B-group weighted aggregate"),
+    # round 7
+    ("q315_adamic_adar", "Adamic-Adar — capped wedge join, TakeOrdered top-k"),
+    ("q320_reservoir_sample", "exact-k reservoir — WindowGroupLimit per stratum"),
+    ("q321_kn_doc_perplexity", "KN perplexity — (w1,w2)-keyed model/instance join"),
+    ("q139_triangle_count", "triangles — staged pair relation, 3-leg equi-join"),
 ]
 
 
