@@ -210,3 +210,58 @@ def test_neardup_pairs_staged_equals_q39b(spark):
         )
     )
     assert staged == live and staged
+
+
+def test_kn_model_mass_bounded_per_context(spark):
+    """Interpolated-KN invariant: for every left context w1, the P_KN
+    mass over its OBSERVED successors is in (0, 1] — algebraically
+    (c1 - D*n1p_l*(1 - sum_obs Pcont)) / c1, so a discount/continuation
+    bug (wrong n1p, missing max(.,0), un-discounted mass) breaks the
+    bound immediately."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.llmprep import _KN_D
+    from nfl_predictions_spark.sources.tables import table
+
+    d = (
+        table(spark, SF_SMOKE, "documents")
+        .select(F.split("text", " ").alias("tk"))
+        .withColumn("m", F.size("tk") - 1)
+        .filter(F.col("m") >= 1)
+    )
+    split = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.col("m")).alias("w1"),
+                F.slice("tk", 2, F.col("m")).alias("w2"),
+            )
+        ).alias("g")
+    ).select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    c12 = split.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_l")
+    )
+    contr = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_r"))
+    tot = c12.agg(F.count(F.lit(1)).alias("n1p_all"))
+    pkn = (
+        F.greatest(F.col("c12") - _KN_D, F.lit(0.0))
+        + _KN_D
+        * F.col("n1p_l")
+        * (F.col("n1p_r").cast("double") / F.col("n1p_all"))
+    ) / F.col("c1")
+    mass = (
+        c12.join(c1, "w1")
+        .join(contr, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("w1")
+        .agg(F.sum(pkn).alias("mass"))
+        .agg(
+            F.min("mass").alias("lo"),
+            F.max("mass").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert mass.n > 0
+    assert mass.lo > 0.0
+    assert mass.hi <= 1.0 + 1e-9, mass.hi
