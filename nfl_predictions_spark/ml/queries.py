@@ -1,14 +1,15 @@
 """Driver-facing ML queries (SURVEY.md §2B Q37).
 
-Raw GBT predictions are not SQL-expressible, so q37/q37b have no
-DuckDB oracle (the driver records the weaker rows-only check); the
-semantic and golden tests live in tests/test_ml.py. The pipeline's
-deterministic prefix — StringIndexer label assignment and the
-assembled feature vector — IS SQL-expressible, and q37c checks it
-value-for-value against DuckDB on the driver's events table. q87's
-feature importances are likewise fully oracle-backed since round 5:
-the saved models' tree-node parquet is the shared input, and the
-gain aggregation replays identically in DuckDB.
+q37/q37b remain rows-only (end-to-end best-play composite and the
+evaluator-metric surface), but since round 7 GBT INFERENCE itself is
+value-exact: q37d dumps both saved ensembles' node tables + the
+assembled per-request features and the DuckDB oracle re-runs every
+prediction with a recursive-CTE root-to-leaf walk and the boosting
+dot in tree order — bit-equal to MLlib's transform before the 1e-6
+rounding. The pipeline's deterministic prefix — StringIndexer label
+assignment and the assembled feature vector — is checked by q37c on
+the driver's events table, and q87's feature importances replay the
+gain aggregation from the same node parquet (round 5).
 """
 
 from __future__ import annotations
@@ -346,4 +347,171 @@ FROM dim d
 LEFT JOIN tot t ON t.model = d.model AND t.fidx = d.fidx
 JOIN grand gr ON gr.model = d.model
 ORDER BY d.model, importance DESC, d.feature
+"""
+
+
+# ---------------------------------------------------------------------------
+# q37d — GBT inference itself, oracle-replayed (promotes the last
+# rows-only ML surface to a value-exact driver check)
+# ---------------------------------------------------------------------------
+
+_Q37D_NODES = os.path.join(_CACHE_ROOT, "q37d_nodes.parquet")
+_Q37D_FEATS = os.path.join(_CACHE_ROOT, "q37d_feats.parquet")
+
+
+def _dump_scoring_frames(spark: SparkSession) -> tuple[str, str]:
+    """Dump (once per model-cache generation) the two relations a pure
+    SQL engine needs to re-run GBT inference from scratch:
+
+    - nodes: every tree node of both saved ensembles, denormalized with
+      its tree's boosting weight — (model, treeID, id, fidx, thr[],
+      ncat, l, r, pred, weight). Leaf rows carry fidx = -1 (the saved
+      format's own marker). Read straight from the model's on-disk
+      ``data``/``treesMetadata`` parquet (the reference's model schema,
+      assets/static/assets/nfl_model_pass/stages/2_GBTRegressor_*).
+    - feats: the assembled 8-feature vector per request per model (the
+      two StringIndexers order labels differently, so slot 7 differs) —
+      (model, req_id, feats DOUBLE[8]). The deterministic prefix that
+      PRODUCES these features is itself oracle-checked by q37c; dumping
+      them lets the oracle verify the tree walk in isolation, the same
+      shared-bytes discipline as q87's node dump.
+    """
+    import glob as _glob
+    import shutil
+
+    if os.path.exists(os.path.join(_Q37D_NODES, "_SUCCESS")) and os.path.exists(
+        os.path.join(_Q37D_FEATS, "_SUCCESS")
+    ):
+        return _Q37D_NODES, _Q37D_FEATS
+    pass_model, run_model = trained_models(spark)
+    batch = _request_batch(spark).withColumn("req_id", _req_id_col())
+
+    node_parts, feat_parts = [], []
+    for model_name, pipeline in (("pass", pass_model), ("run", run_model)):
+        (gbt_dir,) = _glob.glob(
+            os.path.join(_CACHE_ROOT, f"nfl_model_{model_name}", "stages",
+                         "*GBTRegressor*")
+        )
+        # treesMetadata serializes as an unnamed tuple: (_1 treeID,
+        # _2 metadata json, _3 boosting weight)
+        weights = spark.read.parquet(os.path.join(gbt_dir, "treesMetadata")).select(
+            F.col("_1").alias("treeID"), F.col("_3").alias("weight")
+        )
+        nodes = (
+            spark.read.parquet(os.path.join(gbt_dir, "data"))
+            .select(
+                F.lit(model_name).alias("model"),
+                "treeID",
+                F.col("nodeData.id").alias("id"),
+                F.col("nodeData.split.featureIndex").alias("fidx"),
+                F.col("nodeData.split.leftCategoriesOrThreshold").alias("thr"),
+                F.col("nodeData.split.numCategories").alias("ncat"),
+                F.col("nodeData.leftChild").alias("l"),
+                F.col("nodeData.rightChild").alias("r"),
+                F.col("nodeData.prediction").alias("pred"),
+            )
+            .join(F.broadcast(weights), "treeID")
+        )
+        node_parts.append(nodes)
+
+        from pyspark.ml.functions import vector_to_array
+
+        staged = pipeline.stages[1].transform(
+            pipeline.stages[0].transform(batch)
+        )
+        feat_parts.append(
+            staged.select(
+                F.lit(model_name).alias("model"),
+                "req_id",
+                vector_to_array("features").alias("feats"),
+            )
+        )
+
+    for path, frame in (
+        (_Q37D_NODES, node_parts[0].unionByName(node_parts[1])),
+        (_Q37D_FEATS, feat_parts[0].unionByName(feat_parts[1])),
+    ):
+        build = tempfile.mkdtemp(prefix=".q37d_", dir=_CACHE_ROOT)
+        tgt = os.path.join(build, "data")
+        frame.coalesce(1).write.mode("overwrite").parquet(tgt)
+        try:
+            os.rename(tgt, path)
+        except OSError:
+            pass  # lost the race: reuse winner
+        shutil.rmtree(build, ignore_errors=True)
+    return _Q37D_NODES, _Q37D_FEATS
+
+
+def _req_id_col():
+    """Deterministic request id: rank over the full request tuple (the
+    batch has no duplicate rows by construction)."""
+    from pyspark.sql import Window
+
+    order = [F.col(f.name) for f in SCORE_REQUEST_SCHEMA.fields]
+    return F.row_number().over(Window.orderBy(*order)).cast("long")
+
+
+def q37d_ml_gbt_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GBT ensemble inference, value-checked end-to-end: the same
+    26-request batch q37 scores is run through BOTH saved pipelines via
+    MLlib's own ``transform`` (JVM tree walk + weighted dot), and the
+    DuckDB oracle re-derives every prediction from the dumped node
+    table with a recursive-CTE root-to-leaf walk — continuous splits
+    (feature <= threshold, Node.scala semantics) and categorical splits
+    (feature IN leftCategories) — then folds the leaf predictions with
+    the boosting weights in tree order, exactly
+    GBTRegressionModel.predict's sequential dot. Predictions agree to
+    the bit before the emitted 1e-6 rounding, which is what finally
+    moves raw GBT scoring (rows-only since round 1) into the
+    value-exact set; q37/q37b remain the end-to-end/metric surfaces.
+
+    Scale: inference is one broadcast of node tables (ensembles are
+    KB-MB — 2x20 trees here) against a shuffle-free map over requests;
+    the oracle's recursion is bounded by maxDepth=5."""
+    pass_model, run_model = trained_models(spark)
+    _dump_scoring_frames(spark)
+    batch = _request_batch(spark).withColumn("req_id", _req_id_col())
+    out = []
+    for model_name, pipeline in (("pass", pass_model), ("run", run_model)):
+        out.append(
+            pipeline.transform(batch).select(
+                F.lit(model_name).alias("model"),
+                "req_id",
+                F.round("prediction", 6).alias("yards"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("model", "req_id")
+
+
+QUERIES["q37d_ml_gbt_scoring"] = q37d_ml_gbt_scoring
+ORACLE["q37d_ml_gbt_scoring"] = f"""
+WITH RECURSIVE nodes AS (
+  SELECT model, treeID, id, fidx, thr, ncat, l, r, pred, weight
+  FROM read_parquet('{_Q37D_NODES}/*.parquet')
+), feats AS (
+  SELECT model, req_id, feats FROM read_parquet('{_Q37D_FEATS}/*.parquet')
+), walk AS (
+  -- one walker per (request, model, tree), starting at each root (id 0)
+  SELECT f.model, f.req_id, n.treeID, n.fidx, n.thr, n.ncat,
+         n.l, n.r, n.pred, n.weight, f.feats
+  FROM feats f JOIN nodes n ON n.model = f.model AND n.id = 0
+  UNION ALL
+  SELECT w.model, w.req_id, w.treeID, n.fidx, n.thr, n.ncat,
+         n.l, n.r, n.pred, n.weight, w.feats
+  FROM walk w
+  JOIN nodes n ON n.model = w.model AND n.treeID = w.treeID
+   AND n.id = CASE
+        WHEN w.ncat = -1 THEN  -- continuous: left iff feature <= threshold
+          CASE WHEN w.feats[w.fidx + 1] <= w.thr[1] THEN w.l ELSE w.r END
+        ELSE                   -- categorical: left iff feature in left set
+          CASE WHEN list_contains(w.thr, w.feats[w.fidx + 1])
+               THEN w.l ELSE w.r END
+      END
+  WHERE w.fidx >= 0
+), leaves AS (
+  SELECT model, req_id, treeID, pred, weight FROM walk WHERE fidx = -1
+)
+SELECT model, req_id,
+       round(list_sum(list(weight * pred ORDER BY treeID)), 6) AS yards
+FROM leaves GROUP BY model, req_id ORDER BY model, req_id
 """

@@ -123,6 +123,7 @@ ALLOW = {
         "q237_join_skew_profile",  # distinct out_rows products frame
         "q247_curriculum_order",  # distinct doc lengths / 10x256 md5 buckets
         "q109_token_shards",  # supergroup frame (docs/500^2 rows, 3-level)
+        "q37d_ml_gbt_scoring",  # req_id rank over the FIXED 26-row request batch
         "q130_sequence_packing",  # same _token_offsets supergroup frame
         "q174_sorted_neighborhood",  # per-range-partition offsets (#partitions rows)
         # --- calendar / time-grid frames (bounded by time span, not rows)
