@@ -20,6 +20,7 @@ the embedding-space analogue of the text near-dup suite.
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 
@@ -618,6 +619,184 @@ def q41e_ann_ivf_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     med = emb.filter(F.col("vec_id") < _IVF_NLIST).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+
+    def d2(x: str, c: str) -> Column:
+        return (
+            _dot(F.col(x), F.col(x))
+            - 2 * _dot(F.col(x), F.col(c))
+            + _dot(F.col(c), F.col(c))
+        )
+
+    assign = (
+        emb.crossJoin(F.broadcast(med))
+        .select(
+            "vec_id",
+            F.struct(F.round(d2("emb", "c"), 6).alias("d"), F.col("cell")).alias(
+                "dc"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", F.col("best.cell").alias("cell"))
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.asc(F.round(d2("qe", "c"), 6)), F.asc("cell")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(med))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("qid", "qe", "cell")
+    )
+    cands = (
+        assign.join(F.broadcast(probe), "cell")
+        .join(emb, "vec_id")
+        .select("qid", "qe", F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (
+        _norm(F.col("qe")) * _norm(F.col("ce"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("cos_raw", 6)), F.asc("cid"))
+    return (
+        cands.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41f — IVF with FITTED KMeans centroids, oracle-replayed (shared bytes)
+# ---------------------------------------------------------------------------
+
+_IVF_FITTED_ROOT = "/tmp/nfl_predictions_spark/ivf_centroids"
+
+
+def _fitted_centroids_path(spark: SparkSession, sf_dir: str) -> str:
+    """Fit (once per fixture generation) the q41d KMeans coarse
+    quantizer and dump its centroids as parquet at a path the STATIC
+    oracle string can glob: one directory per corpus size, rows
+    (cell, c DOUBLE[], n_vec). The oracle disambiguates scale factors
+    by ``n_vec = (SELECT count(*) FROM embeddings)`` — the TESTDATA
+    scales have distinct embedding counts by construction. A
+    regenerated fixture (same n_vec, new bytes) mints a new
+    fingerprint marker and the directory is rebuilt in place — the
+    q87/q37d shared-bytes discipline, per-sf."""
+    import hashlib
+    import shutil
+    import tempfile as _tf
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        fp = hashlib.md5(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
+    except OSError:
+        fp = "missing"
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    n_vec = emb.count()
+    out = os.path.join(_IVF_FITTED_ROOT, f"nv{n_vec}")
+    marker = os.path.join(out, "_FINGERPRINT")
+    try:
+        if open(marker).read() == fp:
+            return out
+    except OSError:
+        pass
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=_IVF_NLIST, seed=42, maxIter=10).fit(feat.select("features"))
+    rows = [
+        (i, [float(x) for x in c], n_vec)
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    cent = spark.createDataFrame(rows, "cell int, c array<double>, n_vec long")
+    os.makedirs(_IVF_FITTED_ROOT, exist_ok=True)
+    build = _tf.mkdtemp(prefix=".ivf_cent_", dir=_IVF_FITTED_ROOT)
+    tgt = os.path.join(build, "data")
+    cent.coalesce(1).write.mode("overwrite").parquet(tgt)
+    with open(os.path.join(tgt, "_FINGERPRINT"), "w") as f:
+        f.write(fp)
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(tgt, out)
+    except OSError:
+        pass  # lost the race: reuse winner
+    shutil.rmtree(build, ignore_errors=True)
+    return out
+
+
+_IVF_FITTED_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+m AS (
+  SELECT cell, c FROM read_parquet('{_IVF_FITTED_ROOT}/*/*.parquet')
+  WHERE n_vec = (SELECT count(*) FROM embeddings)
+),
+a AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, m.cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_D2_DUCK.format(x='e.emb', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM e, m
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {_N_QUERIES}),
+probe AS (
+  SELECT qid, qe, cell FROM (
+    SELECT q.qid, q.qe, m.cell,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        round({_D2_DUCK.format(x='q.qe', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM q, m
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+p AS (
+  SELECT probe.qid, a.vec_id AS cid,
+    list_dot_product(qe, e.emb)
+      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e.emb, e.emb)))
+      AS cos
+  FROM probe JOIN a USING (cell) JOIN e ON e.vec_id = a.vec_id
+),
+r AS (
+  SELECT qid, cid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
+  FROM p
+)
+SELECT qid, cid, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {_TOP_K} ORDER BY qid, rn
+"""
+
+
+@_q("q41f_ivf_fitted", _IVF_FITTED_ORACLE)
+def q41f_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the FITTED KMeans coarse quantizer, value-exact:
+    q41d's centroids (KMeans k={_IVF_NLIST}, seed 42 — the actual
+    trained index) are dumped once per fixture as parquet, and BOTH
+    engines build the whole lattice from those shared bytes with the
+    q41e machinery — deterministic argmin assignment, nprobe=
+    {_IVF_NPROBE} probes, exact cosine rescore inside probed cells.
+    This closes the gap q41e left: that twin proved the IVF structure
+    with medoid anchors; this one proves it with the fitted centroids
+    themselves, so the only remaining unverified ML content anywhere
+    is training internals (same stance as q37d: verify inference, pin
+    training by seed + artifact tests). q41d stays as the
+    MLlib-transform path (rows-only by design).
+
+    Scale: identical to q41e — centroid table broadcasts, assignment
+    is a map-side struct-min, candidates meet on the cell partition
+    key. Distances use the 3-fold dot identity so both engines agree
+    bit-for-bit before rounding."""
+    cent_path = _fitted_centroids_path(spark, sf_dir)
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    med = spark.read.parquet(cent_path).select(
+        "cell", F.col("c").cast("array<double>").alias("c")
     )
 
     def d2(x: str, c: str) -> Column:

@@ -265,3 +265,20 @@ def test_kn_model_mass_bounded_per_context(spark):
     assert mass.n > 0
     assert mass.lo > 0.0
     assert mass.hi <= 1.0 + 1e-9, mass.hi
+
+
+def test_ivf_fitted_recall_vs_exact(spark):
+    """q41f (IVF over the fitted KMeans centroids) must keep useful
+    recall against the exact top-k baseline (q41) — the index trades
+    recall for probe-bounded work, but a broken assignment or probe
+    would send recall toward 0."""
+    from nfl_predictions_spark.operators.similarity import (
+        q41_ann_topk,
+        q41f_ivf_fitted,
+    )
+
+    exact = {(r.qid, r.cid) for r in q41_ann_topk(spark, SF_SMOKE).collect()}
+    ivf = {(r.qid, r.cid) for r in q41f_ivf_fitted(spark, SF_SMOKE).collect()}
+    assert ivf, "IVF returned nothing"
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.4, recall

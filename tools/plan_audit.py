@@ -52,6 +52,7 @@ ALLOW = {
         "q119_zorder_layout",  # 1-row global min/max bounds
         "q120_bloom_semi_join",  # 1-row packed bloom bit words
         "q41e_ann_ivf_medoid",  # query x medoid table (nlist rows)
+        "q41f_ivf_fitted",  # same shape: corpus x 16-row fitted-centroid table
         "q132_bm25_retrieval",  # 1-row corpus stats (N, avgdl)
         "q136_hybrid_rrf",  # 1-row corpus stats via the BM25 subtree
         "q155_sliding_distinct",  # calendar-sized broadcast range join
