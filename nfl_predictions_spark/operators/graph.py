@@ -24,6 +24,8 @@ Oracle: DuckDB recursive CTE computing min reachable node id.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -56,20 +58,36 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GC via extended._staged_path) so a regenerated fixture can never
     reuse stale pairs. q39b itself stays the unstaged correctness
     baseline the oracle replays."""
-    import os
-
     from nfl_predictions_spark.operators.dedup import q39b_ngram_jaccard_pairs
     from nfl_predictions_spark.operators.extended import _staged_path
 
     out = _staged_path(sf_dir, "neardup_pairs", sources=("documents",))
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        (
-            q39b_ngram_jaccard_pairs(spark, sf_dir)
-            .select("d1", "d2")
-            .write.mode("overwrite")
-            .parquet(out)
+        _atomic_stage(
+            q39b_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2"), out
         )
     return spark.read.parquet(out).select("d1", "d2")
+
+
+def _atomic_stage(frame: DataFrame, out: str) -> None:
+    """Materialize ``frame`` at ``out`` via build-dir + rename (the
+    q37d/q41f idiom): two concurrent sessions that both find _SUCCESS
+    missing each build privately and the loser's rename fails — never
+    an overwrite that deletes the winner's in-flight files out from
+    under a running reader."""
+    import shutil
+    import tempfile
+
+    root = os.path.dirname(out)
+    os.makedirs(root, exist_ok=True)
+    build = tempfile.mkdtemp(prefix=".stage_", dir=root)
+    tgt = os.path.join(build, "data")
+    frame.write.mode("overwrite").parquet(tgt)
+    try:
+        os.rename(tgt, out)
+    except OSError:
+        pass  # lost the race: reuse winner
+    shutil.rmtree(build, ignore_errors=True)
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -992,13 +1010,12 @@ def q294_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("m") >= 2)
             .select("s", "t")
         )
-        (
+        _atomic_stage(
             ep.select(F.col("s").alias("src"), F.col("t").alias("dst"))
             .unionByName(
                 ep.select(F.col("t").alias("src"), F.col("s").alias("dst"))
-            )
-            .write.mode("overwrite")
-            .parquet(out)
+            ),
+            out,
         )
     edges = spark.read.parquet(out).localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("id")).distinct()

@@ -2503,8 +2503,11 @@ def _kn_ppl_oracle() -> str:
       GROUP BY inst.doc_id
     ),
     r AS (
+      -- rank on the ROUNDED xent (the repo's float-ranking rule): the
+      -- raw avg-of-ln double is summation-order-dependent, so ranking
+      -- on it would make the rank-20 cutoff cross-engine nondeterministic
       SELECT doc_id, n_bigrams, xent,
-             row_number() OVER (ORDER BY xent DESC, doc_id) AS rn
+             row_number() OVER (ORDER BY round(xent, 6) DESC, doc_id) AS rn
       FROM per_doc
     )
     SELECT doc_id, n_bigrams, round(xent, 6) AS xent,
@@ -2574,7 +2577,7 @@ def q321_kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.avg(F.log("pkn"))).alias("xent"),
         )
     )
-    w = Window.orderBy(F.desc("xent"), F.asc("doc_id"))
+    w = Window.orderBy(F.desc(F.round("xent", 6)), F.asc("doc_id"))
     return (
         per_doc.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _PPL_OUT)

@@ -327,11 +327,15 @@ def q78_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("doc_id"),
             F.col("length").alias("n_bytes"),
-            # Decode the WHOLE blob, then take 4 CHARACTERS — matching the
-            # oracle's left(text, 4). Slicing the raw bytes first would
-            # split a multi-byte UTF-8 codepoint whenever the first 4
-            # characters aren't all ASCII (ADVICE r06 #1).
-            F.substring(F.decode(F.col("content"), "UTF-8"), 1, 4).alias("head"),
+            # Take 4 CHARACTERS — matching the oracle's left(text, 4)
+            # (ADVICE r06 #1: a raw 4-BYTE slice could split a
+            # multi-byte codepoint). Decoding is bounded to the first
+            # 16 bytes: 4 characters occupy at most 16 UTF-8 bytes, so
+            # a codepoint truncated at byte 16 can only perturb
+            # character positions >= 5, which the slice discards.
+            F.substring(
+                F.decode(F.substring(F.col("content"), 1, 16), "UTF-8"), 1, 4
+            ).alias("head"),
         )
         .orderBy("doc_id")
     )
