@@ -271,12 +271,43 @@ def dump_tree_nodes(spark: SparkSession) -> str:
     build = tempfile.mkdtemp(prefix=".q87_nodes_", dir=_CACHE_ROOT)
     tgt = os.path.join(build, "data")
     out.coalesce(1).write.mode("overwrite").parquet(tgt)
-    try:
-        os.rename(tgt, _Q87_NODES)
-    except OSError:
-        pass  # lost the race: reuse winner
+    _install_staged(tgt, _Q87_NODES)
     shutil.rmtree(build, ignore_errors=True)
     return _Q87_NODES
+
+
+def _tree_weights(spark: SparkSession, gbt_dir: str) -> DataFrame:
+    """Read a saved GBT's treesMetadata as (treeID, weight).
+
+    treesMetadata carries (treeID, metadata json, boosting weight). The
+    reference's shipped artifacts (assets/static/assets/nfl_model_pass/
+    stages/2_GBTRegressor_*/treesMetadata) use the NAMED columns
+    treeID/metadata/weights; some MLlib writers serialize the row as an
+    unnamed tuple (_1/_2/_3). Accept both (ADVICE r07 #1) so a
+    reference-format checkpoint loads unchanged."""
+    tm = spark.read.parquet(os.path.join(gbt_dir, "treesMetadata"))
+    if "treeID" in tm.columns:
+        return tm.select("treeID", F.col("weights").alias("weight"))
+    return tm.select(F.col("_1").alias("treeID"), F.col("_3").alias("weight"))
+
+
+def _install_staged(tgt: str, out: str) -> None:
+    """Install a privately-built staging dir at ``out`` via rename, with
+    the self-heal from graph._atomic_stage (ADVICE r07 #2): if the rename
+    fails and the existing target lacks _SUCCESS (an interrupted
+    pre-atomic writer's husk), remove it and retry once instead of
+    silently reusing a partial parquet directory forever."""
+    import shutil
+
+    try:
+        os.rename(tgt, out)
+    except OSError:
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            shutil.rmtree(out, ignore_errors=True)
+            try:
+                os.rename(tgt, out)
+            except OSError:
+                pass  # a concurrent healer installed a complete copy
 
 
 def q87_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,8 +398,10 @@ def _dump_scoring_frames(spark: SparkSession) -> tuple[str, str]:
       its tree's boosting weight — (model, treeID, id, fidx, thr[],
       ncat, l, r, pred, weight). Leaf rows carry fidx = -1 (the saved
       format's own marker). Read straight from the model's on-disk
-      ``data``/``treesMetadata`` parquet (the reference's model schema,
-      assets/static/assets/nfl_model_pass/stages/2_GBTRegressor_*).
+      ``data``/``treesMetadata`` parquet (layout as in the reference's
+      checkpoints, assets/static/assets/nfl_model_pass/stages/
+      2_GBTRegressor_*, which name the columns treeID/metadata/weights;
+      unnamed-tuple (_1/_2/_3) writers are also accepted).
     - feats: the assembled 8-feature vector per request per model (the
       two StringIndexers order labels differently, so slot 7 differs) —
       (model, req_id, feats DOUBLE[8]). The deterministic prefix that
@@ -392,11 +425,7 @@ def _dump_scoring_frames(spark: SparkSession) -> tuple[str, str]:
             os.path.join(_CACHE_ROOT, f"nfl_model_{model_name}", "stages",
                          "*GBTRegressor*")
         )
-        # treesMetadata serializes as an unnamed tuple: (_1 treeID,
-        # _2 metadata json, _3 boosting weight)
-        weights = spark.read.parquet(os.path.join(gbt_dir, "treesMetadata")).select(
-            F.col("_1").alias("treeID"), F.col("_3").alias("weight")
-        )
+        weights = _tree_weights(spark, gbt_dir)
         nodes = (
             spark.read.parquet(os.path.join(gbt_dir, "data"))
             .select(
@@ -434,10 +463,7 @@ def _dump_scoring_frames(spark: SparkSession) -> tuple[str, str]:
         build = tempfile.mkdtemp(prefix=".q37d_", dir=_CACHE_ROOT)
         tgt = os.path.join(build, "data")
         frame.coalesce(1).write.mode("overwrite").parquet(tgt)
-        try:
-            os.rename(tgt, path)
-        except OSError:
-            pass  # lost the race: reuse winner
+        _install_staged(tgt, path)
         shutil.rmtree(build, ignore_errors=True)
     return _Q37D_NODES, _Q37D_FEATS
 

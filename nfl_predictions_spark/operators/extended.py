@@ -183,6 +183,15 @@ def _staged_path(sf_dir: str, kind: str, sources: tuple = ("events",)) -> str:
                     pass
     except OSError:
         pass
+    # Refresh last-access on the generation being handed out (ADVICE r07
+    # #4): reads don't update directory mtime, so a long-scanning session
+    # would otherwise see its generation reaped mid-query once a newer
+    # fingerprint appears and the 30-min grace elapses. Touching on every
+    # hand-out keys the grace window on last-use, not last-write.
+    try:
+        os.utime(out)
+    except OSError:
+        pass
     return out
 
 
@@ -561,25 +570,29 @@ def q60_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q61_array_funcs",
     "SELECT user_id, "
-    "list_sort(list_distinct(list(event_type))) AS types, "
+    "array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types, "
     "CAST(len(list_distinct(list(event_type))) AS INT) AS n_types, "
     "list_sort(list_distinct(list(event_type)))[1] AS first_type "
     "FROM events GROUP BY user_id ORDER BY user_id",
 )
 def q61_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array pipeline: collect -> distinct -> sort -> size / element_at.
-    Sorting makes collect_list's nondeterministic order canonical, so the
-    array itself is oracle-comparable."""
+    """Array pipeline: collect -> distinct -> sort -> join / size /
+    element_at.  Sorting makes collect_list's nondeterministic order
+    canonical; the sorted array is serialized with ``array_join`` so the
+    output honors the registry's scalar wire contract
+    (BIGINT/DOUBLE/STRING/DATE/TS/BOOL — no nested types on the wire).
+    The raw array-typed pipeline stays covered by
+    tests/test_round8.py::test_q61_array_stage_nested."""
     types = F.array_sort(F.array_distinct(F.collect_list("event_type")))
     return (
         table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(types.alias("types"))
+        .agg(types.alias("types_arr"))
         .select(
             "user_id",
-            "types",
-            F.size("types").alias("n_types"),
-            F.element_at("types", 1).alias("first_type"),
+            F.array_join("types_arr", ",").alias("types"),
+            F.size("types_arr").alias("n_types"),
+            F.element_at("types_arr", 1).alias("first_type"),
         )
         .orderBy("user_id")
     )

@@ -74,7 +74,15 @@ def _atomic_stage(frame: DataFrame, out: str) -> None:
     q37d/q41f idiom): two concurrent sessions that both find _SUCCESS
     missing each build privately and the loser's rename fails — never
     an overwrite that deletes the winner's in-flight files out from
-    under a running reader."""
+    under a running reader.
+
+    Self-healing (ADVICE r07 #2): a rename failure does NOT always mean
+    "lost the race" — a pre-atomic writer interrupted mid-copy can leave
+    ``out`` existing WITHOUT _SUCCESS, which would make every future
+    rename fail with ENOTEMPTY while callers silently read the partial
+    parquet. On failure we check for _SUCCESS inside the existing
+    target; a complete winner is reused, an incomplete husk is removed
+    and the rename retried once."""
     import shutil
     import tempfile
 
@@ -86,7 +94,12 @@ def _atomic_stage(frame: DataFrame, out: str) -> None:
     try:
         os.rename(tgt, out)
     except OSError:
-        pass  # lost the race: reuse winner
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            shutil.rmtree(out, ignore_errors=True)
+            try:
+                os.rename(tgt, out)
+            except OSError:
+                pass  # a concurrent healer installed a complete copy
     shutil.rmtree(build, ignore_errors=True)
 
 

@@ -734,12 +734,28 @@ def _fitted_centroids_path(spark: SparkSession, sf_dir: str) -> str:
     cent.coalesce(1).write.mode("overwrite").parquet(tgt)
     with open(os.path.join(tgt, "_FINGERPRINT"), "w") as f:
         f.write(fp)
-    shutil.rmtree(out, ignore_errors=True)
+    # Swap the superseded generation aside BEFORE installing the new one
+    # (ADVICE r07 #3): an rmtree-then-rename window would let a concurrent
+    # reader of the static oracle glob (ivf_centroids/*/*.parquet) observe
+    # a missing directory — and lose the centroids outright if the rename
+    # then failed. rename(out -> aside) is atomic, so the old generation
+    # stays fully readable until the new one is in place.
+    aside = None
+    if os.path.exists(out):
+        aside = _tf.mkdtemp(prefix=".ivf_old_", dir=_IVF_FITTED_ROOT)
+        try:
+            os.rename(out, os.path.join(aside, "prev"))
+        except OSError:
+            aside = None  # a concurrent rebuild moved it first
     try:
         os.rename(tgt, out)
     except OSError:
-        pass  # lost the race: reuse winner
+        # Lost the install race: reuse the winner, restore nothing — the
+        # winner's generation is the current one by definition.
+        pass
     shutil.rmtree(build, ignore_errors=True)
+    if aside is not None:
+        shutil.rmtree(aside, ignore_errors=True)
     _IVF_FITTED_CACHE[fp] = out
     return out
 

@@ -1,0 +1,185 @@
+"""Round-8 fixes: regression pins for the q61 wire-contract fix
+(VERDICT r07 #1) and the four ADVICE r07 findings — treesMetadata
+named-column acceptance, _atomic_stage self-heal on husk directories,
+centroid rename-aside (never delete under a reader), and staged-store
+GC keyed on last-access."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from tests.conftest import SF_SMOKE
+
+
+def test_q61_output_is_scalar_wire_types(spark):
+    """VERDICT r07 #1: q61 was the registry's ONLY nested output; the
+    driver's pandas canonicalizer cannot sort list cells. The array must
+    ship as a joined string while n_types/first_type stay as-is."""
+    from nfl_predictions_spark.operators.extended import q61_array_funcs
+
+    df = q61_array_funcs(spark, SF_SMOKE)
+    kinds = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    assert kinds["types"] == "string"
+    assert not any(k in ("array", "map", "struct") for k in kinds.values())
+    row = df.limit(1).collect()[0]
+    # joined string agrees with the scalar companions
+    parts = row.types.split(",")
+    assert len(parts) == row.n_types
+    assert parts[0] == row.first_type
+    assert parts == sorted(parts)
+
+
+def test_q61_array_stage_nested(spark):
+    """The raw array-typed pipeline (collect -> distinct -> sort) keeps
+    its own coverage now that the registry entry serializes it."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.sources.tables import table
+
+    df = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("event_type"))).alias("t"))
+        .limit(20)
+    )
+    assert df.schema["t"].dataType.typeName() == "array"
+    for r in df.collect():
+        assert list(r.t) == sorted(set(r.t))
+
+
+def test_tree_weights_accepts_named_columns(spark, tmp_path):
+    """ADVICE r07 #1: the reference's shipped GBT checkpoints name the
+    treesMetadata columns treeID/metadata/weights; the reader must accept
+    that layout (and the unnamed _1/_2/_3 tuple layout) identically."""
+    from nfl_predictions_spark.ml.queries import _tree_weights
+
+    named = str(tmp_path / "named")
+    spark.createDataFrame(
+        [(0, "{}", 1.0), (1, "{}", 0.1)],
+        "treeID int, metadata string, weights double",
+    ).write.parquet(os.path.join(named, "treesMetadata"))
+    got = {
+        r.treeID: r.weight
+        for r in _tree_weights(spark, named).collect()
+    }
+    assert got == {0: 1.0, 1: 0.1}
+
+    tupled = str(tmp_path / "tupled")
+    spark.createDataFrame(
+        [(0, "{}", 1.0), (1, "{}", 0.1)], "_1 int, _2 string, _3 double"
+    ).write.parquet(os.path.join(tupled, "treesMetadata"))
+    got2 = {
+        r.treeID: r.weight
+        for r in _tree_weights(spark, tupled).collect()
+    }
+    assert got2 == got
+
+
+def test_atomic_stage_heals_husk_directory(spark, tmp_path):
+    """ADVICE r07 #2: an interrupted pre-atomic writer leaves the target
+    existing WITHOUT _SUCCESS; every later rename then fails ENOTEMPTY
+    and callers would read the partial parquet forever. _atomic_stage
+    must detect the husk, remove it, and install the fresh build."""
+    from nfl_predictions_spark.operators.graph import _atomic_stage
+
+    out = str(tmp_path / "staged")
+    os.makedirs(out)
+    with open(os.path.join(out, "part-00000.parquet"), "w") as f:
+        f.write("partial garbage")  # husk: no _SUCCESS
+
+    frame = spark.createDataFrame([(1, 2)], "a int, b int")
+    _atomic_stage(frame, out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert [(r.a, r.b) for r in spark.read.parquet(out).collect()] == [(1, 2)]
+
+
+def test_atomic_stage_never_clobbers_complete_winner(spark, tmp_path):
+    """The self-heal must NOT touch a complete (_SUCCESS-marked) winner:
+    losing the race still means reuse, not replace."""
+    from nfl_predictions_spark.operators.graph import _atomic_stage
+
+    out = str(tmp_path / "staged")
+    spark.createDataFrame([(42,)], "a int").write.parquet(out)
+    before = sorted(os.listdir(out))
+    _atomic_stage(spark.createDataFrame([(7,)], "a int"), out)
+    assert sorted(os.listdir(out)) == before
+    assert spark.read.parquet(out).collect()[0].a == 42
+
+
+def test_install_staged_heals_husk(spark, tmp_path):
+    """Same self-heal for the ml-side staging installer."""
+    from nfl_predictions_spark.ml.queries import _install_staged
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    with open(os.path.join(out, "stale"), "w") as f:
+        f.write("x")
+
+    build = str(tmp_path / "build")
+    spark.createDataFrame([(3,)], "a int").write.parquet(build)
+    _install_staged(build, out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert spark.read.parquet(out).collect()[0].a == 3
+
+
+def test_staged_path_touches_on_handout(tmp_path):
+    """ADVICE r07 #4: reads don't refresh directory mtime, so the GC
+    grace window must be keyed on last HAND-OUT — _staged_path touches
+    the generation it returns, so a session that keeps asking for it can
+    never have it reaped mid-query."""
+    from nfl_predictions_spark.operators.extended import _staged_path
+
+    out = _staged_path(SF_SMOKE, "touch_probe_r8")
+    os.makedirs(out, exist_ok=True)
+    stale = time.time() - 7200  # older than GC_GRACE_S
+    os.utime(out, (stale, stale))
+    again = _staged_path(SF_SMOKE, "touch_probe_r8")
+    assert again == out
+    assert time.time() - os.stat(out).st_mtime < 60
+
+
+def test_fitted_centroids_rebuild_keeps_old_generation_readable(tmp_path, monkeypatch):
+    """ADVICE r07 #3: the rebuild path must never rmtree the live
+    generation before the replacement is installed. Simulate the swap:
+    an existing complete generation is moved ASIDE (atomic rename), the
+    new build renamed in, the aside reaped last — at no point is the
+    target absent without a successor in flight."""
+    import shutil
+    import tempfile as _tf
+
+    root = str(tmp_path / "ivf")
+    os.makedirs(root)
+    out = os.path.join(root, "nv100")
+    os.makedirs(out)
+    with open(os.path.join(out, "data.parquet"), "w") as f:
+        f.write("old generation")
+
+    # replicate the production swap sequence from _fitted_centroids_path
+    build = _tf.mkdtemp(prefix=".ivf_cent_", dir=root)
+    tgt = os.path.join(build, "data")
+    os.makedirs(tgt)
+    with open(os.path.join(tgt, "data.parquet"), "w") as f:
+        f.write("new generation")
+
+    aside = None
+    if os.path.exists(out):
+        aside = _tf.mkdtemp(prefix=".ivf_old_", dir=root)
+        os.rename(out, os.path.join(aside, "prev"))
+        # old generation is still fully readable at its aside location
+        assert os.path.exists(os.path.join(aside, "prev", "data.parquet"))
+    os.rename(tgt, out)
+    shutil.rmtree(build, ignore_errors=True)
+    if aside is not None:
+        shutil.rmtree(aside, ignore_errors=True)
+
+    with open(os.path.join(out, "data.parquet")) as f:
+        assert f.read() == "new generation"
+    # and the production code path contains exactly this sequence
+    import inspect
+
+    from nfl_predictions_spark.operators import similarity
+
+    src = inspect.getsource(similarity._fitted_centroids_path)
+    assert ".ivf_old_" in src
+    assert "rmtree(out" not in src  # never delete the live target directly
