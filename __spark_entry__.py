@@ -79,63 +79,76 @@ def _registry():
     # rewritten since their last driver row (the rank-select family +
     # q174/q247, whose green rows predate the rewrite), (3) q154/q155
     # (VERDICT r06 #7: never checked anywhere), (4) the q47-q69 head
-    # of the SQL-surface block. Computed by tools/rotate_window.py.
+    # of the SQL-surface block. Round 8 rotates per VERDICT r07 #1/#2:
+    # 5 sentinels + the q61 wire-contract re-check + 44 first-timers —
+    # the four round-7 additions (q320/q321/q37d/q41f) front-loaded,
+    # then the similarity/dedup certifiers, the q43-q104
+    # modern/maintenance block, and the analytics/join/curation block.
+    # Computed by tools/rotate_window.py.
     window = [
-        # sentinels — one proven-green entry per family
+        # sentinels — one proven-green entry per major family. Trimmed
+        # 8 -> 5 this round (VERDICT r07 #2 wants >=42 first-timers AND
+        # the q61 re-check in one 50-slot window): the dropped three
+        # (q16 lag, q06 broadcast join, q39 minhash) stay covered by
+        # same-family first-timers below (q56* windows, q51b/q209
+        # joins, q39b/q39d minhash).
         "q12_agg_pricing_summary",
-        "q16_window_lag_default",
-        "q06_join_broadcast",
         "q31_stream_tumbling",
         "q38_dedup_exact",
-        "q39_minhash_lsh_pairs",
         "q40_token_stats",
         "q41_ann_topk",
-        # round-6-era additions (never driver-checked)
-        "q307_winnowing_fingerprints",
-        "q308_ngram_overlap_eval",
-        "q309_simplified_silhouette",
-        "q310_brier_decomposition",
-        "q311_conformal_thresholds",
-        "q312_kaplan_meier",
-        "q313_cuped_ab_readout",
-        "q314_wordpiece_tokenize",
-        "q315_adamic_adar",
-        "q316_kmv_distinct_sketch",
-        "q317_attribution_models",
-        "q318_poisson_bootstrap_ci",
-        "q319_kneser_ney_bigrams",
-        "q212b_ivf_recall_medoid",
-        "q78_binary_ingest",
-        # rewritten since their last driver row (rank-select family + q174/q247)
-        "q198_conversion_latency",
-        "q204_rfm_segmentation",
-        "q211_pareto_concentration",
-        "q256_session_quality",
-        "q174_sorted_neighborhood",
-        "q169_equidepth_histogram",
-        "q247_curriculum_order",
-        # never checked by driver OR judge sample (VERDICT r06 #7)
-        "q154_image_resize_stats",
-        "q155_sliding_distinct",
-        # q47-q69 head of the SQL-surface block
-        "q47_sql_api",
-        "q48_partition_pruned_scan",
-        "q49_json_source",
-        "q49b_orc_source",
-        "q50_exists_agg_having",
-        "q54_python_udtf",
-        "q55_merge_upsert",
-        "q56_window_ranks",
-        "q56b_window_range_frame",
-        "q56c_window_value_fns",
-        "q57_posexplode",
-        "q58_stats_agg",
-        "q59_hash_sample",
-        "q60_grouping_sets_sql",
+        # re-check: r07's one red row, now serialized to the scalar
+        # wire contract (VERDICT r07 #1)
         "q61_array_funcs",
-        "q62_struct_nested",
-        "q67_stratified_sample",
-        "q69_python_datasource",
+        # round-7 additions, never driver-checked (VERDICT r07 #2
+        # front-load list)
+        "q320_reservoir_sample",
+        "q321_kn_doc_perplexity",
+        "q37d_ml_gbt_scoring",
+        "q41f_ivf_fitted",
+        # production similarity/dedup certifiers
+        "q38b_dedup_rows",
+        "q39b_ngram_jaccard_pairs",
+        "q220_mutual_nn_pairs",
+        "q244_lsh_scurve",
+        "q41b_ann_topk_pandas",
+        "q41e_ann_ivf_medoid",
+        "q39d_mllib_minhash",
+        "q171_stream_dedup_ttl",
+        # q43-q104 modern-SQL / maintenance block
+        "q43_multimodal_features",
+        "q45b_percentile_approx",
+        "q70_sink_roundtrip",
+        "q71_funnel",
+        "q77_xml_roundtrip",
+        "q81_catalog_table",
+        "q82_compaction",
+        "q85_pandas_api",
+        "q93_schema_evolution",
+        "q99_collation",
+        "q101_malformed_csv",
+        "q102_higher_order_funcs",
+        "q103_sql_variables",
+        "q104_sql_scripting",
+        "q187_sql_pipe_syntax",
+        "q188_lateral_alias_params",
+        # analytics / joins / curation block
+        "q51b_salted_join",
+        "q209_null_split_outer_join",
+        "q269_dynamic_partition_pruning",
+        "q205_skew_diagnostics",
+        "q186_mode_per_group",
+        "q189_grouped_agg_udaf",
+        "q200_ratio_to_report",
+        "q202_null_semantics",
+        "q203_try_functions",
+        "q262_audience_overlap",
+        "q305_merkle_sync",
+        "q40f_tfidf_top_terms",
+        "q184_feature_hashing",
+        "q63b_asof_tolerance",
+        "q141_zipf_fit",
+        "q64_gap_fill",
     ]
     ordered: dict[str, Callable] = {}
     for name in window:
