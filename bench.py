@@ -222,6 +222,14 @@ HEADLINE = [
     "q31_stream_tumbling",
     "q171_stream_dedup_ttl",
     "q37c_ml_index_assemble",
+    # round-8 additions (VERDICT r07 #4): the round-7 registry growth
+    # gets scale trendlines — exact-k reservoir, KN per-doc perplexity
+    # filter (shares q319's staged model), full GBT-inference oracle
+    # path, fitted-KMeans IVF lattice.
+    "q320_reservoir_sample",
+    "q321_kn_doc_perplexity",
+    "q37d_ml_gbt_scoring",
+    "q41f_ivf_fitted",
 ]
 
 _METRIC_FIELDS = {

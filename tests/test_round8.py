@@ -183,3 +183,28 @@ def test_fitted_centroids_rebuild_keeps_old_generation_readable(tmp_path, monkey
     src = inspect.getsource(similarity._fitted_centroids_path)
     assert ".ivf_old_" in src
     assert "rmtree(out" not in src  # never delete the live target directly
+
+
+def test_window_group_limit_plans_pinned(spark):
+    """VERDICT r07 #8: the empty-partition-window detector ALLOWLISTS
+    WindowGroupLimit-shaped chains (q319/q316/q320), so a Spark-version
+    or expression-shape change that silently loses the optimization
+    would ship a single-partition sort without failing anything. Pin
+    that all three actually compile to WindowGroupLimit."""
+    from nfl_predictions_spark.operators.llmprep import (
+        q319_kneser_ney_bigrams,
+        q320_reservoir_sample,
+    )
+    from nfl_predictions_spark.operators.sketches import q316_kmv_distinct_sketch
+
+    for fn in (q319_kneser_ney_bigrams, q316_kmv_distinct_sketch, q320_reservoir_sample):
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        # Either bounded strategy is acceptable: WindowGroupLimit
+        # (per-partition heaps before the exchange) or, for the
+        # unpartitioned q319 readout since the staged-model refactor,
+        # TakeOrderedAndProject pushed BELOW the window (only k rows
+        # ever reach the single-partition row_number). What must never
+        # appear is a full sort feeding an unbounded window.
+        assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, (
+            f"{fn.__name__}: {plan[:2000]}"
+        )
