@@ -230,6 +230,11 @@ HEADLINE = [
     "q321_kn_doc_perplexity",
     "q37d_ml_gbt_scoring",
     "q41f_ivf_fitted",
+    # round-8 registry growth: variable-length exact-repeat spans,
+    # RAG chunk windows, kNN hubness audit
+    "q322_maximal_shared_spans",
+    "q323_chunk_windows",
+    "q324_knn_hubness",
 ]
 
 _METRIC_FIELDS = {

@@ -1463,3 +1463,126 @@ def q307_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q322 — maximal shared spans (variable-length cross-doc exact repeats)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # anchor gram length (tokens) — matches q117's passage unit
+_SPAN_DF_MAX = 50  # anchor document-frequency cap (skew bound, declared)
+_SPAN_MIN = 12  # report only spans strictly longer than one anchor
+_SPAN_OUT = 20
+
+
+def _shared_spans_oracle() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos, array_to_string(ts[i:i+{_SPAN_K - 1}], ' ') AS s
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - {_SPAN_K - 1})) AS i
+            FROM toks WHERE len(ts) >= {_SPAN_K})
+    ),
+    anchors AS (
+      SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM g GROUP BY s)
+      WHERE df BETWEEN 2 AND {_SPAN_DF_MAX}
+    ),
+    gg AS (SELECT g.* FROM g JOIN anchors USING (s)),
+    hits AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2,
+             a.pos - b.pos AS diag
+      FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT d1, d2, diag, p1, p2,
+             p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS grp
+      FROM hits
+    ),
+    spans AS (
+      SELECT d1, d2, CAST(min(p1) AS BIGINT) AS start1,
+             CAST(min(p2) AS BIGINT) AS start2,
+             CAST(count(*) + {_SPAN_K - 1} AS BIGINT) AS span_tokens
+      FROM isl GROUP BY d1, d2, diag, grp
+    )
+    SELECT d1, d2, start1, start2, span_tokens
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY span_tokens DESC, d1, d2, start1) AS rn
+      FROM spans WHERE span_tokens >= {_SPAN_MIN}
+    ) WHERE rn <= {_SPAN_OUT}
+    ORDER BY span_tokens DESC, d1, d2, start1
+    """
+
+
+@_q("q322_maximal_shared_spans", _shared_spans_oracle())
+def q322_maximal_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-LENGTH cross-document exact repeats — the distributed
+    restatement of the suffix-array pass in the public exact-substring
+    dedup recipe ("Deduplicating Training Data Makes Language Models
+    Better"), which q117's docstring called inexpressible as a plan.
+    It is expressible: anchor every {_SPAN_K}-token gram WITH its
+    position, join same-gram positions across documents, and merge
+    ADJACENT hits along each alignment DIAGONAL (p1 - p2 constant,
+    consecutive p1) into maximal spans via the islands trick
+    (p1 - row_number() is constant exactly on a consecutive run —
+    positions are unique per (d1,d2,diag), so runs can't collide).
+    A 93-token verbatim repeat shared by two docs comes out as ONE row
+    of span_tokens=93, where q117 sees 86 independent 8-token spans.
+    Emits the top-{_SPAN_OUT} spans >= {_SPAN_MIN} tokens.
+
+    Scale: the anchor join is bounded by the declared document-
+    frequency cap df <= {_SPAN_DF_MAX} (boilerplate grams shared by
+    hundreds of docs are navigational noise, not passages — same
+    rare-anchor discipline as sorted-neighborhood q174); per gram the
+    pair fan-out is <= df^2/2, and everything downstream (diagonal
+    window, span agg) is keyed on (d1, d2, diag) — near-dup-pair
+    scale, not corpus scale. The top-k is TakeOrderedAndProject."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    d = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .withColumn("m", F.size("tk") - (_SPAN_K - 1))
+        .filter(F.col("m") >= 1)
+    )
+    zipped = F.arrays_zip(
+        *[F.slice("tk", j + 1, F.col("m")).alias(f"w{j}") for j in range(_SPAN_K)]
+    )
+    grams = d.select("doc_id", F.posexplode(zipped).alias("i", "g")).select(
+        "doc_id",
+        (F.col("i") + 1).alias("pos"),
+        F.concat_ws(" ", *[F.col(f"g.w{j}") for j in range(_SPAN_K)]).alias("s"),
+    )
+    anchors = (
+        grams.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _SPAN_DF_MAX))
+        .select("s")
+    )
+    gg = grams.join(anchors, "s")
+    a, b = gg.alias("a"), gg.alias("b")
+    hits = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.pos").alias("p1"),
+            F.col("b.pos").alias("p2"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    spans = (
+        hits.withColumn("grp", F.col("p1") - F.row_number().over(w))
+        .groupBy("d1", "d2", "diag", "grp")
+        .agg(
+            F.min("p1").cast("long").alias("start1"),
+            F.min("p2").cast("long").alias("start2"),
+            (F.count(F.lit(1)) + (_SPAN_K - 1)).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= _SPAN_MIN)
+    )
+    return (
+        spans.select("d1", "d2", "start1", "start2", "span_tokens")
+        .orderBy(F.desc("span_tokens"), "d1", "d2", "start1")
+        .limit(_SPAN_OUT)
+    )

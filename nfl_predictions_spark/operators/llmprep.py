@@ -2601,3 +2601,93 @@ def q321_kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q323 — retrieval chunking (fixed token windows with stride/overlap)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64  # window length (tokens)
+_CHUNK_S = 48  # stride (overlap = W - S = 16)
+
+
+def _chunk_windows_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), k AS (
+      SELECT doc_id, ts, n_tok,
+             1 + CAST(floor((greatest(n_tok - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
+                            / {_CHUNK_S}) AS BIGINT) AS n_chunks
+      FROM toks
+    ), c AS (
+      SELECT doc_id, n_tok, CAST(cid AS BIGINT) AS chunk_id,
+             CAST(1 + (cid - 1) * {_CHUNK_S} AS BIGINT) AS start, ts
+      FROM (SELECT doc_id, n_tok, ts, unnest(generate_series(1, n_chunks)) AS cid
+            FROM k)
+    )
+    SELECT doc_id, chunk_id, start,
+           CAST(least({_CHUNK_W}, n_tok - start + 1) AS BIGINT) AS chunk_len,
+           array_to_string(ts[start:start+2], ' ') AS head
+    FROM c ORDER BY doc_id, chunk_id
+    """
+
+
+@_q("q323_chunk_windows", _chunk_windows_oracle())
+def q323_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-side chunking — split every document into fixed
+    {_CHUNK_W}-token windows advancing by stride {_CHUNK_S} (so adjacent
+    chunks overlap by {_CHUNK_W - _CHUNK_S} tokens, the standard RAG
+    ingest layout: overlap keeps a sentence that straddles a boundary
+    retrievable from both sides). One row per (doc, chunk) with its
+    start offset, actual length (the tail chunk truncates), and a
+    3-token head as the chunk anchor.
+
+    Shape: chunk starts are pure arithmetic on the token count, so the
+    fan-out is a ``posexplode(sequence(...))`` — narrow, no shuffle at
+    all until the output sort; the chunk relation is what downstream
+    embedding/indexing jobs consume (q41's corpus side). Chunk count
+    per doc is ceil((n_tok - W)/S) + 1, clamped to >= 1, evaluated by
+    the identical integer formula in both engines."""
+    d = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .withColumn("n_tok", F.size("tk"))
+        .withColumn(
+            "n_chunks",
+            (
+                F.lit(1)
+                + F.floor(
+                    (
+                        F.greatest(F.col("n_tok") - _CHUNK_W, F.lit(0))
+                        + (_CHUNK_S - 1)
+                    )
+                    / _CHUNK_S
+                )
+            ).cast("long"),
+        )
+    )
+    c = d.select(
+        "doc_id",
+        "n_tok",
+        "tk",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_chunks"))).alias(
+            "chunk_id"
+        ),
+    ).withColumn("start", (1 + (F.col("chunk_id") - 1) * _CHUNK_S).cast("long"))
+    return (
+        c.select(
+            "doc_id",
+            "chunk_id",
+            "start",
+            F.least(F.lit(_CHUNK_W), F.col("n_tok") - F.col("start") + 1)
+            .cast("long")
+            .alias("chunk_len"),
+            F.array_join(
+                F.slice("tk", F.col("start").cast("int"), 3), " "
+            ).alias("head"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

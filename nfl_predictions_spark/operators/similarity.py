@@ -2827,3 +2827,85 @@ def q309_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# q324 — kNN hubness audit (in-degree skew of the k-nearest-neighbor graph)
+# ---------------------------------------------------------------------------
+
+_HUB_K = 5
+_HUB_OUT = 20
+
+_HUBNESS_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+p AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid, a.label,
+    list_dot_product(a.emb, b.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb))
+         * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+), r AS (
+  SELECT qid, cid, label,
+    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
+  FROM p
+), deg AS (
+  SELECT cid AS vec_id, label, CAST(count(*) AS BIGINT) AS indeg
+  FROM r WHERE rn <= {_HUB_K} GROUP BY cid, label
+)
+SELECT vec_id, label, indeg
+FROM (
+  SELECT *, row_number() OVER (ORDER BY indeg DESC, vec_id) AS orn FROM deg
+) WHERE orn <= {_HUB_OUT} ORDER BY indeg DESC, vec_id
+"""
+
+
+@_q("q324_knn_hubness", _HUBNESS_ORACLE)
+def q324_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the k-NN graph — the standard high-dimensional
+    pathology check an ANN index deployment runs BEFORE trusting
+    retrieval quality (Radovanovic et al., JMLR 2010): in high
+    dimensions a few points become "hubs" that appear in a huge
+    fraction of other points' k-NN lists, silently dominating
+    retrieval. Computes the within-label k={_HUB_K} cosine kNN graph
+    and reports the top-{_HUB_OUT} in-degree hubs.
+
+    Scale shape: label-blocked like q42/q274 — the kNN never crosses a
+    block, so the pair volume is sum over blocks of n_b^2, not corpus^2
+    (at production scale the block is an IVF cell, same machinery).
+    Each block runs ONE float64 BLAS matmul inside an Arrow-batched
+    ``applyInPandas`` (the q41b fast path); ranking is on the 6-decimal
+    rounded cosine with cid tie-break — the q41 cross-engine contract —
+    so in-degrees are integer-exact against the oracle's sequential
+    folds. The global top-{_HUB_OUT} is a TakeOrderedAndProject."""
+    import numpy as np
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "label": [], "indeg": []}
+            ).astype({"vec_id": "int64", "label": "int32", "indeg": "int64"})
+        ids = pdf["vec_id"].to_numpy()
+        lab = int(pdf["label"].iloc[0])
+        x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        cos = np.round((x @ x.T) / np.outer(norms, norms), 6)
+        k = min(_HUB_K, n - 1)
+        indeg = np.zeros(n, dtype=np.int64)
+        id_order = np.argsort(ids, kind="stable")
+        for i in range(n):
+            # rank by (-rounded cos, cid): iterate cid-ascending, stable
+            # sort on -cos keeps the cid order inside every cos tie
+            row = cos[i, id_order]
+            cand = id_order[np.argsort(-row, kind="stable")]
+            cand = cand[cand != i][:k]
+            indeg[cand] += 1
+        out = pd.DataFrame({"vec_id": ids, "label": lab, "indeg": indeg})
+        return out[out["indeg"] > 0]
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    deg = emb.groupBy("label").applyInPandas(
+        _block, "vec_id long, label int, indeg long"
+    )
+    return deg.orderBy(F.desc("indeg"), F.asc("vec_id")).limit(_HUB_OUT)

