@@ -235,6 +235,8 @@ HEADLINE = [
     "q322_maximal_shared_spans",
     "q323_chunk_windows",
     "q324_knn_hubness",
+    "q325_span_dedup_removal",
+    "q326_weighted_reservoir",
 ]
 
 _METRIC_FIELDS = {

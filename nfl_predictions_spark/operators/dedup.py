@@ -1537,6 +1537,18 @@ def q322_maximal_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair fan-out is <= df^2/2, and everything downstream (diagonal
     window, span agg) is keyed on (d1, d2, diag) — near-dup-pair
     scale, not corpus scale. The top-k is TakeOrderedAndProject."""
+    return (
+        _shared_spans(spark, sf_dir)
+        .select("d1", "d2", "start1", "start2", "span_tokens")
+        .orderBy(F.desc("span_tokens"), "d1", "d2", "start1")
+        .limit(_SPAN_OUT)
+    )
+
+
+def _shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL maximal-shared-span relation (d1 < d2, span >= {_SPAN_MIN}
+    tokens): q322's top-k readout and q325's removal accounting both
+    consume it. See q322's docstring for the diagonal islands merge."""
     docs = spread(table(spark, sf_dir, "documents"))
     d = (
         docs.select("doc_id", F.split("text", " ").alias("tk"))
@@ -1581,8 +1593,142 @@ def q322_maximal_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_tokens") >= _SPAN_MIN)
     )
+    return spans.select("d1", "d2", "start1", "start2", "span_tokens")
+
+
+# ---------------------------------------------------------------------------
+# q325 — exact-substring dedup removal accounting (keep-earliest)
+# ---------------------------------------------------------------------------
+
+_RM_OUT = 20
+
+
+def _span_removal_oracle() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos, array_to_string(ts[i:i+{_SPAN_K - 1}], ' ') AS s
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - {_SPAN_K - 1})) AS i
+            FROM toks WHERE len(ts) >= {_SPAN_K})
+    ),
+    anchors AS (
+      SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM g GROUP BY s)
+      WHERE df BETWEEN 2 AND {_SPAN_DF_MAX}
+    ),
+    gg AS (SELECT g.* FROM g JOIN anchors USING (s)),
+    hits AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2,
+             a.pos - b.pos AS diag
+      FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT d1, d2, diag, p1, p2,
+             p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS grp
+      FROM hits
+    ),
+    spans AS (
+      SELECT d1, d2, min(p2) AS start2,
+             count(*) + {_SPAN_K - 1} AS span_tokens
+      FROM isl GROUP BY d1, d2, diag, grp
+      HAVING count(*) + {_SPAN_K - 1} >= {_SPAN_MIN}
+    ),
+    iv AS (  -- removal intervals in the LATER doc of each pair
+      SELECT d2 AS doc_id, start2 AS lo, start2 + span_tokens - 1 AS hi
+      FROM spans
+    ),
+    run AS (
+      SELECT doc_id, lo, hi,
+             max(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+      FROM iv
+    ),
+    isl2 AS (
+      SELECT doc_id, lo, hi,
+             sum(CASE WHEN prev_hi IS NULL OR lo > prev_hi THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY lo, hi) AS blk
+      FROM run
+    ),
+    merged AS (
+      SELECT doc_id, min(lo) AS lo, max(hi) AS hi
+      FROM isl2 GROUP BY doc_id, blk
+    ),
+    removed AS (
+      SELECT doc_id, CAST(sum(hi - lo + 1) AS BIGINT) AS removed_tokens
+      FROM merged GROUP BY doc_id
+    ),
+    n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok FROM toks)
+    SELECT doc_id, n_tok, removed_tokens,
+           CAST(n_tok - removed_tokens AS BIGINT) AS kept_tokens
+    FROM (
+      SELECT n.doc_id, n.n_tok, r.removed_tokens,
+             row_number() OVER (ORDER BY r.removed_tokens DESC, n.doc_id) AS rn
+      FROM removed r JOIN n ON n.doc_id = r.doc_id
+    ) WHERE rn <= {_RM_OUT}
+    ORDER BY removed_tokens DESC, doc_id
+    """
+
+
+@_q("q325_span_dedup_removal", _span_removal_oracle())
+def q325_span_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION step of exact-substring dedup — q322 detects maximal
+    verbatim repeats, this removes them under the keep-EARLIEST rule of
+    the public recipe (one occurrence survives; every span is deleted
+    from the LATER doc of its pair). A doc's removal intervals from
+    different partners overlap, so per-doc intervals are merged with the
+    running-max islands pass (interval.py's gaps-and-islands shape)
+    before counting — removed_tokens is the UNION length, never a
+    double-count. Emits the top-{_RM_OUT} docs by tokens removed with
+    their kept-token residue, i.e. the per-document shrinkage report a
+    corpus build acts on.
+
+    Scale: spans come from the shared `_shared_spans` plan (anchor-df
+    bounded); interval merge is one doc-partitioned window over the
+    span relation (pair-scale, not corpus-scale); the join back to
+    token counts is doc-keyed; top-k is TakeOrderedAndProject."""
+    spans = _shared_spans(spark, sf_dir)
+    iv = spans.select(
+        F.col("d2").alias("doc_id"),
+        F.col("start2").alias("lo"),
+        (F.col("start2") + F.col("span_tokens") - 1).alias("hi"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = iv.withColumn("prev_hi", F.max("hi").over(w_prev)).withColumn(
+        "blk",
+        F.sum(
+            F.when(
+                F.col("prev_hi").isNull() | (F.col("lo") > F.col("prev_hi")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    removed = (
+        isl.groupBy("doc_id", "blk")
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("hi") - F.col("lo") + 1).cast("long").alias("removed_tokens"))
+    )
+    n = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    )
     return (
-        spans.select("d1", "d2", "start1", "start2", "span_tokens")
-        .orderBy(F.desc("span_tokens"), "d1", "d2", "start1")
-        .limit(_SPAN_OUT)
+        removed.join(n, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            "removed_tokens",
+            (F.col("n_tok") - F.col("removed_tokens")).cast("long").alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy(F.desc("removed_tokens"), "doc_id")
+        .limit(_RM_OUT)
     )

@@ -2691,3 +2691,71 @@ def q323_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q326 — weighted reservoir (Efraimidis-Spirakis A-ES, exact-k per stratum)
+# ---------------------------------------------------------------------------
+
+_WRSV_K = 10
+
+
+def _weighted_reservoir_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _h60_duck
+
+    h = _h60_duck("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             -ln((CAST({h} AS BIGINT) + 1) / 1152921504606846976.0)
+               / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    ), r AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY round(es_key, 9), doc_id) AS rk
+      FROM keyed
+    )
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+           CAST(n_chars AS BIGINT) AS weight
+    FROM r WHERE rk <= {_WRSV_K} ORDER BY lang, rk
+    """
+
+
+@_q("q326_weighted_reservoir", _weighted_reservoir_oracle())
+def q326_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted exact-k sample per stratum — the Efraimidis-Spirakis
+    A-ES key q320's docstring promised as a drop-in: each row draws the
+    deterministic uniform u from its 60-bit md5 hash and keeps the k
+    SMALLEST values of -ln(u)/w (equivalent to the largest u^(1/w), the
+    A-ES order statistic), so inclusion probability scales with weight
+    w = n_chars — the size-biased pick a token-budget-aware eval build
+    wants (long docs carry more of the corpus) with zero RNG state and
+    full reproducibility under re-partitioning.
+
+    Shape: identical plan family to q320 — one scan + a per-stratum
+    rank filter that compiles to WindowGroupLimit (per-partition top-k
+    heaps, k-per-partition merge, never a full sort). The ranking is on
+    the 9-decimal-rounded key with doc_id tie-break (the repo's
+    float-ranking rule; ln rides the q110 libm contract)."""
+    from nfl_predictions_spark.operators.dedup import _h60_spark
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (_h60_spark(F.col("doc_id").cast("string")) + 1) / F.lit(
+        float(1 << 60)
+    )
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (-F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc(F.round("es_key", 9)), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _WRSV_K)
+        .select("lang", "rk", "doc_id", F.col("n_chars").alias("weight"))
+        .orderBy("lang", "rk")
+    )

@@ -307,3 +307,71 @@ def test_q324_hubness_indegree_conservation(spark):
         assert r.indeg <= max(
             min(_HUB_K, sizes[r.label] - 1) * (sizes[r.label] - 1), 1
         )
+
+
+def test_q325_removal_matches_interval_union(spark):
+    """removed_tokens must equal the UNION length of the doc's removal
+    intervals from the full span relation — recomputed independently in
+    Python for every reported doc."""
+    from nfl_predictions_spark.operators.dedup import (
+        _shared_spans,
+        q325_span_dedup_removal,
+    )
+
+    spans = _shared_spans(spark, SF_SMOKE).collect()
+    by_doc = {}
+    for s in spans:
+        by_doc.setdefault(s.d2, []).append((s.start2, s.start2 + s.span_tokens - 1))
+    rows = q325_span_dedup_removal(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        ivs = sorted(by_doc[r.doc_id])
+        total, cur_lo, cur_hi = 0, None, None
+        for lo, hi in ivs:
+            if cur_lo is None or lo > cur_hi:
+                if cur_lo is not None:
+                    total += cur_hi - cur_lo + 1
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        total += cur_hi - cur_lo + 1
+        assert r.removed_tokens == total
+        assert r.kept_tokens == r.n_tok - r.removed_tokens
+        assert 0 < r.removed_tokens <= r.n_tok
+
+
+def test_q326_weighted_reservoir_shape_and_determinism(spark):
+    """Exact k per stratum (clamped by stratum size), ranks dense from 1,
+    deterministic across runs, and plans as WindowGroupLimit (the q320
+    family contract)."""
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.llmprep import (
+        _WRSV_K,
+        q326_weighted_reservoir,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    sizes = {
+        r.lang: r.n
+        for r in table(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    a = q326_weighted_reservoir(spark, SF_SMOKE).collect()
+    b = q326_weighted_reservoir(spark, SF_SMOKE).collect()
+    assert a == b
+    by_lang = {}
+    for r in a:
+        by_lang.setdefault(r.lang, []).append(r.rk)
+    for lang, rks in by_lang.items():
+        assert sorted(rks) == list(range(1, min(_WRSV_K, sizes[lang]) + 1))
+    plan = (
+        q326_weighted_reservoir(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
