@@ -88,10 +88,11 @@ def _registry():
     window = [
         # sentinels — one proven-green entry per major family. Trimmed
         # 8 -> 5 this round (VERDICT r07 #2 wants >=42 first-timers AND
-        # the q61 re-check in one 50-slot window): the dropped three
-        # (q16 lag, q06 broadcast join, q39 minhash) stay covered by
-        # same-family first-timers below (q56* windows, q51b/q209
-        # joins, q39b/q39d minhash).
+        # the q61 re-check in one 50-slot window). The dropped three:
+        # q06 broadcast join and q39 minhash stay covered by same-family
+        # first-timers below (q51b/q209 joins, q39b/q39d minhash); q16's
+        # lag/window family has no round-8 first-timer — it stands on
+        # its r07 driver row plus q64/q200's partitioned windows here.
         "q12_agg_pricing_summary",
         "q31_stream_tumbling",
         "q38_dedup_exact",

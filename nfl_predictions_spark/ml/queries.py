@@ -236,7 +236,6 @@ def dump_tree_nodes(spark: SparkSession) -> str:
     tempdir rename, the q164 idiom); both the Spark query and the DuckDB
     oracle then read the SAME bytes."""
     import glob as _glob
-    import shutil
 
     pass_model, run_model = trained_models(spark)
     if os.path.exists(os.path.join(_Q87_NODES, "_SUCCESS")):
@@ -268,11 +267,11 @@ def dump_tree_nodes(spark: SparkSession) -> str:
         list(enumerate(feats)), "fidx: int, feature: string"
     )
     out = parts[0].unionByName(parts[1]).join(F.broadcast(fmap), "fidx")
-    build = tempfile.mkdtemp(prefix=".q87_nodes_", dir=_CACHE_ROOT)
-    tgt = os.path.join(build, "data")
-    out.coalesce(1).write.mode("overwrite").parquet(tgt)
-    _install_staged(tgt, _Q87_NODES)
-    shutil.rmtree(build, ignore_errors=True)
+    # graph._atomic_stage owns the build-dir + rename-with-self-heal
+    # idiom (one copy of the concurrency logic, not three)
+    from nfl_predictions_spark.operators.graph import _atomic_stage
+
+    _atomic_stage(out.coalesce(1), _Q87_NODES)
     return _Q87_NODES
 
 
@@ -289,25 +288,6 @@ def _tree_weights(spark: SparkSession, gbt_dir: str) -> DataFrame:
     if "treeID" in tm.columns:
         return tm.select("treeID", F.col("weights").alias("weight"))
     return tm.select(F.col("_1").alias("treeID"), F.col("_3").alias("weight"))
-
-
-def _install_staged(tgt: str, out: str) -> None:
-    """Install a privately-built staging dir at ``out`` via rename, with
-    the self-heal from graph._atomic_stage (ADVICE r07 #2): if the rename
-    fails and the existing target lacks _SUCCESS (an interrupted
-    pre-atomic writer's husk), remove it and retry once instead of
-    silently reusing a partial parquet directory forever."""
-    import shutil
-
-    try:
-        os.rename(tgt, out)
-    except OSError:
-        if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            shutil.rmtree(out, ignore_errors=True)
-            try:
-                os.rename(tgt, out)
-            except OSError:
-                pass  # a concurrent healer installed a complete copy
 
 
 def q87_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,7 +390,6 @@ def _dump_scoring_frames(spark: SparkSession) -> tuple[str, str]:
       shared-bytes discipline as q87's node dump.
     """
     import glob as _glob
-    import shutil
 
     if os.path.exists(os.path.join(_Q37D_NODES, "_SUCCESS")) and os.path.exists(
         os.path.join(_Q37D_FEATS, "_SUCCESS")
@@ -456,15 +435,13 @@ def _dump_scoring_frames(spark: SparkSession) -> tuple[str, str]:
             )
         )
 
+    from nfl_predictions_spark.operators.graph import _atomic_stage
+
     for path, frame in (
         (_Q37D_NODES, node_parts[0].unionByName(node_parts[1])),
         (_Q37D_FEATS, feat_parts[0].unionByName(feat_parts[1])),
     ):
-        build = tempfile.mkdtemp(prefix=".q37d_", dir=_CACHE_ROOT)
-        tgt = os.path.join(build, "data")
-        frame.coalesce(1).write.mode("overwrite").parquet(tgt)
-        _install_staged(tgt, path)
-        shutil.rmtree(build, ignore_errors=True)
+        _atomic_stage(frame.coalesce(1), path)
     return _Q37D_NODES, _Q37D_FEATS
 
 

@@ -1506,11 +1506,15 @@ def _shared_spans_oracle() -> str:
     )
     SELECT d1, d2, start1, start2, span_tokens
     FROM (
+      -- start2 completes the total order: the same block can repeat at
+      -- two start2 offsets of one d2 with identical (span, d1, d2,
+      -- start1), and a non-total order makes the rank-20 cutoff
+      -- engine-dependent
       SELECT *, row_number() OVER (
-        ORDER BY span_tokens DESC, d1, d2, start1) AS rn
+        ORDER BY span_tokens DESC, d1, d2, start1, start2) AS rn
       FROM spans WHERE span_tokens >= {_SPAN_MIN}
     ) WHERE rn <= {_SPAN_OUT}
-    ORDER BY span_tokens DESC, d1, d2, start1
+    ORDER BY span_tokens DESC, d1, d2, start1, start2
     """
 
 
@@ -1528,7 +1532,10 @@ def q322_maximal_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions are unique per (d1,d2,diag), so runs can't collide).
     A 93-token verbatim repeat shared by two docs comes out as ONE row
     of span_tokens=93, where q117 sees 86 independent 8-token spans.
-    Emits the top-{_SPAN_OUT} spans >= {_SPAN_MIN} tokens.
+    Emits the top-{_SPAN_OUT} spans >= {_SPAN_MIN} tokens. Maximality
+    is with respect to anchors that PASS the df cap: a >{_SPAN_DF_MAX}-doc
+    boilerplate gram inside a repeat truncates the span at that gram by
+    design (the cap is the declared skew bound, not an approximation).
 
     Scale: the anchor join is bounded by the declared document-
     frequency cap df <= {_SPAN_DF_MAX} (boilerplate grams shared by
@@ -1540,15 +1547,31 @@ def q322_maximal_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _shared_spans(spark, sf_dir)
         .select("d1", "d2", "start1", "start2", "span_tokens")
-        .orderBy(F.desc("span_tokens"), "d1", "d2", "start1")
+        .orderBy(F.desc("span_tokens"), "d1", "d2", "start1", "start2")
         .limit(_SPAN_OUT)
     )
 
 
 def _shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL maximal-shared-span relation (d1 < d2, span >= {_SPAN_MIN}
-    tokens): q322's top-k readout and q325's removal accounting both
-    consume it. See q322's docstring for the diagonal islands merge."""
+    tokens), staged ONCE per fixture (the _kn_model/neardup_pairs
+    discipline): q322's top-k readout and q325's removal accounting both
+    consume it, and the anchor self-join is the dominant cost — paying
+    it per consumer is exactly what VERDICT r07 #3 flagged for the KN
+    model. See q322's docstring for the diagonal islands merge."""
+    import os
+
+    from nfl_predictions_spark.operators.extended import _staged_path
+    from nfl_predictions_spark.operators.graph import _atomic_stage
+
+    out = _staged_path(sf_dir, "shared_spans", sources=("documents",))
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        _atomic_stage(_shared_spans_frame(spark, sf_dir), out)
+    return spark.read.parquet(out)
+
+
+def _shared_spans_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot builder of the shared-span relation (see _shared_spans)."""
     docs = spread(table(spark, sf_dir, "documents"))
     d = (
         docs.select("doc_id", F.split("text", " ").alias("tk"))

@@ -735,11 +735,14 @@ def _fitted_centroids_path(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(tgt, "_FINGERPRINT"), "w") as f:
         f.write(fp)
     # Swap the superseded generation aside BEFORE installing the new one
-    # (ADVICE r07 #3): an rmtree-then-rename window would let a concurrent
-    # reader of the static oracle glob (ivf_centroids/*/*.parquet) observe
-    # a missing directory — and lose the centroids outright if the rename
-    # then failed. rename(out -> aside) is atomic, so the old generation
-    # stays fully readable until the new one is in place.
+    # (ADVICE r07 #3). This guarantees DURABILITY — the old generation is
+    # never destroyed until the replacement is installed, so a failed
+    # rename can no longer lose the centroids outright — and shrinks the
+    # reader-visible gap from rmtree-duration to two rename syscalls.
+    # A glob reader landing exactly between the two renames can still see
+    # the directory absent for that instant; full visibility would need a
+    # versioned-directory scheme, which the single-writer staging store
+    # doesn't warrant.
     aside = None
     if os.path.exists(out):
         aside = _tf.mkdtemp(prefix=".ivf_old_", dir=_IVF_FITTED_ROOT)

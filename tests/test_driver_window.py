@@ -11,8 +11,9 @@ from __future__ import annotations
 import __spark_entry__ as entrymod
 
 EXPECTED_WINDOW = [
-    # sentinels (trimmed 8 -> 5 in round 8; dropped families covered by
-    # same-family first-timers in this window)
+    # sentinels (trimmed 8 -> 5 in round 8; dropped q06/q39 families are
+    # covered by same-family first-timers in this window — q51b/q209
+    # joins, q39b/q39d minhash; q16's lag family stands on its r07 row)
     "q12_agg_pricing_summary",
     "q31_stream_tumbling",
     "q38_dedup_exact",

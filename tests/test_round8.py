@@ -107,20 +107,18 @@ def test_atomic_stage_never_clobbers_complete_winner(spark, tmp_path):
     assert spark.read.parquet(out).collect()[0].a == 42
 
 
-def test_install_staged_heals_husk(spark, tmp_path):
-    """Same self-heal for the ml-side staging installer."""
-    from nfl_predictions_spark.ml.queries import _install_staged
+def test_ml_staging_uses_shared_atomic_stage():
+    """The ml-side staging installers must route through the ONE shared
+    self-heal implementation (graph._atomic_stage), not a private copy —
+    concurrency logic duplicated per module drifts."""
+    import inspect
 
-    out = str(tmp_path / "out")
-    os.makedirs(out)
-    with open(os.path.join(out, "stale"), "w") as f:
-        f.write("x")
+    from nfl_predictions_spark.ml import queries as mlq
 
-    build = str(tmp_path / "build")
-    spark.createDataFrame([(3,)], "a int").write.parquet(build)
-    _install_staged(build, out)
-    assert os.path.exists(os.path.join(out, "_SUCCESS"))
-    assert spark.read.parquet(out).collect()[0].a == 3
+    assert not hasattr(mlq, "_install_staged")
+    for fn in (mlq.dump_tree_nodes, mlq._dump_scoring_frames):
+        assert "_atomic_stage" in inspect.getsource(fn)
+    assert "os.rename" not in inspect.getsource(mlq)
 
 
 def test_staged_path_touches_on_handout(tmp_path):
@@ -143,8 +141,11 @@ def test_fitted_centroids_rebuild_keeps_old_generation_readable(tmp_path, monkey
     """ADVICE r07 #3: the rebuild path must never rmtree the live
     generation before the replacement is installed. Simulate the swap:
     an existing complete generation is moved ASIDE (atomic rename), the
-    new build renamed in, the aside reaped last — at no point is the
-    target absent without a successor in flight."""
+    new build renamed in, the aside reaped last. This guarantees
+    DURABILITY (the old bytes survive until the new install succeeds);
+    visibility-wise a reader between the two renames can still see the
+    path absent for one syscall's width — the invariant is no-data-loss,
+    not zero-gap."""
     import shutil
     import tempfile as _tf
 
@@ -234,22 +235,45 @@ def test_q322_spans_are_genuine_verbatim_repeats(spark):
 
 
 def test_q322_spans_are_maximal(spark):
-    """Spans must be MAXIMAL: extending one token left or right breaks
-    the match (otherwise the islands merge under-joined)."""
-    from nfl_predictions_spark.operators.dedup import q322_maximal_shared_spans
+    """Spans must be MAXIMAL with respect to the anchors that pass the
+    df cap: if the boundary token also matches, the only legitimate
+    reason is that the 8-gram anchoring the extension was excluded by
+    the df <= _SPAN_DF_MAX filter — anything else means the islands
+    merge under-joined. (Maximality is conditional on the cap BY
+    DESIGN: a >50-doc boilerplate gram inside a repeat truncates it.)"""
+    from nfl_predictions_spark.operators.dedup import (
+        _SPAN_DF_MAX,
+        _SPAN_K,
+        q322_maximal_shared_spans,
+    )
     from nfl_predictions_spark.sources.tables import table
 
-    toks = {
+    docs = {
         r.doc_id: r.text.split(" ")
         for r in table(spark, SF_SMOKE, "documents").collect()
     }
+    # document frequency of every 8-gram, recomputed independently
+    df = {}
+    for did, ts in docs.items():
+        seen = set()
+        for i in range(len(ts) - _SPAN_K + 1):
+            seen.add(" ".join(ts[i : i + _SPAN_K]))
+        for s in seen:
+            df[s] = df.get(s, 0) + 1
+
+    def capped(ts, pos0):  # 0-based gram start, True if anchor excluded
+        g = " ".join(ts[pos0 : pos0 + _SPAN_K])
+        return len(ts) - pos0 < _SPAN_K or not (2 <= df.get(g, 0) <= _SPAN_DF_MAX)
+
     for r in q322_maximal_shared_spans(spark, SF_SMOKE).collect():
-        t1, t2 = toks[r.d1], toks[r.d2]
+        t1, t2 = docs[r.d1], docs[r.d2]
         i, j, n = r.start1 - 1, r.start2 - 1, r.span_tokens
-        if i > 0 and j > 0:
-            assert t1[i - 1] != t2[j - 1], "span extendable left"
-        if i + n < len(t1) and j + n < len(t2):
-            assert t1[i + n] != t2[j + n], "span extendable right"
+        if i > 0 and j > 0 and t1[i - 1] == t2[j - 1]:
+            assert capped(t1, i - 1), "left-extendable with an eligible anchor"
+        if i + n < len(t1) and j + n < len(t2) and t1[i + n] == t2[j + n]:
+            assert capped(t1, i + n - _SPAN_K + 1), (
+                "right-extendable with an eligible anchor"
+            )
 
 
 def test_q323_chunks_tile_documents(spark):
