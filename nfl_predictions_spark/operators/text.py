@@ -1611,3 +1611,115 @@ def q308_ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ref_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q328 — blocklist phrase tagging (multi-phrase scan as a gram hash-join)
+# ---------------------------------------------------------------------------
+
+_BL_K = 10  # phrases per n-gram order in the derived blocklist
+_BL_FLAG = 3  # flag docs containing >= this many distinct phrases
+
+
+def _bl_gram_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return f"[{parts} for i in range(1, len(ts) - {n - 2})]"
+
+
+_BL_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+g2 AS (SELECT doc_id, unnest({_bl_gram_sql(2)}) AS s
+       FROM tok WHERE len(ts) >= 2),
+g3 AS (SELECT doc_id, unnest({_bl_gram_sql(3)}) AS s
+       FROM tok WHERE len(ts) >= 3),
+bl AS (
+  SELECT s FROM (
+    SELECT s, row_number() OVER (ORDER BY count(DISTINCT doc_id) DESC, s ASC)
+             AS rk
+    FROM g2 GROUP BY s) WHERE rk <= {_BL_K}
+  UNION ALL
+  SELECT s FROM (
+    SELECT s, row_number() OVER (ORDER BY count(DISTINCT doc_id) DESC, s ASC)
+             AS rk
+    FROM g3 GROUP BY s) WHERE rk <= {_BL_K}
+),
+hits AS (
+  SELECT g.doc_id, g.s, count(*) AS occ
+  FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3) g
+  JOIN bl USING (s) GROUP BY g.doc_id, g.s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_phrases,
+       CAST(sum(occ) AS BIGINT) AS n_hits,
+       count(*) >= {_BL_FLAG} AS flagged
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_q("q328_blocklist_tagging", _BL_ORACLE)
+def q328_blocklist_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-phrase blocklist tagging — find every occurrence of every
+    phrase from a (possibly huge) phrase list in every document, the op
+    behind banned-phrase filters, attribution scans, and policy tagging.
+    The phrase list here is derived deterministically from the corpus
+    (the {_BL_K} highest-document-frequency word bigrams and trigrams,
+    ties broken lexicographically) so the query is self-contained; in
+    production the list is an input table.
+
+    The scalable pattern — and why it is NOT a regex alternation: a
+    per-row regex over P phrases costs O(len x P) per document and
+    cannot be pushed into a join. Instead every document explodes into
+    its word n-grams (one shifted-slice zip per order, no lambdas) and
+    the phrase list JOINS the gram stream on exact equality — an
+    Aho-Corasick replacement where the automaton is a broadcast hash
+    table and matching is O(len) per doc regardless of phrase count.
+    Overlapping occurrences count (grams are NOT deduped before the
+    join); per-doc distinct-phrase and occurrence totals come from one
+    grouped aggregation. At 100 TB the gram stream never materializes
+    to disk — scan -> explode -> broadcast-join -> partial agg is one
+    codegen'd stage before the doc-keyed shuffle."""
+    docs = spread(table(spark, sf_dir, "documents"))
+
+    def grams(n: int) -> DataFrame:
+        d = (
+            docs.select("doc_id", F.split("text", " ").alias("tk"))
+            .withColumn("m", F.size("tk") - (n - 1))
+            .filter(F.col("m") >= 1)
+        )
+        zipped = F.arrays_zip(
+            *[F.slice("tk", j + 1, F.col("m")).alias(f"w{j}") for j in range(n)]
+        )
+        return d.select("doc_id", F.explode(zipped).alias("g")).select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"g.w{j}") for j in range(n)]).alias("s"),
+        )
+
+    g = grams(2).unionByName(grams(3))
+
+    def top_phrases(n: int) -> DataFrame:
+        # top-k by document frequency as orderBy+limit -> Spark plans
+        # TakeOrderedAndProject (per-partition heaps, no global sort)
+        return (
+            grams(n)
+            .groupBy("s")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .orderBy(F.desc("df"), F.asc("s"))
+            .limit(_BL_K)
+            .select("s")
+        )
+
+    bl = top_phrases(2).unionByName(top_phrases(3))
+    hits = (
+        g.join(F.broadcast(bl), "s")
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_phrases"),
+            F.sum("occ").cast("long").alias("n_hits"),
+        )
+        .withColumn("flagged", F.col("n_phrases") >= _BL_FLAG)
+        .orderBy("doc_id")
+    )

@@ -399,3 +399,101 @@ def test_q326_weighted_reservoir_shape_and_determinism(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_q327_verdict_partition_and_exact_matches(spark):
+    """Incremental dedup: every batch doc gets exactly one verdict;
+    verbatim re-fetches are drop_exact against their own source doc;
+    reversed-token 'new pages' keep with the sentinel match columns."""
+    from nfl_predictions_spark.operators.dedup import _INC_OFF, q327_incremental_dedup
+    from nfl_predictions_spark.sources.tables import table
+
+    rows = {r.batch_id: r for r in q327_incremental_dedup(spark, SF_SMOKE).collect()}
+    doc_ids = [r.doc_id for r in table(spark, SF_SMOKE, "documents").select("doc_id").collect()]
+    assert set(rows) == {d + _INC_OFF for d in doc_ids}
+    for bid, r in rows.items():
+        src = bid - _INC_OFF
+        if src % 3 == 0:
+            assert r.action == "drop_exact"
+            assert r.match_id == src
+            assert r.jac == 1.0
+        elif src % 3 == 2:
+            assert r.action == "keep"
+            assert r.match_id == -1
+            assert r.jac == 0.0
+        if r.action == "keep":
+            assert (r.match_id, r.jac) == (-1, 0.0)
+
+
+def test_q327_near_jaccard_independently_recomputed(spark):
+    """For a sample of drop_near verdicts, recompute the 3-gram Jaccard
+    between the truncated batch text and the matched base doc in plain
+    Python — the reported value must agree and clear the threshold."""
+    from nfl_predictions_spark.operators.dedup import (
+        _INC_OFF,
+        _INC_TAU,
+        q327_incremental_dedup,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    out = q327_incremental_dedup(spark, SF_SMOKE)
+    near = [r for r in out.collect() if r.action == "drop_near"][:5]
+    assert near, "smoke fixture must produce near-dup verdicts"
+    texts = {
+        r.doc_id: r.text
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+
+    def sh3(text):
+        tk = text.split(" ")
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    for r in near:
+        src = r.batch_id - _INC_OFF
+        assert src % 3 == 1  # only truncated re-fetches can be near-dups
+        batch_text = " ".join(texts[src].split(" ")[:-2])
+        a, b = sh3(batch_text), sh3(texts[r.match_id])
+        jac = len(a & b) / len(a | b)
+        assert jac >= _INC_TAU
+        assert abs(round(jac, 6) - r.jac) < 1e-9
+
+
+def test_q328_blocklist_counts_recomputed(spark):
+    """Blocklist tagging: rebuild the derived phrase list and one doc's
+    hit counts in plain Python; flags follow the distinct-phrase rule."""
+    from collections import Counter
+
+    from nfl_predictions_spark.operators.text import (
+        _BL_FLAG,
+        _BL_K,
+        q328_blocklist_tagging,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    out = {r.doc_id: r for r in q328_blocklist_tagging(spark, SF_SMOKE).collect()}
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+
+    def grams(tk, n):
+        return [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+
+    bl = []
+    for n in (2, 3):
+        df = Counter()
+        for tk in texts.values():
+            df.update(set(grams(tk, n)))
+        bl += [s for s, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:_BL_K]]
+    blset = set(bl)
+    assert len(bl) == 2 * _BL_K
+
+    for doc_id, tk in texts.items():
+        occ = Counter(g for n in (2, 3) for g in grams(tk, n) if g in blset)
+        if not occ:
+            assert doc_id not in out
+            continue
+        r = out[doc_id]
+        assert r.n_phrases == len(occ)
+        assert r.n_hits == sum(occ.values())
+        assert r.flagged == (len(occ) >= _BL_FLAG)
