@@ -2223,6 +2223,63 @@ def _mmr_oracle() -> str:
     """
 
 
+def _mmr_greedy(cand_pdf, ps_pdf):
+    """Per-query greedy MMR over the (bounded) shortlist + pair-sim
+    group: k chained argmax steps in plain Python floats. Every input
+    value (rel, sim) was computed AND round-6 quantized JVM-side, and
+    the only arithmetic here is lam*rel - mu*ms plus max/compare —
+    the identical IEEE-754 double ops Spark's expression evaluator
+    performed in the previous chained-plan formulation, so results are
+    bit-equal to it (verified old-vs-new at three scales, NOTES.md)."""
+    import pandas as pd
+
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    cols = {"qid": [], "step": [], "cid": [], "mmr": []}
+    if len(cand_pdf) == 0:
+        return pd.DataFrame(cols)
+    qid = int(cand_pdf["qid"].iloc[0])
+    rel = dict(zip(cand_pdf["cid"].astype(int), cand_pdf["rel"].astype(float)))
+    sims: dict = {}
+    for ca, cb, s in zip(
+        ps_pdf["ca"].astype(int), ps_pdf["cb"].astype(int), ps_pdf["sim"].astype(float)
+    ):
+        sims.setdefault(ca, {})[cb] = s
+
+    def argmax(items):
+        best = None
+        for cid, m in items:
+            if best is None or m > best[1] or (m == best[1] and cid < best[0]):
+                best = (cid, m)
+        return best
+
+    picked: list = []
+    for step in range(1, _MMR_K + 1):
+        if step == 1:
+            items = [(c, lam * r) for c, r in rel.items()]
+        else:
+            items = []
+            for c, r in rel.items():
+                if c in picked:
+                    continue
+                ms = None
+                cs = sims.get(c, {})
+                for p in picked:
+                    if p in cs and (ms is None or cs[p] > ms):
+                        ms = cs[p]
+                if ms is None:
+                    continue  # inner-join semantics of the chained plan
+                items.append((c, lam * r - mu * ms))
+        best = argmax(items)
+        if best is None:
+            break
+        picked.append(best[0])
+        cols["qid"].append(qid)
+        cols["step"].append(step)
+        cols["cid"].append(best[0])
+        cols["mmr"].append(best[1])
+    return pd.DataFrame(cols)
+
+
 @_q("q273_mmr_rerank", _mmr_oracle())
 def q273_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
@@ -2234,18 +2291,18 @@ def q273_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Split of labor at scale: the DISTRIBUTED part is the shortlist (the
     q41-family top-N per query — brute force here, IVF/PQ in
     production) and the candidate pair table (N x N-1 rows per query,
-    N={_MMR_N}); the greedy itself is k={_MMR_K} chained argmax steps
-    on those bounded frames, expressed as pure DataFrame ops (anti-join
-    remaining -> max-sim aggregate against picked -> per-query
-    row_number pick), so nothing ever leaves the cluster — no driver
-    loop over data, only a fixed-k loop over PLAN construction.
+    N={_MMR_N}); the greedy itself runs per query over those BOUNDED
+    groups via cogrouped applyInPandas — one shuffle keyed on qid, the
+    k={_MMR_K}-step selection loop local to each group, no driver loop
+    and no k-deep chained plan (the previous formulation spent ~5 s of
+    fixed plan overhead on 5 chained window+join steps at sf0.1).
 
-    Determinism: relevances and pair sims are round-6 quantized (both
-    engines see identical doubles — float32*float32 products are exact
-    in double); each argmax orders by the raw mmr double (identical
-    bit pattern cross-engine given identical inputs) with cid
-    tie-break; the emitted score uses the half-up floor quantization
-    (NOTES.md) since it is derived FROM already-rounded values."""
+    Determinism: relevances and pair sims are computed and round-6
+    quantized JVM-side exactly as before (sequential-fold dot products
+    matching the oracle's list_dot_product); the pandas greedy performs
+    only lam*rel - mu*max(sim) — the same IEEE double ops the chained
+    plan evaluated — so emitted values are bit-identical to the
+    r06-driver-green formulation."""
     emb = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -2265,8 +2322,9 @@ def q273_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _MMR_N)
         .drop("rn")
     )
-    # candidate pair sims: bounded (N x N-1 per query); localCheckpoint
-    # cuts the k chained steps' replay of the shortlist lineage
+    # shortlist consumed three times (two pair sides + cogroup left);
+    # the lazy checkpoint stops re-running the crossJoin+top-N lineage
+    cand = cand.localCheckpoint(eager=False)
     a = cand.select("qid", F.col("cid").alias("ca"), F.col("emb").alias("ea"))
     b = cand.select("qid", F.col("cid").alias("cb"), F.col("emb").alias("eb"))
     sim = F.round(
@@ -2276,41 +2334,19 @@ def q273_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["qid"])
         .filter(F.col("ca") != F.col("cb"))
         .select("qid", "ca", "cb", sim.alias("sim"))
+        # breaks the shared-lineage ambiguity with the cogroup's left
+        # side (both descend from cand) and materializes the bounded
+        # pair table once
         .localCheckpoint(eager=False)
     )
-    cand = cand.drop("emb").localCheckpoint(eager=False)
-
-    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
-    w = Window.partitionBy("qid").orderBy(F.desc("mmr"), F.asc("cid"))
-    s1 = (
-        cand.withColumn("mmr", F.lit(lam) * F.col("rel"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("qid", F.lit(1).cast("long").alias("step"), "cid", "mmr")
+    res = (
+        cand.drop("emb")
+        .groupBy("qid")
+        .cogroup(ps.groupBy("qid"))
+        .applyInPandas(
+            _mmr_greedy, schema="qid bigint, step bigint, cid bigint, mmr double"
+        )
     )
-    picked = s1.select("qid", "cid")
-    out = [s1]
-    for i in range(2, _MMR_K + 1):
-        rem = cand.join(picked, ["qid", "cid"], "left_anti")
-        ms = (
-            ps.join(
-                picked.select("qid", F.col("cid").alias("cb")), ["qid", "cb"]
-            )
-            .groupBy("qid", F.col("ca").alias("cid"))
-            .agg(F.max("sim").alias("ms"))
-        )
-        si = (
-            rem.join(ms, ["qid", "cid"])
-            .withColumn("mmr", F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("ms"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("qid", F.lit(i).cast("long").alias("step"), "cid", "mmr")
-        )
-        out.append(si)
-        picked = picked.unionByName(si.select("qid", "cid"))
-    res = out[0]
-    for si in out[1:]:
-        res = res.unionByName(si)
     return res.select(
         "qid",
         "step",

@@ -865,9 +865,13 @@ def q151_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) so it never shuffles the corpus twice. Lift is rational
     arithmetic; top-20 with (count, t1, t2) total order."""
     docs = spread(table(spark, sf_dir, "documents"))
-    dt = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).distinct()
+    dt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+        # consumed by the singleton-support agg AND the frequent-set
+        # join: one lazy checkpoint instead of two explode+distinct runs
+        .localCheckpoint(eager=False)
+    )
     n_docs = docs.count()
     minsup = n_docs * _PAIR_MINSUP
     sup1 = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -1566,7 +1570,10 @@ def q308_ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("cand_id"),
         F.col("ts").alias("cts"),
     )
-    pairs = r.join(c, "ref_id")
+    # the pair relation feeds four gram scans plus the final join —
+    # materialize it once (lazy local checkpoint) instead of re-running
+    # tokenize+filter+join five times
+    pairs = r.join(c, "ref_id").localCheckpoint(eager=False)
 
     def grams(side: str, n: int) -> DataFrame:
         col = f"{side}ts"
