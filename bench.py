@@ -242,6 +242,8 @@ HEADLINE = [
     # hash-join in place of regex alternation)
     "q327_incremental_dedup",
     "q328_blocklist_tagging",
+    "q329_dbscan_cells",
+    "q330_acf_ljung_box",
 ]
 
 _METRIC_FIELDS = {

@@ -1891,10 +1891,15 @@ def q327_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("batch_id")
         .agg(F.min("doc_id").alias("match_id"))
     )
-    rem = bt.join(exact.select("batch_id"), "batch_id", "left_anti")
+    rem = bt.join(
+        exact.select("batch_id"), "batch_id", "left_anti"
+    ).localCheckpoint(eager=False)
 
-    bex = shingle_rows(rem, id_col="batch_id")
-    dex = shingle_rows(base)
+    # the shingle relations fan out to sizes, document frequency, prefix
+    # ranking and verification (up to four consumers each): checkpoint
+    # them once instead of re-running tokenize+explode per branch
+    bex = shingle_rows(rem, id_col="batch_id").localCheckpoint(eager=False)
+    dex = shingle_rows(base).localCheckpoint(eager=False)
     bsz = bex.groupBy("batch_id").agg(F.count(F.lit(1)).alias("sz"))
     dsz = dex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # rarest-first global shingle order from BASE document frequency;
@@ -1974,6 +1979,9 @@ def q327_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("match_id"),
             F.round("jac_raw", 6).alias("jac"),
         )
+        # consumed by the verdict union AND the keep anti-join: without
+        # this the whole verification pipeline runs twice at exec
+        .localCheckpoint(eager=False)
     )
     exact_rows = exact.select(
         "batch_id",

@@ -2534,6 +2534,213 @@ def q274_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q329 — cell-bounded DBSCAN over the embedding column
+# ---------------------------------------------------------------------------
+
+_DBS_CELLS = 8  # minimum coarse cells (medoids anchored on low vec_ids)
+_DBS_CELL_TARGET = 256  # expected vectors per cell: cells scale with n
+#: eps^2 as a decimal literal BOTH engines parse to the same double —
+#: never write 1.15*1.15 (= 1.3224999999999998 != 1.3225 in binary).
+_DBS_EPS2 = 1.3225
+_DBS_MINPTS = 4  # |N_eps(p)| including p itself
+
+
+def _dbscan_oracle() -> str:
+    """Reference DBSCAN on the same cell-bounded candidate graph:
+    neighbor counts and core flags from the within-cell eps-pair set,
+    cluster labels by recursive min-label closure over core-core
+    edges, borders attached to the smallest neighboring core label.
+    Every squared distance is exact (2^-20 grid, see _SDD_Q), so the
+    eps comparison is bit-identical cross-engine — no rounding."""
+    d2 = (
+        "(list_dot_product({a}.emb, {a}.emb)"
+        " - 2 * list_dot_product({a}.emb, {b}.emb)"
+        " + list_dot_product({b}.emb, {b}.emb))"
+    )
+    d2_em = d2.format(a="e", b="m")
+    d2_ab = d2.format(a="a", b="b")
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, {_SDD_QEMB} AS emb FROM embeddings),
+    m AS (SELECT vec_id AS cell, emb FROM e
+          WHERE vec_id < (SELECT greatest({_DBS_CELLS},
+                              count(*) // {_DBS_CELL_TARGET}) FROM e)),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, m.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d2_em} ASC, m.cell ASC) AS rn
+        FROM e, m) WHERE rn = 1),
+    v AS (SELECT e.vec_id, e.emb, a.cell FROM e JOIN asg a USING (vec_id)),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id != b.vec_id
+      WHERE {d2_ab} <= {_DBS_EPS2!r}),
+    deg AS (SELECT va AS vv, count(*) AS nn FROM p GROUP BY va),
+    core AS (SELECT vv FROM deg WHERE nn + 1 >= {_DBS_MINPTS}),
+    ce AS (SELECT p.va AS a, p.vb AS b FROM p
+           JOIN core c1 ON c1.vv = p.va JOIN core c2 ON c2.vv = p.vb),
+    reach(vv, l) AS (
+      SELECT vv, vv FROM core
+      UNION
+      SELECT ce.b, r.l FROM reach r JOIN ce ON ce.a = r.vv),
+    lbl AS (SELECT vv, min(l) AS cluster FROM reach GROUP BY vv),
+    border AS (
+      SELECT p.va AS vv, min(l.cluster) AS cluster
+      FROM p JOIN core c ON c.vv = p.vb JOIN lbl l ON l.vv = p.vb
+      WHERE p.va NOT IN (SELECT vv FROM core)
+      GROUP BY p.va)
+    SELECT e.vec_id,
+           CASE WHEN l.vv IS NOT NULL THEN 'core'
+                WHEN b.vv IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(l.cluster, b.cluster, -1) AS cluster,
+           coalesce(deg.nn, 0) AS n_neighbors
+    FROM e
+    LEFT JOIN lbl l ON l.vv = e.vec_id
+    LEFT JOIN border b ON b.vv = e.vec_id
+    LEFT JOIN deg ON deg.vv = e.vec_id
+    ORDER BY e.vec_id
+    """
+
+
+@_q("q329_dbscan_cells", _dbscan_oracle())
+def q329_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bounded DBSCAN (Ester et al., KDD 1996) over the embedding
+    column — the density clusterer a curation pipeline runs to find
+    coherent near-dup "islands" and outlier documents in one pass:
+    cores (>= {_DBS_MINPTS} vectors within eps incl. self), borders
+    (non-core within eps of a core), noise; clusters are connected
+    components of the core-core eps-graph labeled by their minimum
+    vec_id, borders attach to the smallest neighboring core label
+    (a deterministic refinement of DBSCAN's arbitrary-discovery-order
+    border assignment).
+
+    Candidate bounding is the same published trade as SemDeDup (q274):
+    eps-neighbors are computed WITHIN coarse cells (nearest of
+    max({_DBS_CELLS}, n/{_DBS_CELL_TARGET}) anchor medoids), so the
+    pair phase is O(sum c_i^2) at matmul throughput instead of O(n^2),
+    and cell count scales with n. Physical strategy mirrors q274:
+    assignment is a mapInPandas numpy scan against the broadcast
+    anchor matrix (no shuffle); then ONE shuffle on cell and the whole
+    per-cell pipeline — pair distances (blocked Gram), degrees, cores,
+    union-find over core-core edges, border attachment — runs inside a
+    single applyInPandas group at numpy speed. Clusters cannot span
+    cells by construction, so no global iterative CC is needed.
+
+    Exactness: embeddings snap to the 2^-20 grid first, making every
+    squared distance ||a||^2 - 2a.b + ||b||^2 EXACT in float64
+    regardless of summation order (see _SDD_Q) — numpy matmul, Spark
+    folds and DuckDB's sequential list_dot_product agree bit-for-bit,
+    and the eps^2 threshold is the shared decimal literal
+    {_DBS_EPS2!r}. No rounding anywhere in the compared values."""
+    import numpy as np
+    import pandas as pd
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+
+    ncells = max(_DBS_CELLS, emb.count() // _DBS_CELL_TARGET)
+    med_rows = emb.filter(F.col("vec_id") < ncells).orderBy("vec_id").collect()
+    M = (
+        np.floor(
+            np.array([r.embedding for r in med_rows], dtype=np.float64) * _SDD_Q
+            + 0.5
+        )
+        / _SDD_Q
+    )
+    cells = np.array([r.vec_id for r in med_rows], dtype=np.int64)
+    mn2 = (M * M).sum(axis=1)
+    bM = spark.sparkContext.broadcast((cells, M, mn2))
+
+    def assign(batches):
+        cells_, M_, mn2_ = bM.value
+        for pdf in batches:
+            X = (
+                np.floor(
+                    np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                    * _SDD_Q
+                    + 0.5
+                )
+                / _SDD_Q
+            )
+            xn2 = (X * X).sum(axis=1)
+            D = xn2[:, None] - 2.0 * (X @ M_.T) + mn2_[None, :]
+            # argmin with (d2 ASC, cell ASC) tie-break: scan anchors in
+            # ascending cell order, keep only strict improvements
+            best = np.zeros(len(X), dtype=np.int64)
+            bestv = D[:, 0].copy()
+            for j in range(1, D.shape[1]):
+                better = D[:, j] < bestv
+                best[better] = j
+                bestv[better] = D[better, j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "emb": list(X),
+                    "cell": cells_[best],
+                }
+            )
+
+    asg = emb.mapInPandas(assign, schema="vec_id long, emb array<double>, cell long")
+
+    def dbscan_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(pdf["emb"].to_numpy())[order]
+        n = len(ids)
+        n2 = (X * X).sum(axis=1)
+        # blocked Gram keeps memory bounded for oversized cells
+        adj = np.zeros((n, n), dtype=bool)
+        blk = 2048
+        for lo in range(0, n, blk):
+            hi = min(lo + blk, n)
+            D = n2[lo:hi, None] - 2.0 * (X[lo:hi] @ X.T) + n2[None, :]
+            adj[lo:hi] = D <= _DBS_EPS2
+        np.fill_diagonal(adj, False)
+        nn = adj.sum(axis=1).astype(np.int64)
+        is_core = nn + 1 >= _DBS_MINPTS
+
+        # union-find over core-core edges; label = min vec_id in component
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ca, cb = np.nonzero(adj & is_core[:, None] & is_core[None, :])
+        for i, j in zip(ca, cb):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        cluster = np.full(n, -1, dtype=np.int64)
+        role = np.full(n, "noise", dtype=object)
+        for i in np.nonzero(is_core)[0]:
+            cluster[i] = ids[find(i)]
+            role[i] = "core"
+        # border: non-core with a core neighbor -> min neighboring label
+        for i in np.nonzero(~is_core)[0]:
+            cn = np.nonzero(adj[i] & is_core)[0]
+            if len(cn):
+                cluster[i] = min(cluster[j] for j in cn)
+                role[i] = "border"
+        return pd.DataFrame(
+            {"vec_id": ids, "role": role, "cluster": cluster, "n_neighbors": nn}
+        )
+
+    return (
+        asg.groupBy("cell")
+        .applyInPandas(
+            dbscan_cell,
+            schema="vec_id long, role string, cluster long, n_neighbors long",
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q295 — matryoshka (prefix-dimension) embedding truncation recall
 # ---------------------------------------------------------------------------
 

@@ -1201,6 +1201,155 @@ def q208_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q330 — ACF through lag K + Ljung–Box portmanteau per event class
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = 6
+
+
+def _acf_oracle() -> str:
+    lag_branches = ", ".join(
+        f"round(c * lag(c, {k}) OVER (PARTITION BY event_type ORDER BY b), 6)"
+        f" AS x{k}"
+        for k in range(1, _ACF_LAGS + 1)
+    )
+    lag_rows = " UNION ALL ".join(
+        f"SELECT event_type, {k} AS lag, x{k} AS xk FROM cx"
+        for k in range(1, _ACF_LAGS + 1)
+    )
+    return f"""
+    WITH hb AS (
+      SELECT event_type, date_trunc('hour', ts) AS b,
+             round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) / count(*), 6) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    cm AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+      FROM hb GROUP BY event_type
+    ),
+    cc AS (
+      SELECT hb.event_type, hb.b, round(hb.v - cm.m, 6) AS c
+      FROM hb JOIN cm USING (event_type)
+    ),
+    den AS (
+      SELECT event_type,
+             CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,6))) AS DOUBLE)
+               AS den
+      FROM cc GROUP BY event_type
+    ),
+    cx AS (SELECT event_type, b, c, {lag_branches} FROM cc),
+    lr AS ({lag_rows}),
+    num AS (
+      SELECT event_type, lag,
+             CAST(sum(CAST(xk AS DECIMAL(24,6))) AS DOUBLE) AS num
+      FROM lr WHERE xk IS NOT NULL GROUP BY event_type, lag
+    ),
+    acf AS (
+      SELECT n.event_type, n.lag, cm.n,
+             n.num / d.den AS rho
+      FROM num n JOIN den d USING (event_type) JOIN cm USING (event_type)
+    )
+    SELECT event_type, lag, n,
+           round(rho, 6) + 0.0 AS acf,
+           round(n * (n + 2) * sum(rho * rho / (n - lag))
+                   OVER (PARTITION BY event_type ORDER BY lag
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS lb_q
+    FROM acf ORDER BY event_type, lag
+    """
+
+
+@_q("q330_acf_ljung_box", _acf_oracle())
+def q330_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function through lag {_ACF_LAGS} plus the
+    Ljung–Box portmanteau statistic per event class — the
+    is-this-series-white-noise battery (Ljung & Box, Biometrika 1978)
+    a monitoring pipeline runs before trusting i.i.d.-assuming
+    alerting: each class's hourly-mean series is centered on its own
+    mean, rho_k = sum(c_t * c_(t-k)) / sum(c_t^2), and
+    Q_k = n(n+2) * sum_(j<=k) rho_j^2/(n-j) accumulates in lag order
+    (compare to chi-square(k) off-cluster).
+
+    Machinery: one hourly pre-aggregation shrinks the corpus to a
+    720-point series per class (map-side combinable; the ONLY pass
+    over raw events), then all {_ACF_LAGS} lag columns ride a single
+    per-class ordered window — no self-joins, no per-lag scans.
+    Exactness: bucket means and centered terms follow the q208
+    exact-DECIMAL contract (6-dp values, 6-dp products, DECIMAL sums,
+    then one fixed IEEE expression); the Ljung–Box running sum is an
+    ordered window both engines fold in identical lag order. + 0.0
+    guards negative zero for near-white classes."""
+    ev = table(spark, sf_dir, "events")
+    hb = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
+    ).agg(
+        F.round(
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("v")
+    )
+    cm = hb.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    cc = hb.join(cm, "event_type").select(
+        "event_type", "b", "n", F.round(F.col("v") - F.col("m"), 6).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    lags = [
+        F.round(F.col("c") * F.lag("c", k).over(w), 6).alias(f"x{k}")
+        for k in range(1, _ACF_LAGS + 1)
+    ]
+    cx = cc.select("event_type", "n", F.round(F.col("c") * F.col("c"), 6).alias("cc"), *lags)
+    den = cx.groupBy("event_type").agg(
+        F.sum(F.col("cc").cast("decimal(24,6)")).cast("double").alias("den")
+    )
+    stack_expr = "stack({}, {}) as (lag, xk)".format(
+        _ACF_LAGS,
+        ", ".join(f"{k}, x{k}" for k in range(1, _ACF_LAGS + 1)),
+    )
+    num = (
+        cx.select("event_type", F.expr(stack_expr))
+        .where(F.col("xk").isNotNull())
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("xk").cast("decimal(24,6)")).cast("double").alias("num"))
+    )
+    acf = (
+        num.join(den, "event_type")
+        .join(cm.select("event_type", "n"), "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            "n",
+            (F.col("num") / F.col("den")).alias("rho"),
+        )
+    )
+    wl = (
+        Window.partitionBy("event_type")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return acf.select(
+        "event_type",
+        "lag",
+        "n",
+        (F.round("rho", 6) + F.lit(0.0)).alias("acf"),
+        F.round(
+            F.col("n")
+            * (F.col("n") + F.lit(2))
+            * F.sum(
+                F.col("rho") * F.col("rho") / (F.col("n") - F.col("lag"))
+            ).over(wl),
+            6,
+        ).alias("lb_q"),
+    ).orderBy("event_type", "lag")
+
+
+# ---------------------------------------------------------------------------
 # q217 — grouped Theil–Sen robust slope
 # ---------------------------------------------------------------------------
 

@@ -497,3 +497,141 @@ def test_q328_blocklist_counts_recomputed(spark):
         assert r.n_phrases == len(occ)
         assert r.n_hits == sum(occ.values())
         assert r.flagged == (len(occ) >= _BL_FLAG)
+
+
+def test_q329_dbscan_full_python_recompute(spark):
+    """Cell-bounded DBSCAN: recompute the ENTIRE pipeline (grid
+    quantization, medoid assignment, in-cell eps-graph, core/border/
+    noise roles, min-label components) in plain Python floats and
+    demand exact equality — the arithmetic is grid-exact by design, so
+    there is no tolerance."""
+    import numpy as np
+
+    from nfl_predictions_spark.operators.similarity import (
+        _DBS_CELL_TARGET,
+        _DBS_CELLS,
+        _DBS_EPS2,
+        _DBS_MINPTS,
+        _SDD_Q,
+        q329_dbscan_cells,
+    )
+    from nfl_predictions_spark.sources.tables import table
+
+    got = {r.vec_id: r for r in q329_dbscan_cells(spark, SF_SMOKE).collect()}
+
+    rows = (
+        table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    X = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64)[order] * _SDD_Q
+        + 0.5
+    ) / _SDD_Q
+    n = len(ids)
+    ncells = max(_DBS_CELLS, n // _DBS_CELL_TARGET)
+    med = ids < ncells
+    M = X[med]
+    mcells = ids[med]
+    # assignment: argmin d2, tie -> smaller medoid id (ids ascending)
+    D = ((X * X).sum(1)[:, None] - 2.0 * (X @ M.T) + (M * M).sum(1)[None, :])
+    cell = mcells[np.argmin(D, axis=1)]
+    role = {}
+    cluster = {}
+    nnb = {}
+    for c in np.unique(cell):
+        sel = cell == c
+        cid = ids[sel]
+        Y = X[sel]
+        d2 = ((Y * Y).sum(1)[:, None] - 2.0 * (Y @ Y.T) + (Y * Y).sum(1)[None, :])
+        adj = d2 <= _DBS_EPS2
+        np.fill_diagonal(adj, False)
+        nn = adj.sum(1)
+        is_core = nn + 1 >= _DBS_MINPTS
+        parent = list(range(len(cid)))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i, j in zip(*np.nonzero(adj & is_core[:, None] & is_core[None, :])):
+            ri, rj = find(int(i)), find(int(j))
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        for k in range(len(cid)):
+            nnb[int(cid[k])] = int(nn[k])
+            if is_core[k]:
+                role[int(cid[k])] = "core"
+                cluster[int(cid[k])] = int(cid[find(k)])
+            else:
+                cn = np.nonzero(adj[k] & is_core)[0]
+                if len(cn):
+                    role[int(cid[k])] = "border"
+                    cluster[int(cid[k])] = min(
+                        int(cid[find(int(j))]) for j in cn
+                    )
+                else:
+                    role[int(cid[k])] = "noise"
+                    cluster[int(cid[k])] = -1
+
+    assert set(got) == set(int(i) for i in ids)
+    for v in got:
+        assert got[v].role == role[v], v
+        assert got[v].cluster == cluster[v], v
+        assert got[v].n_neighbors == nnb[v], v
+    # all three roles appear at smoke scale (parameters were tuned so)
+    assert {r.role for r in got.values()} == {"core", "border", "noise"}
+
+
+def test_q330_acf_structure_and_numpy_recompute(spark):
+    """ACF/Ljung-Box: per class the series length is the hourly bucket
+    count, lb_q is strictly increasing in lag, acf stays in [-1, 1],
+    and a straight numpy recompute (hourly means -> centered products)
+    agrees to 1e-4 — loose only because numpy rounds half-even where
+    the engines round half-up at the 6th decimal."""
+    import numpy as np
+
+    from nfl_predictions_spark.operators.stats import _ACF_LAGS, q330_acf_ljung_box
+    from nfl_predictions_spark.sources.tables import table
+
+    out = q330_acf_ljung_box(spark, SF_SMOKE).collect()
+    assert len(out) % _ACF_LAGS == 0
+    by_et = {}
+    for r in out:
+        by_et.setdefault(r.event_type, []).append(r)
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    for et, rows in by_et.items():
+        rows.sort(key=lambda r: r.lag)
+        assert [r.lag for r in rows] == list(range(1, _ACF_LAGS + 1))
+        qs = [r.lb_q for r in rows]
+        assert all(b > a for a, b in zip(qs, qs[1:]))
+        assert all(-1.0 <= r.acf <= 1.0 for r in rows)
+        # numpy recompute
+        buckets = {}
+        for e in ev:
+            if e.event_type != et:
+                continue
+            b = e.ts.replace(minute=0, second=0, microsecond=0)
+            buckets.setdefault(b, []).append(round(e.value, 6))
+        series = np.array(
+            [np.mean(buckets[b]) for b in sorted(buckets)], dtype=np.float64
+        )
+        nlen = len(series)
+        assert rows[0].n == nlen
+        c = series - series.mean()
+        den = (c * c).sum()
+        q = 0.0
+        for k in range(1, _ACF_LAGS + 1):
+            rho = (c[k:] * c[:-k]).sum() / den
+            assert abs(rows[k - 1].acf - rho) < 1e-4, (et, k)
+            q += rho * rho / (nlen - k)
+            assert abs(rows[k - 1].lb_q - nlen * (nlen + 2) * q) < 5e-3, (et, k)
