@@ -1730,3 +1730,163 @@ def q328_blocklist_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("flagged", F.col("n_phrases") >= _BL_FLAG)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q331 — vocabulary growth profile (Heaps'-law checkpoints)
+# ---------------------------------------------------------------------------
+
+_VG_STEPS = 10  # checkpoints at each decile of the doc_id-ordered corpus
+
+
+def _vocab_growth_oracle() -> str:
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+    ),
+    rk AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+             count(*) OVER () AS n FROM dl
+    ),
+    cp AS (
+      SELECT CAST(ceil(n * k / {_VG_STEPS}.0) AS BIGINT) AS target, k
+      FROM rk, (SELECT unnest(range(1, {_VG_STEPS} + 1)) AS k)
+      WHERE rn = 1
+    ),
+    cpd AS (
+      SELECT cp.k, rk.doc_id AS d FROM cp JOIN rk ON rk.rn = cp.target
+    ),
+    fo AS (
+      SELECT term, min(doc_id) AS fod FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) GROUP BY term
+    ),
+    fo3 AS (
+      SELECT s, min(doc_id) AS fod FROM (
+        SELECT doc_id,
+               unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                       for i in range(1, len(ts) - 1)]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        WHERE len(ts) >= 3) GROUP BY s
+    ),
+    toks AS (
+      SELECT cpd.k, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl.ntok) AS BIGINT) AS n_tokens
+      FROM dl JOIN cpd ON dl.doc_id <= cpd.d GROUP BY cpd.k
+    ),
+    voc AS (
+      SELECT cpd.k, CAST(count(*) AS BIGINT) AS vocab
+      FROM fo JOIN cpd ON fo.fod <= cpd.d GROUP BY cpd.k
+    ),
+    voc3 AS (
+      SELECT cpd.k, CAST(count(*) AS BIGINT) AS gram3_types
+      FROM fo3 JOIN cpd ON fo3.fod <= cpd.d GROUP BY cpd.k
+    )
+    SELECT t.k, t.n_docs, t.n_tokens, v.vocab, g.gram3_types,
+           round(CAST(g.gram3_types AS DOUBLE) / t.n_tokens, 6)
+             AS type_token_ratio,
+           round(CAST(g.gram3_types AS DOUBLE)
+                 / lag(g.gram3_types) OVER (ORDER BY t.k), 6)
+             AS gram3_growth
+    FROM toks t JOIN voc v USING (k) JOIN voc3 g USING (k)
+    ORDER BY t.k
+    """
+
+
+@_q("q331_vocab_growth", _vocab_growth_oracle())
+def q331_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth profile — unigram vocab AND distinct-3-gram
+    counts with cumulative tokens at each decile of the doc_id-ordered
+    corpus: the Heaps'-law diagnostic (V ~ K*N^beta) a tokenizer /
+    curation pipeline checks before freezing a vocab budget, and the
+    novelty-saturation curve dedup monitors (when gram3_growth falls
+    to ~1.0, new data is restating old data). On the synthetic corpus
+    the unigram vocab saturates immediately (closed 31-term generator
+    vocabulary — itself the demonstration) while the 3-gram space
+    keeps growing; both curves ship so the contrast is visible.
+
+    Scale shape: type first-occurrence is ONE shuffle keyed on the
+    term/shingle (min over doc_id, map-side combinable — the q218
+    novelty pass); per-doc token counts are a scan-side projection.
+    The 10 checkpoint boundaries come from a rank probe on the 1-col
+    doc_id projection, broadcast, and every cumulative aggregate is a
+    broadcast theta-join + groupBy over the k=10-row grid — NO
+    global-order running window over data, so no single-partition sort
+    at any size.
+
+    Exactness: every compared number is either a BIGINT count or one
+    IEEE division of two exact integers, round-6 — nothing
+    order-dependent anywhere (no logs: the Heaps exponent itself is
+    last-ulp-fragile cross-engine, so the profile emits the raw curve
+    and ratio columns instead; the property test pins the fit)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("ntok")
+    )
+    n = dl.count()
+    wr = Window.orderBy("doc_id")
+    targets = {int(-(-n * k // _VG_STEPS)): k for k in range(1, _VG_STEPS + 1)}
+    # rank probe: only the checkpoint doc_ids survive; the global
+    # row_number window runs on the 2-col (doc_id) projection and is
+    # replaced by a distributed rank at scale (see q300's bounds trick)
+    rk = (
+        dl.select("doc_id")
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn").isin(list(targets)))
+        .collect()
+    )
+    cpd = spark.createDataFrame(
+        [(targets[r.rn], r.doc_id) for r in rk], "k long, d long"
+    )
+    from nfl_predictions_spark.operators.dedup import shingle_rows
+
+    fo = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("fod"))
+    )
+    fo3 = shingle_rows(docs).groupBy("s").agg(F.min("doc_id").alias("fod"))
+    toks = (
+        dl.crossJoin(F.broadcast(cpd))
+        .where(F.col("doc_id") <= F.col("d"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+
+    def cum_types(fodf: DataFrame, out: str) -> DataFrame:
+        return (
+            fodf.crossJoin(F.broadcast(cpd))
+            .where(F.col("fod") <= F.col("d"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    cum3 = cum_types(fo3, "gram3_types")
+    # previous-checkpoint value via a k-1 equi-join, NOT a global lag
+    # window (a 10-row frame, but the habit matters: no unpartitioned
+    # window anywhere in the registry)
+    prev3 = cum3.select(
+        (F.col("k") + 1).alias("k"), F.col("gram3_types").alias("prev3")
+    )
+    return (
+        toks.join(cum_types(fo, "vocab"), "k")
+        .join(cum3, "k")
+        .join(prev3, "k", "left")
+        .select(
+            "k",
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            "gram3_types",
+            F.round(
+                F.col("gram3_types").cast("double") / F.col("n_tokens"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.col("gram3_types").cast("double") / F.col("prev3"), 6
+            ).alias("gram3_growth"),
+        )
+        .orderBy("k")
+    )

@@ -635,3 +635,43 @@ def test_q330_acf_structure_and_numpy_recompute(spark):
             assert abs(rows[k - 1].acf - rho) < 1e-4, (et, k)
             q += rho * rho / (nlen - k)
             assert abs(rows[k - 1].lb_q - nlen * (nlen + 2) * q) < 5e-3, (et, k)
+
+
+def test_q331_vocab_growth_profile(spark):
+    """Vocab growth: checkpoints tile the corpus (k=10 covers all
+    docs), all cumulative columns are monotone, the ratio columns are
+    exact integer divisions, and a log-log fit of the 3-gram curve
+    lands in the open-class Heaps range 0 < beta < 1 while the unigram
+    vocab saturates (closed generator vocabulary)."""
+    import math
+
+    from nfl_predictions_spark.operators.dedup import shingle_rows
+    from nfl_predictions_spark.operators.text import q331_vocab_growth
+    from nfl_predictions_spark.sources.tables import table
+
+    rows = q331_vocab_growth(spark, SF_SMOKE).collect()
+    assert [r.k for r in rows] == list(range(1, 11))
+    docs = table(spark, SF_SMOKE, "documents")
+    assert rows[-1].n_docs == docs.count()
+    assert rows[-1].gram3_types == (
+        shingle_rows(docs).select("s").distinct().count()
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs > a.n_docs
+        assert b.n_tokens > a.n_tokens
+        assert b.vocab >= a.vocab
+        assert b.gram3_types >= a.gram3_types
+        assert b.gram3_growth >= 1.0
+    for r in rows:
+        assert r.type_token_ratio == round(r.gram3_types / r.n_tokens, 6)
+    # Heaps fit on the 3-gram curve: V = K * N^beta, 0 < beta < 1
+    xs = [math.log(r.n_tokens) for r in rows]
+    ys = [math.log(r.gram3_types) for r in rows]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    beta = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert 0.0 < beta < 1.0
+    # closed unigram vocabulary saturates by the first decile
+    assert rows[0].vocab == rows[-1].vocab

@@ -77,6 +77,11 @@ SHOWCASE = [
     ("q320_reservoir_sample", "exact-k reservoir — WindowGroupLimit per stratum"),
     ("q321_kn_doc_perplexity", "KN perplexity — (w1,w2)-keyed model/instance join"),
     ("q139_triangle_count", "triangles — staged pair relation, 3-leg equi-join"),
+    # round 8 continuation
+    ("q273_mmr_rerank", "MMR — cogrouped pandas greedy, one qid shuffle, no k-deep chain"),
+    ("q329_dbscan_cells", "DBSCAN — one cell shuffle, per-cell pandas CC, no global loop"),
+    ("q330_acf_ljung_box", "ACF — one events pre-agg, all lags on one ordered window"),
+    ("q331_vocab_growth", "vocab growth — broadcast checkpoint grid, no global running window"),
 ]
 
 

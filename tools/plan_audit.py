@@ -102,6 +102,8 @@ ALLOW = {
         "q169_equidepth_histogram",  # 1-row cut-tuple broadcast (q204 shape)
         "q319_kneser_ney_bigrams",  # 1-row bigram-type-total broadcast
         "q321_kn_doc_perplexity",  # same 1-row type-total broadcast as q319
+        # round 8 continuation
+        "q331_vocab_growth",  # 10-row checkpoint-grid broadcast theta join
     },
     # Empty-partition windows over provably BOUNDED frames only. The
     # frame feeding each of these windows is an aggregate whose row
