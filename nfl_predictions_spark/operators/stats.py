@@ -1283,14 +1283,19 @@ def q330_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered window both engines fold in identical lag order. + 0.0
     guards negative zero for near-white classes."""
     ev = table(spark, sf_dir, "events")
-    hb = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
-    ).agg(
-        F.round(
-            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("v")
+    hb = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("b"))
+        .agg(
+            F.round(
+                F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .alias("v")
+        )
+        # the ~720-row-per-class series feeds the class-mean agg AND the
+        # centering join: checkpoint it so raw events is scanned ONCE
+        .localCheckpoint(eager=False)
     )
     cm = hb.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1304,7 +1309,9 @@ def q330_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c") * F.lag("c", k).over(w), 6).alias(f"x{k}")
         for k in range(1, _ACF_LAGS + 1)
     ]
-    cx = cc.select("event_type", "n", F.round(F.col("c") * F.col("c"), 6).alias("cc"), *lags)
+    cx = cc.select(
+        "event_type", "n", F.round(F.col("c") * F.col("c"), 6).alias("cc"), *lags
+    ).localCheckpoint(eager=False)  # consumed by den AND the lag unpivot
     den = cx.groupBy("event_type").agg(
         F.sum(F.col("cc").cast("decimal(24,6)")).cast("double").alias("den")
     )

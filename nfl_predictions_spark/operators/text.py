@@ -1864,7 +1864,9 @@ def q331_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias(out))
         )
 
-    cum3 = cum_types(fo3, "gram3_types")
+    # the 10-row cumulative frame is consumed twice (join + k-1 shift);
+    # checkpoint it so the full shingle first-occurrence pass runs ONCE
+    cum3 = cum_types(fo3, "gram3_types").localCheckpoint(eager=False)
     # previous-checkpoint value via a k-1 equi-join, NOT a global lag
     # window (a 10-row frame, but the habit matters: no unpartitioned
     # window anywhere in the registry)

@@ -675,3 +675,49 @@ def test_q331_vocab_growth_profile(spark):
     assert 0.0 < beta < 1.0
     # closed unigram vocabulary saturates by the first decile
     assert rows[0].vocab == rows[-1].vocab
+
+
+def test_round8_continuation_plan_shapes(spark):
+    """Physical-plan pins for the continuation flagships: q273's greedy
+    is ONE cogrouped-pandas node (no k-deep window chain), q329 is one
+    scan -> one grouped-pandas with no windows or nested-loop joins,
+    q330 carries at most its two declared windows (lag battery +
+    running Q) and no loop joins, q331 has NO window at all (the k-1
+    shift is an equi-join) and only the three allowlisted 10-row grid
+    joins. A Spark upgrade or refactor that silently loses any of
+    these shapes fails here instead of shipping."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+
+    import __spark_entry__ as em
+
+    qs = em.queries()
+
+    def plan(name):
+        return (
+            qs[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("q273_mmr_rerank")
+    assert p.count("FlatMapCoGroupsInPandas") == 1
+    assert len(re.findall(r"\bWindow\b", p)) == 0
+
+    p = plan("q329_dbscan_cells")
+    assert p.count("FlatMapGroupsInPandas") == 1
+    assert p.count("FileScan") == 1
+    assert len(re.findall(r"\bWindow\b", p)) == 0
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    p = plan("q330_acf_ljung_box")
+    assert len(re.findall(r"\bWindow\b", p)) <= 2
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    p = plan("q331_vocab_growth")
+    assert len(re.findall(r"\bWindow\b", p)) == 0
+    assert p.count("BroadcastNestedLoopJoin") <= 3
