@@ -1550,11 +1550,12 @@ def q308_ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compared values (the brevity penalty is deliberately factored
     out into the emitted length columns).
 
-    Shape: per-doc gram counts are corpus-scan hash aggregates; the
-    clip is a (pair, gram)-keyed LEFT join between candidate and
-    reference gram tables — gram-space sized, shuffle on (pair_id,
-    gram), never a doc x doc product. Pairing is an equi-join on
-    doc_id+1: at 100 TB reference/candidate tables co-partition on
+    Shape: per-doc gram counts are corpus-scan hash aggregates; BOTH
+    gram orders ride one (pair, order, gram)-keyed LEFT join between
+    candidate and reference gram tables — gram-space sized, shuffle on
+    (pair_id, n, gram), never a doc x doc product — and one grouped
+    precision aggregate pivoted back to p1/p2. Pairing is an equi-join
+    on doc_id+1: at 100 TB reference/candidate tables co-partition on
     the pair key.
     """
     tok = (
@@ -1589,24 +1590,32 @@ def q308_ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(
                 "ref_id", F.concat_ws(" ", "z.a", "z.b").alias("g")
             )
-        return g.groupBy("ref_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return g.select("ref_id", F.lit(n).alias("n"), "g").groupBy(
+            "ref_id", "n", "g"
+        ).agg(F.count(F.lit(1)).alias("c"))
 
-    def prec(n: int) -> DataFrame:
-        cg, rg = grams("c", n), grams("r", n)
-        j = cg.join(
-            rg.select("ref_id", "g", F.col("c").alias("rc")), ["ref_id", "g"], "left"
-        )
-        return j.groupBy("ref_id").agg(
-            (
-                F.sum(F.least(F.col("c"), F.coalesce(F.col("rc"), F.lit(0))))
-                .cast("double")
-                / F.sum("c")
-            ).alias(f"p{n}")
-        )
+    # both gram orders ride ONE (pair, n, gram)-keyed clip join and one
+    # grouped precision aggregate (pivoted back to p1/p2 columns) —
+    # half the join/agg passes of the per-order formulation, identical
+    # counts and therefore identical precisions
+    cg = grams("c", 1).unionByName(grams("c", 2))
+    rg = grams("r", 1).unionByName(grams("r", 2))
+    j = cg.join(
+        rg.select("ref_id", "n", "g", F.col("c").alias("rc")),
+        ["ref_id", "n", "g"],
+        "left",
+    )
+    clip = F.sum(F.least(F.col("c"), F.coalesce(F.col("rc"), F.lit(0))))
+    pn = j.groupBy("ref_id", "n").agg(
+        (clip.cast("double") / F.sum("c")).alias("p")
+    )
+    prec = pn.groupBy("ref_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("p"))).alias("p1"),
+        F.max(F.when(F.col("n") == 2, F.col("p"))).alias("p2"),
+    )
 
     return (
-        pairs.join(prec(1), "ref_id")
-        .join(prec(2), "ref_id")
+        pairs.join(prec, "ref_id")
         .select(
             "ref_id",
             "cand_id",
