@@ -212,3 +212,114 @@ def test_sharded_topk_bounds_contract(spark):
         assert 1 <= r.n_shards_kept <= _TOPK_SHARDS
         if r.n_shards_kept == _TOPK_SHARDS:
             assert r.lb == r.ub == r.true_cnt
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.randoms(),
+)
+@settings(max_examples=60, deadline=None)
+def test_mmr_greedy_matches_bruteforce(cand, rng):
+    """q273's cogrouped greedy kernel against an independent
+    brute-force: at every step the pick must be the (mmr DESC, cid ASC)
+    argmax over remaining candidates, with ms = max sim to picked.
+    Pure-Python — no Spark session needed."""
+    import pandas as pd
+
+    from nfl_predictions_spark.operators.similarity import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _mmr_greedy,
+    )
+
+    cids = [c for c, _ in cand]
+    sims = {}
+    rows = {"ca": [], "cb": [], "sim": []}
+    for a in cids:
+        for b in cids:
+            if a == b:
+                continue
+            s = round(rng.uniform(-1, 1), 6)
+            sims[(a, b)] = s
+            rows["ca"].append(a)
+            rows["cb"].append(b)
+            rows["sim"].append(s)
+    cand_pdf = pd.DataFrame(
+        {"qid": [7] * len(cand), "cid": cids, "rel": [r for _, r in cand]}
+    )
+    out = _mmr_greedy(cand_pdf, pd.DataFrame(rows))
+
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    rel = dict(cand)
+    picked = []
+    for step in range(1, min(_MMR_K, len(cids)) + 1):
+        best = None
+        for c in cids:
+            if c in picked:
+                continue
+            if step == 1:
+                m = lam * rel[c]
+            else:
+                ms = max(sims[(c, p)] for p in picked)
+                m = lam * rel[c] - mu * ms
+            if best is None or m > best[1] or (m == best[1] and c < best[0]):
+                best = (c, m)
+        if best is None:
+            break
+        picked.append(best[0])
+        row = out.iloc[step - 1]
+        assert int(row.cid) == best[0]
+        assert float(row.mmr) == best[1]
+    assert len(out) == len(picked)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=39),
+            st.integers(min_value=0, max_value=39),
+        ),
+        max_size=80,
+    ),
+)
+@settings(max_examples=80, deadline=None)
+def test_dbscan_component_labels_are_min_reachable(n, edges):
+    """q329's per-cell union-find against a BFS reference: every
+    vertex's component label must be the minimum vertex id reachable
+    through the (symmetric) edge set. Pure-Python kernel test on the
+    same path-compressed union-by-min the cell function uses."""
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    es = [(a, b) for a, b in edges if a < n and b < n and a != b]
+    for a, b in es:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    adj = {i: set() for i in range(n)}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    for v in range(n):
+        seen, stack = {v}, [v]
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        assert find(v) == min(seen)
