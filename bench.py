@@ -244,6 +244,7 @@ HEADLINE = [
     "q328_blocklist_tagging",
     "q329_dbscan_cells",
     "q330_acf_ljung_box",
+    "q332_stream_neardup_ingest",
 ]
 
 _METRIC_FIELDS = {

@@ -1785,95 +1785,12 @@ _INC_TAU = 0.8  # near-dup Jaccard threshold for batch-vs-base matches
 _INC_OFF = 1000000  # batch ids live in a disjoint id space
 
 
-_INC_ORACLE = f"""
-WITH base AS (SELECT doc_id, text FROM documents),
-batch AS (
-  SELECT doc_id + {_INC_OFF} AS batch_id,
-         CASE WHEN doc_id % 3 = 0 THEN text
-              WHEN doc_id % 3 = 1
-                THEN array_to_string(ts[1:greatest(len(ts) - 2, 0)], ' ')
-              ELSE array_to_string(list_reverse(ts), ' ')
-         END AS text
-  FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
-),
-exact AS (
-  SELECT b.batch_id, min(d.doc_id) AS match_id
-  FROM batch b JOIN base d ON md5(b.text) = md5(d.text)
-  GROUP BY b.batch_id
-),
-rem AS (
-  SELECT * FROM batch WHERE batch_id NOT IN (SELECT batch_id FROM exact)
-),
-bt AS (SELECT batch_id, string_split(text, ' ') AS ts FROM rem),
-bex AS (SELECT batch_id, unnest({_SHINGLE_SQL}) AS s
-        FROM bt WHERE len(ts) >= 3),
-dt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM base),
-dex AS (SELECT doc_id, unnest({_SHINGLE_SQL}) AS s
-        FROM dt WHERE len(ts) >= 3),
-bsz AS (SELECT batch_id, count(*) AS sz FROM bex GROUP BY batch_id),
-dsz AS (SELECT doc_id, count(*) AS sz FROM dex GROUP BY doc_id),
-inter AS (
-  SELECT b.batch_id, d.doc_id, count(*) AS i
-  FROM bex b JOIN dex d ON b.s = d.s GROUP BY 1, 2
-),
-near AS (
-  SELECT batch_id, doc_id AS match_id,
-         i * 1.0 / (bsz.sz + dsz.sz - i) AS jac
-  FROM inter JOIN bsz USING (batch_id) JOIN dsz USING (doc_id)
-  WHERE i * 1.0 / (bsz.sz + dsz.sz - i) >= {_INC_TAU}
-  QUALIFY row_number() OVER (PARTITION BY batch_id
-                             ORDER BY jac DESC, doc_id ASC) = 1
-)
-SELECT batch_id, action, match_id, jac FROM (
-  SELECT batch_id, 'drop_exact' AS action, match_id,
-         CAST(1.0 AS DOUBLE) AS jac
-  FROM exact
-  UNION ALL
-  SELECT batch_id, 'drop_near' AS action, match_id, round(jac, 6) AS jac
-  FROM near
-  UNION ALL
-  SELECT b.batch_id, 'keep' AS action, CAST(-1 AS BIGINT) AS match_id,
-         CAST(0.0 AS DOUBLE) AS jac
-  FROM batch b
-  WHERE b.batch_id NOT IN (SELECT batch_id FROM exact)
-    AND b.batch_id NOT IN (SELECT batch_id FROM near)
-)
-ORDER BY batch_id
-"""
-
-
-@_q("q327_incremental_dedup", _INC_ORACLE)
-def q327_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup — dedup a NEW crawl batch against the EXISTING
-    base corpus, the steady-state form of q38/q39 (a production corpus
-    is never rebuilt from scratch; each snapshot is deduped against
-    what is already kept). The batch is derived deterministically from
-    the corpus itself: docs with id % 3 == 0 are re-fetched verbatim
-    (exact dups), id % 3 == 1 re-fetched with the last two tokens
-    dropped (near-dup edits), id % 3 == 2 are genuinely new pages
-    (token order reversed — same vocabulary, disjoint 3-gram shingle
-    sets). Every batch doc gets a verdict: ``drop_exact`` (digest matches a base doc),
-    ``drop_near`` (best exact 3-gram Jaccard vs base >= {_INC_TAU},
-    reporting the argmax base doc), or ``keep``.
-
-    Scale shape — why this survives a 100 TB base corpus:
-    - exact matching is ONE hash join on md5(text), a uniformly
-      distributed key; the base side ships only (digest, id).
-    - near-dup candidates come from PREFIX FILTERING (q135's ssjoin
-      bound, cross-corpus form): both sides order shingles by base-side
-      document frequency ascending (rarest first; unseen-in-base grams
-      rank first — they cannot collide with base anyway), and only the
-      first |X| - ceil(tau*|X|) + 1 shingles of each set join, plus the
-      size-ratio bound. Exactness at jac >= tau is the ppjoin theorem,
-      not a recall target; the batch side is the small side throughout.
-    - verification counts full intersections for surviving candidates
-      only; the best-match pick is a row_number window partitioned by
-      batch_id (per-batch-doc state, never a global sort).
-    """
-    docs = table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text")
+def recrawl_batch(docs: DataFrame) -> DataFrame:
+    """The deterministic re-crawl batch q327/q332 dedupe against the
+    base corpus: id%3==0 verbatim re-fetches, id%3==1 truncated edits
+    (last two tokens dropped), id%3==2 reversed-token new pages."""
     tk = F.split("text", " ")
-    bt = docs.select(
+    return docs.select(
         (F.col("doc_id") + _INC_OFF).alias("batch_id"),
         F.when(F.col("doc_id") % 3 == 0, F.col("text"))
         .when(
@@ -1885,49 +1802,44 @@ def q327_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat_ws(" ", F.reverse(tk)))
         .alias("text"),
     )
-    exact = (
-        bt.select("batch_id", F.md5("text").alias("dg"))
-        .join(base.select(F.col("doc_id"), F.md5("text").alias("dg")), "dg")
-        .groupBy("batch_id")
-        .agg(F.min("doc_id").alias("match_id"))
+
+
+def inc_prefix(
+    ex: DataFrame, idc: str, sizes: DataFrame, dfreq: DataFrame
+) -> DataFrame:
+    """ssjoin prefix rows at tau={_INC_TAU}: shingles ranked rarest-
+    first by BASE document frequency (absent-from-base grams rank
+    first with df 0 — they cannot generate a cross-corpus candidate),
+    keeping only the first |X| - ceil(tau*|X|) + 1 per set."""
+    w = Window.partitionBy(idc).orderBy(F.asc("df"), F.asc("s"))
+    ranked = (
+        ex.join(dfreq, "s", "left")
+        .na.fill({"df": 0})
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, idc)
     )
-    rem = bt.join(
-        exact.select("batch_id"), "batch_id", "left_anti"
-    ).localCheckpoint(eager=False)
+    return ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(_INC_TAU) * F.col("sz")) + 1
+    ).select(idc, "s", "sz", "pos")
 
-    # the shingle relations fan out to sizes, document frequency, prefix
-    # ranking and verification (up to four consumers each): checkpoint
-    # them once instead of re-running tokenize+explode per branch
-    bex = shingle_rows(rem, id_col="batch_id").localCheckpoint(eager=False)
-    dex = shingle_rows(base).localCheckpoint(eager=False)
-    bsz = bex.groupBy("batch_id").agg(F.count(F.lit(1)).alias("sz"))
-    dsz = dex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # rarest-first global shingle order from BASE document frequency;
-    # grams absent from base sort first (df 0) — harmless, they cannot
-    # generate a cross-corpus candidate.
-    dfreq = dex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
 
-    def _prefix(ex: DataFrame, idc: str, sizes: DataFrame) -> DataFrame:
-        w = Window.partitionBy(idc).orderBy(F.asc("df"), F.asc("s"))
-        ranked = (
-            ex.join(dfreq, "s", "left")
-            .na.fill({"df": 0})
-            .withColumn("pos", F.row_number().over(w))
-            .join(sizes, idc)
-        )
-        return ranked.filter(
-            F.col("pos")
-            <= F.col("sz") - F.ceil(F.lit(_INC_TAU) * F.col("sz")) + 1
-        ).select(idc, "s", "sz", "pos")
-
-    pb = _prefix(bex, "batch_id", bsz)
-    pd_ = _prefix(dex, "doc_id", dsz)
-    # ppjoin positional filter: a colliding prefix gram at positions
-    # (pa, pb) can witness at most 1 + min(sz_a-pa, sz_b-pb) overlapping
-    # elements; pairs below the tau overlap requirement
-    # ceil(tau/(1+tau) * (sz_a+sz_b)) are pruned BEFORE verification
-    # (measured 3.4x candidate cut at sf0.1). Relaxed to OR-over-grams
-    # by the distinct, so it only ever drops provably-sub-tau pairs.
+def inc_near(
+    pb: DataFrame,
+    pd_: DataFrame,
+    bex: DataFrame,
+    dex: DataFrame,
+    bsz: DataFrame,
+    dsz: DataFrame,
+) -> DataFrame:
+    """Cross-corpus near-dup verdicts (batch_id, match_id, jac): ppjoin
+    positional filter — a colliding prefix gram at positions (pa, pb)
+    can witness at most 1 + min(sz_a-pa, sz_b-pb) overlapping elements;
+    pairs below the tau overlap requirement ceil(tau/(1+tau) *
+    (sz_a+sz_b)) are pruned BEFORE verification (measured 3.4x
+    candidate cut at sf0.1). Relaxed to OR-over-grams by the distinct,
+    so it only ever drops provably-sub-tau pairs. Verification counts
+    full intersections for survivors; the argmax base doc comes from a
+    per-batch_id row_number window (never a global sort)."""
     _alpha = F.ceil(
         F.lit(_INC_TAU / (1 + _INC_TAU)) * (F.col("a.sz") + F.col("b.sz"))
     )
@@ -1967,7 +1879,7 @@ def q327_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wbest = Window.partitionBy("batch_id").orderBy(
         F.desc("jac_raw"), F.asc("doc_id")
     )
-    near = (
+    return (
         inter.join(bsz.alias("b"), "batch_id")
         .join(dsz.alias("d"), "doc_id")
         .withColumn("jac_raw", jac)
@@ -1979,10 +1891,148 @@ def q327_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("match_id"),
             F.round("jac_raw", 6).alias("jac"),
         )
+    )
+
+
+#: Shared CTE chain for the incremental-dedup oracles (q327 batch form,
+#: q332 streaming form — the stream oracle appends a chunk-map CTE).
+_INC_WITH = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + {_INC_OFF} AS batch_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              WHEN doc_id % 3 = 1
+                THEN array_to_string(ts[1:greatest(len(ts) - 2, 0)], ' ')
+              ELSE array_to_string(list_reverse(ts), ' ')
+         END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
+),
+exact AS (
+  SELECT b.batch_id, min(d.doc_id) AS match_id
+  FROM batch b JOIN base d ON md5(b.text) = md5(d.text)
+  GROUP BY b.batch_id
+),
+rem AS (
+  SELECT * FROM batch WHERE batch_id NOT IN (SELECT batch_id FROM exact)
+),
+bt AS (SELECT batch_id, string_split(text, ' ') AS ts FROM rem),
+bex AS (SELECT batch_id, unnest({_SHINGLE_SQL}) AS s
+        FROM bt WHERE len(ts) >= 3),
+dt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM base),
+dex AS (SELECT doc_id, unnest({_SHINGLE_SQL}) AS s
+        FROM dt WHERE len(ts) >= 3),
+bsz AS (SELECT batch_id, count(*) AS sz FROM bex GROUP BY batch_id),
+dsz AS (SELECT doc_id, count(*) AS sz FROM dex GROUP BY doc_id),
+inter AS (
+  SELECT b.batch_id, d.doc_id, count(*) AS i
+  FROM bex b JOIN dex d ON b.s = d.s GROUP BY 1, 2
+),
+near AS (
+  SELECT batch_id, doc_id AS match_id,
+         i * 1.0 / (bsz.sz + dsz.sz - i) AS jac
+  FROM inter JOIN bsz USING (batch_id) JOIN dsz USING (doc_id)
+  WHERE i * 1.0 / (bsz.sz + dsz.sz - i) >= {_INC_TAU}
+  QUALIFY row_number() OVER (PARTITION BY batch_id
+                             ORDER BY jac DESC, doc_id ASC) = 1
+)"""
+
+_INC_VERDICTS = """
+SELECT batch_id, action, match_id, jac FROM (
+  SELECT batch_id, 'drop_exact' AS action, match_id,
+         CAST(1.0 AS DOUBLE) AS jac
+  FROM exact
+  UNION ALL
+  SELECT batch_id, 'drop_near' AS action, match_id, round(jac, 6) AS jac
+  FROM near
+  UNION ALL
+  SELECT b.batch_id, 'keep' AS action, CAST(-1 AS BIGINT) AS match_id,
+         CAST(0.0 AS DOUBLE) AS jac
+  FROM batch b
+  WHERE b.batch_id NOT IN (SELECT batch_id FROM exact)
+    AND b.batch_id NOT IN (SELECT batch_id FROM near)
+)"""
+
+_INC_ORACLE = f"{_INC_WITH}\n{_INC_VERDICTS}\nORDER BY batch_id\n"
+
+_INC_CHUNKS = 4  # micro-batches in the q332 streaming replay
+
+#: q332 oracle: identical verdicts + the deterministic chunk each doc
+#: arrived in (rank-split into {_INC_CHUNKS} doc_id-ordered chunks —
+#: the same formula stage_batch_chunks uses).
+_INC_STREAM_ORACLE = f"""{_INC_WITH},
+chunkmap AS (
+  SELECT batch_id,
+         CAST(floor((row_number() OVER (ORDER BY batch_id) - 1)
+              * {_INC_CHUNKS} / (SELECT count(*) FROM batch)) AS BIGINT)
+           AS chunk
+  FROM batch
+)
+SELECT cm.chunk, v.batch_id, v.action, v.match_id, v.jac
+FROM ({_INC_VERDICTS}) v JOIN chunkmap cm USING (batch_id)
+ORDER BY v.batch_id
+"""
+
+
+@_q("q327_incremental_dedup", _INC_ORACLE)
+def q327_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — dedup a NEW crawl batch against the EXISTING
+    base corpus, the steady-state form of q38/q39 (a production corpus
+    is never rebuilt from scratch; each snapshot is deduped against
+    what is already kept). The batch is derived deterministically from
+    the corpus itself: docs with id % 3 == 0 are re-fetched verbatim
+    (exact dups), id % 3 == 1 re-fetched with the last two tokens
+    dropped (near-dup edits), id % 3 == 2 are genuinely new pages
+    (token order reversed — same vocabulary, disjoint 3-gram shingle
+    sets). Every batch doc gets a verdict: ``drop_exact`` (digest matches a base doc),
+    ``drop_near`` (best exact 3-gram Jaccard vs base >= {_INC_TAU},
+    reporting the argmax base doc), or ``keep``.
+
+    Scale shape — why this survives a 100 TB base corpus:
+    - exact matching is ONE hash join on md5(text), a uniformly
+      distributed key; the base side ships only (digest, id).
+    - near-dup candidates come from PREFIX FILTERING (q135's ssjoin
+      bound, cross-corpus form): both sides order shingles by base-side
+      document frequency ascending (rarest first; unseen-in-base grams
+      rank first — they cannot collide with base anyway), and only the
+      first |X| - ceil(tau*|X|) + 1 shingles of each set join, plus the
+      size-ratio bound. Exactness at jac >= tau is the ppjoin theorem,
+      not a recall target; the batch side is the small side throughout.
+    - verification counts full intersections for surviving candidates
+      only; the best-match pick is a row_number window partitioned by
+      batch_id (per-batch-doc state, never a global sort).
+    """
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    bt = recrawl_batch(docs)
+    exact = (
+        bt.select("batch_id", F.md5("text").alias("dg"))
+        .join(base.select(F.col("doc_id"), F.md5("text").alias("dg")), "dg")
+        .groupBy("batch_id")
+        .agg(F.min("doc_id").alias("match_id"))
+    )
+    rem = bt.join(
+        exact.select("batch_id"), "batch_id", "left_anti"
+    ).localCheckpoint(eager=False)
+
+    # the shingle relations fan out to sizes, document frequency, prefix
+    # ranking and verification (up to four consumers each): checkpoint
+    # them once instead of re-running tokenize+explode per branch
+    bex = shingle_rows(rem, id_col="batch_id").localCheckpoint(eager=False)
+    dex = shingle_rows(base).localCheckpoint(eager=False)
+    bsz = bex.groupBy("batch_id").agg(F.count(F.lit(1)).alias("sz"))
+    dsz = dex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # rarest-first global shingle order from BASE document frequency;
+    # grams absent from base sort first (df 0) — harmless, they cannot
+    # generate a cross-corpus candidate.
+    dfreq = dex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+
+    pb = inc_prefix(bex, "batch_id", bsz, dfreq)
+    pd_ = inc_prefix(dex, "doc_id", dsz, dfreq)
+    near = inc_near(
+        pb, pd_, bex, dex, bsz, dsz
         # consumed by the verdict union AND the keep anti-join: without
         # this the whole verification pipeline runs twice at exec
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
     exact_rows = exact.select(
         "batch_id",
         F.lit("drop_exact").alias("action"),

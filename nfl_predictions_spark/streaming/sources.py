@@ -166,6 +166,70 @@ def stage_document_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -
     return in_dir
 
 
+def stage_recrawl_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> str:
+    """The q327/q332 derived re-crawl batch as n batch_id-ordered chunk
+    files (contiguous rank ranges, increasing mtimes), each row carrying
+    its chunk index — the incremental-dedup ingest stream. Same atomic
+    build-then-rename staging as the event/document chunks; the chunk
+    split formula matches the q332 oracle's chunkmap CTE exactly."""
+    from nfl_predictions_spark.operators.dedup import recrawl_batch
+
+    key = f"recrawl_{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}"
+    base = os.path.join(tempfile.gettempdir(), "nfl_predictions_spark", "stream")
+    root = os.path.join(base, key)
+    in_dir = os.path.join(root, "in")
+    marker = os.path.join(root, "_done")
+    if os.path.exists(marker):
+        return in_dir
+    os.makedirs(base, exist_ok=True)
+    build_root = tempfile.mkdtemp(prefix=f".{key}_build_", dir=base)
+    build_in = os.path.join(build_root, "in")
+    os.makedirs(build_in)
+
+    df = recrawl_batch(table(spark, sf_dir, "documents"))
+    n = df.count()
+    from pyspark.sql import Window
+
+    w = Window.orderBy("batch_id")
+    ranked = df.withColumn(
+        "chunk", ((F.row_number().over(w) - 1) * n_chunks / n).cast("long")
+    )
+    for i in range(n_chunks):
+        part = ranked.filter(F.col("chunk") == i)
+        tmpout = os.path.join(build_root, "tmpout")
+        part.coalesce(1).write.mode("overwrite").parquet(tmpout)
+        src = glob.glob(os.path.join(tmpout, "part-*.parquet"))[0]
+        dst = os.path.join(build_in, f"chunk{i:03d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(os.path.join(build_root, "tmpout"), ignore_errors=True)
+    with open(os.path.join(build_root, "_done"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(build_root, root)
+    except OSError:
+        if os.path.exists(marker):
+            shutil.rmtree(build_root, ignore_errors=True)
+        else:
+            shutil.rmtree(root, ignore_errors=True)
+            os.rename(build_root, root)
+    return in_dir
+
+
+def recrawl_file_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    in_dir = stage_recrawl_chunks(spark, sf_dir, n_chunks)
+    schema = "batch_id long, text string, chunk long"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+
 def documents_file_stream(
     spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> DataFrame:

@@ -721,3 +721,35 @@ def test_round8_continuation_plan_shapes(spark):
     p = plan("q331_vocab_growth")
     assert len(re.findall(r"\bWindow\b", p)) == 0
     assert p.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_q332_stream_equals_batch_q327(spark):
+    """The streamed incremental near-dedup must produce EXACTLY q327's
+    batch verdicts (same machinery, chunk-decomposable given the base),
+    with the chunk column matching the rank-split formula, and chunks
+    covering all four micro-batches."""
+    from nfl_predictions_spark.operators.dedup import (
+        _INC_CHUNKS,
+        q327_incremental_dedup,
+    )
+    from nfl_predictions_spark.operators.streaming_batch import (
+        q332_stream_neardup_ingest,
+    )
+
+    got = {
+        r.batch_id: r
+        for r in q332_stream_neardup_ingest(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.batch_id: r for r in q327_incremental_dedup(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for bid, w in want.items():
+        g = got[bid]
+        assert (g.action, g.match_id, g.jac) == (w.action, w.match_id, w.jac), bid
+    # chunk attribution: rank split over batch_id order
+    ordered = sorted(got)
+    n = len(ordered)
+    for i, bid in enumerate(ordered):
+        assert got[bid].chunk == (i * _INC_CHUNKS) // n, bid
+    assert {r.chunk for r in got.values()} == set(range(_INC_CHUNKS))
