@@ -84,72 +84,72 @@ def _registry():
     # the four round-7 additions (q320/q321/q37d/q41f) front-loaded,
     # then the similarity/dedup certifiers, the q43-q104
     # modern/maintenance block, and the analytics/join/curation block.
+    # Round 9 rotates per VERDICT r08 #1 / NOTES "Round-9 rotation
+    # plan": the round-8 continuation additions (q322-q332)
+    # front-loaded, then the analytics/timeseries/graph/tokenizer
+    # remainder. Sentinels stay at the round-8 trim of 5 (round-8
+    # precedent: q06 joins covered here by q139/q144's joins, q39
+    # minhash by q324/q327/q332's banded similarity machinery, q16's
+    # lag family by q92/q175/q199/q208's windows) so ALL 45
+    # never-driver-checked oracle-backed entries fit in one 50-slot
+    # window — the rotation debt retires completely this round.
     # Computed by tools/rotate_window.py.
     window = [
-        # sentinels — one proven-green entry per major family. Trimmed
-        # 8 -> 5 this round (VERDICT r07 #2 wants >=42 first-timers AND
-        # the q61 re-check in one 50-slot window). The dropped three:
-        # q06 broadcast join and q39 minhash stay covered by same-family
-        # first-timers below (q51b/q209 joins, q39b/q39d minhash); q16's
-        # lag/window family has no round-8 first-timer — it stands on
-        # its r07 driver row plus q64/q200's partitioned windows here.
+        # sentinels — one proven-green entry per major family
         "q12_agg_pricing_summary",
         "q31_stream_tumbling",
         "q38_dedup_exact",
         "q40_token_stats",
         "q41_ann_topk",
-        # re-check: r07's one red row, now serialized to the scalar
-        # wire contract (VERDICT r07 #1)
-        "q61_array_funcs",
-        # round-7 additions, never driver-checked (VERDICT r07 #2
-        # front-load list)
-        "q320_reservoir_sample",
-        "q321_kn_doc_perplexity",
-        "q37d_ml_gbt_scoring",
-        "q41f_ivf_fitted",
-        # production similarity/dedup certifiers
-        "q38b_dedup_rows",
-        "q39b_ngram_jaccard_pairs",
-        "q220_mutual_nn_pairs",
-        "q244_lsh_scurve",
-        "q41b_ann_topk_pandas",
-        "q41e_ann_ivf_medoid",
-        "q39d_mllib_minhash",
-        "q171_stream_dedup_ttl",
-        # q43-q104 modern-SQL / maintenance block
-        "q43_multimodal_features",
-        "q45b_percentile_approx",
-        "q70_sink_roundtrip",
-        "q71_funnel",
-        "q77_xml_roundtrip",
-        "q81_catalog_table",
-        "q82_compaction",
-        "q85_pandas_api",
-        "q93_schema_evolution",
-        "q99_collation",
-        "q101_malformed_csv",
-        "q102_higher_order_funcs",
-        "q103_sql_variables",
-        "q104_sql_scripting",
-        "q187_sql_pipe_syntax",
-        "q188_lateral_alias_params",
-        # analytics / joins / curation block
-        "q51b_salted_join",
-        "q209_null_split_outer_join",
-        "q269_dynamic_partition_pruning",
-        "q205_skew_diagnostics",
-        "q186_mode_per_group",
-        "q189_grouped_agg_udaf",
-        "q200_ratio_to_report",
-        "q202_null_semantics",
-        "q203_try_functions",
-        "q262_audience_overlap",
-        "q305_merkle_sync",
-        "q40f_tfidf_top_terms",
-        "q184_feature_hashing",
-        "q63b_asof_tolerance",
-        "q141_zipf_fit",
-        "q64_gap_fill",
+        # round-8 additions, never driver-checked (VERDICT r08 #1
+        # front-load list): streaming/incremental/span dedup, DBSCAN,
+        # hubness, blocklist tagging, vocab growth
+        "q332_stream_neardup_ingest",
+        "q322_maximal_shared_spans",
+        "q325_span_dedup_removal",
+        "q327_incremental_dedup",
+        "q329_dbscan_cells",
+        "q324_knn_hubness",
+        "q328_blocklist_tagging",
+        "q331_vocab_growth",
+        # analytics / timeseries tail (q87-q268 remainder)
+        "q92_weighted_moving_avg",
+        "q142_last_touch_attribution",
+        "q144_event_transitions",
+        "q168_continuous_aggregate",
+        "q175_time_weighted_avg",
+        "q176_linear_interpolate",
+        "q185_seasonal_outliers",
+        "q191_partition_gaps",
+        "q192_cep_pattern",
+        "q199_capped_running_balance",
+        "q201_event_paths",
+        "q257_imputation_eval",
+        "q258_percentile_bands",
+        "q259_cohort_ltv",
+        "q268_m4_decimation",
+        "q139_triangle_count",
+        "q145_bfs_levels",
+        "q131_importance_sample",
+        "q138_bigram_logprob",
+        "q140_weighted_sample",
+        "q147_quality_topk_filter",
+        "q246_worst_window_logprob",
+        "q323_chunk_windows",
+        "q326_weighted_reservoir",
+        "q180_forget_cascade",
+        "q182_winsorized_mean",
+        "q196_seasonal_naive_backtest",
+        "q206_weighted_median",
+        "q207_benford_audit",
+        "q208_lag1_autocorr",
+        "q330_acf_ljung_box",
+        "q227_jackknife_se",
+        "q233_median_ci",
+        "q254_huber_mean",
+        "q249_bpe_compression",
+        "q306_regex_pretokenize",
+        "q87_ml_feature_importance",
     ]
     ordered: dict[str, Callable] = {}
     for name in window:

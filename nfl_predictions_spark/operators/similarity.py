@@ -2690,15 +2690,21 @@ def q329_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         X = np.stack(pdf["emb"].to_numpy())[order]
         n = len(ids)
         n2 = (X * X).sum(axis=1)
-        # blocked Gram keeps memory bounded for oversized cells
-        adj = np.zeros((n, n), dtype=bool)
+        # blocked Gram with CSR neighbor lists: peak memory is the
+        # blk x n float block plus O(E) int32 indices — never a dense
+        # n x n adjacency, so a skewed cell that funnels many vectors
+        # into one group costs O(E) (sparse at any sensible eps), not
+        # O(n^2) bytes regardless of density
         blk = 2048
+        nbrs: list = [None] * n
         for lo in range(0, n, blk):
             hi = min(lo + blk, n)
             D = n2[lo:hi, None] - 2.0 * (X[lo:hi] @ X.T) + n2[None, :]
-            adj[lo:hi] = D <= _DBS_EPS2
-        np.fill_diagonal(adj, False)
-        nn = adj.sum(axis=1).astype(np.int64)
+            madj = D <= _DBS_EPS2
+            madj[np.arange(hi - lo), np.arange(lo, hi)] = False
+            for i in range(lo, hi):
+                nbrs[i] = np.nonzero(madj[i - lo])[0].astype(np.int32)
+        nn = np.array([len(r) for r in nbrs], dtype=np.int64)
         is_core = nn + 1 >= _DBS_MINPTS
 
         # union-find over core-core edges; label = min vec_id in component
@@ -2710,11 +2716,11 @@ def q329_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = parent[i]
             return i
 
-        ca, cb = np.nonzero(adj & is_core[:, None] & is_core[None, :])
-        for i, j in zip(ca, cb):
-            ri, rj = find(i), find(j)
-            if ri != rj:
-                parent[max(ri, rj)] = min(ri, rj)
+        for i in np.nonzero(is_core)[0]:
+            for j in nbrs[i][is_core[nbrs[i]]]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
         cluster = np.full(n, -1, dtype=np.int64)
         role = np.full(n, "noise", dtype=object)
         for i in np.nonzero(is_core)[0]:
@@ -2722,9 +2728,9 @@ def q329_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             role[i] = "core"
         # border: non-core with a core neighbor -> min neighboring label
         for i in np.nonzero(~is_core)[0]:
-            cn = np.nonzero(adj[i] & is_core)[0]
+            cn = nbrs[i][is_core[nbrs[i]]]
             if len(cn):
-                cluster[i] = min(cluster[j] for j in cn)
+                cluster[i] = cluster[cn].min()
                 role[i] = "border"
         return pd.DataFrame(
             {"vec_id": ids, "role": role, "cluster": cluster, "n_neighbors": nn}

@@ -830,13 +830,16 @@ def _q332_oracle() -> str:
 def q332_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental near-dedup — q327's batch-vs-base verdicts
     produced by a STREAM: the derived re-crawl batch arrives as
-    batch_id-ordered micro-batches (file stream, maxFilesPerTrigger=1)
-    and every chunk is deduped against the base corpus inside
-    foreachBatch — exact verdicts from an md5 join against the staged
-    base digest table, near verdicts from the ppjoin prefix-filter
-    ssjoin against the staged base prefix index (dedup.inc_prefix /
-    inc_near — the SAME machinery q327 runs in batch), appended
-    exactly-once per micro-batch to an immutable result sink.
+    batch_id-ordered micro-batches (file stream) and every chunk is
+    deduped against the base corpus inside foreachBatch — exact
+    verdicts from an md5 join against the staged base digest table,
+    near verdicts from the ppjoin prefix-filter ssjoin against the
+    staged base prefix index (dedup.inc_prefix / inc_near — the SAME
+    machinery q327 runs in batch). Each micro-batch OVERWRITES its own
+    deterministic epoch=<id> sink partition, so a retried epoch
+    replaces rather than duplicates its rows — the at-least-once
+    foreachBatch contract hardened to an idempotent effectively-once
+    sink (plain parquet append would duplicate on retry).
 
     This is the steady-state production shape: the base-side index
     (digests + document-frequency-ranked prefix rows) is built ONCE
@@ -880,23 +883,24 @@ def q332_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bdig", lambda: base.select("doc_id", F.md5("text").alias("dg"))
     )
     dex = _component("dex", lambda: shingle_rows(base))
-    dsz = (
-        dex.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .localCheckpoint(eager=False)
-    )
-    dfreq = (
-        dex.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .localCheckpoint(eager=False)
-    )
+    # base-side sizes and document frequencies are index components too
+    # (staged once per fixture) — recomputing them per run would be two
+    # full groupBys over the base shingle relation on every ingest
+    dsz = _component(
+        "dsz",
+        lambda: dex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")),
+    ).localCheckpoint(eager=False)
+    dfreq = _component(
+        "dfreq",
+        lambda: dex.groupBy("s").agg(F.count(F.lit(1)).alias("df")),
+    ).localCheckpoint(eager=False)
     pd_ = _component(
         "pd", lambda: inc_prefix(dex, "doc_id", dsz, dfreq)
     ).localCheckpoint(eager=False)
 
     out_dir = tempfile.mkdtemp(prefix="nflspark_neardup_out_")
 
-    def handle(chunk_df: DataFrame, _bid: int) -> None:
+    def handle(chunk_df: DataFrame, bid: int) -> None:
         chunk_df = chunk_df.localCheckpoint(eager=False)
         exact = (
             chunk_df.select("batch_id", F.md5("text").alias("dg"))
@@ -939,16 +943,24 @@ def q332_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+        # deterministic per-epoch partition + overwrite = idempotent on
+        # micro-batch retry (foreachBatch is at-least-once; a plain
+        # append sink would duplicate a retried epoch's rows)
         (
             verdicts.join(
                 chunk_df.select("batch_id", "chunk"), "batch_id"
             )
             .select("chunk", "batch_id", "action", "match_id", "jac")
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={bid}"))
         )
 
-    stream = recrawl_file_stream(spark, sf_dir, n_chunks=_INC_CHUNKS)
+    # 2 chunk files per trigger: halves the replay's fixed per-epoch
+    # cost; chunk attribution is data-borne (the staged chunk column),
+    # so the stream==batch + rank-split pins discriminate unchanged
+    stream = recrawl_file_stream(
+        spark, sf_dir, n_chunks=_INC_CHUNKS, files_per_trigger=2
+    )
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -964,4 +976,10 @@ def q332_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert q.awaitTermination(300), "q332 stream did not finish in 300 s"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
-    return spark.read.parquet(out_dir).orderBy("batch_id")
+    # drop the discovered epoch partition column — it is sink plumbing
+    # (idempotence key), not part of the verdict wire schema
+    return (
+        spark.read.parquet(out_dir)
+        .select("chunk", "batch_id", "action", "match_id", "jac")
+        .orderBy("batch_id")
+    )

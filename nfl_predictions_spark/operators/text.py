@@ -1834,18 +1834,23 @@ def q331_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = dl.count()
     wr = Window.orderBy("doc_id")
-    targets = {int(-(-n * k // _VG_STEPS)): k for k in range(1, _VG_STEPS + 1)}
+    # (k, target) PAIRS, not a target-keyed dict: on tiny corpora
+    # (n < _VG_STEPS) several deciles share a ceil target, and the
+    # oracle's chunkmap CTE still emits one row per k — so must we
+    pairs = [(k, int(-(-n * k // _VG_STEPS))) for k in range(1, _VG_STEPS + 1)]
     # rank probe: only the checkpoint doc_ids survive; the global
     # row_number window runs on the 2-col (doc_id) projection and is
     # replaced by a distributed rank at scale (see q300's bounds trick)
     rk = (
         dl.select("doc_id")
         .withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn").isin(list(targets)))
+        .filter(F.col("rn").isin(sorted({t for _, t in pairs})))
         .collect()
     )
+    by_target = {r.rn: r.doc_id for r in rk}
     cpd = spark.createDataFrame(
-        [(targets[r.rn], r.doc_id) for r in rk], "k long, d long"
+        [(k, by_target[t]) for k, t in pairs if t in by_target],
+        "k long, d long",
     )
     from nfl_predictions_spark.operators.dedup import shingle_rows
 

@@ -219,13 +219,16 @@ def stage_recrawl_chunks(
 
 
 def recrawl_file_stream(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
     in_dir = stage_recrawl_chunks(spark, sf_dir, n_chunks)
     schema = "batch_id long, text string, chunk long"
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
         .parquet(in_dir)
     )
 

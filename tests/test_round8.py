@@ -726,8 +726,8 @@ def test_round8_continuation_plan_shapes(spark):
 def test_q332_stream_equals_batch_q327(spark):
     """The streamed incremental near-dedup must produce EXACTLY q327's
     batch verdicts (same machinery, chunk-decomposable given the base),
-    with the chunk column matching the rank-split formula, and chunks
-    covering all four micro-batches."""
+    with the chunk column matching the rank-split formula, and all
+    four staged chunks present in the replayed stream's output."""
     from nfl_predictions_spark.operators.dedup import (
         _INC_CHUNKS,
         q327_incremental_dedup,
