@@ -244,7 +244,10 @@ HEADLINE = [
     "q328_blocklist_tagging",
     "q329_dbscan_cells",
     "q330_acf_ljung_box",
+    "q331_vocab_growth",
     "q332_stream_neardup_ingest",
+    # round-9: base-absorb manifest compaction (incremental == rebuild)
+    "q333_absorb_rededup",
 ]
 
 _METRIC_FIELDS = {

@@ -852,51 +852,27 @@ def q332_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     against its batch equivalent (the q112/q164 discipline, extended
     from exact to NEAR dedup)."""
     from nfl_predictions_spark.operators.dedup import (
+        base_index,
         inc_near,
         inc_prefix,
         shingle_rows,
     )
     from nfl_predictions_spark.operators.dedup import _INC_CHUNKS
-    from nfl_predictions_spark.sources.tables import table as _table
     from nfl_predictions_spark.streaming.sources import recrawl_file_stream
 
     import os
 
-    from nfl_predictions_spark.operators.extended import _staged_path
-    from nfl_predictions_spark.operators.graph import _atomic_stage
-
     # staged base-side index, built ONCE PER FIXTURE (not per run —
-    # this is the persistent dedup index a production lake keeps):
-    # digest table for the exact path, shingles + df-ranked prefix
-    # rows for the near path. Fingerprint-keyed staged store with
-    # atomic install (the q41f/KN-model discipline).
-    idx_root = _staged_path(sf_dir, "neardup_base_index", sources=("documents",))
-
-    def _component(kind: str, build) -> DataFrame:
-        out = os.path.join(idx_root, kind)
-        if not os.path.exists(os.path.join(out, "_SUCCESS")):
-            _atomic_stage(build(), out)
-        return spark.read.parquet(out)
-
-    base = _table(spark, sf_dir, "documents").select("doc_id", "text")
-    bdig = _component(
-        "bdig", lambda: base.select("doc_id", F.md5("text").alias("dg"))
-    )
-    dex = _component("dex", lambda: shingle_rows(base))
-    # base-side sizes and document frequencies are index components too
-    # (staged once per fixture) — recomputing them per run would be two
-    # full groupBys over the base shingle relation on every ingest
-    dsz = _component(
-        "dsz",
-        lambda: dex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")),
-    ).localCheckpoint(eager=False)
-    dfreq = _component(
-        "dfreq",
-        lambda: dex.groupBy("s").agg(F.count(F.lit(1)).alias("df")),
-    ).localCheckpoint(eager=False)
-    pd_ = _component(
-        "pd", lambda: inc_prefix(dex, "doc_id", dsz, dfreq)
-    ).localCheckpoint(eager=False)
+    # this is the persistent dedup index a production lake keeps and
+    # q333's absorb step updates incrementally): digest table for the
+    # exact path, shingles/sizes/frequencies + df-ranked prefix rows
+    # for the near path.
+    idx = base_index(spark, sf_dir)
+    bdig = idx["bdig"]
+    dex = idx["dex"]
+    dsz = idx["dsz"].localCheckpoint(eager=False)
+    dfreq = idx["dfreq"].localCheckpoint(eager=False)
+    pd_ = idx["pd"].localCheckpoint(eager=False)
 
     out_dir = tempfile.mkdtemp(prefix="nflspark_neardup_out_")
 

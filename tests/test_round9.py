@@ -1,0 +1,149 @@
+"""Round-9 additions: q333 base-absorb/re-dedup (manifest compaction),
+the q331 tiny-fixture decile fix, and plan-shape pins for the new
+entries (VERDICT r08 #6/#8, ADVICE r08 #1)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_q333_absorb_idempotent(spark):
+    """After the base absorbs the pass-1 survivors, EVERY batch doc must
+    drop on the second pass (its surviving twin is in base'), so a
+    further absorb would add nothing — the idempotence contract of the
+    production dedup loop."""
+    from nfl_predictions_spark.operators.dedup import (
+        _INC_OFF,
+        q333_absorb_rededup,
+    )
+
+    rows = q333_absorb_rededup(spark, SF_SMOKE).collect()
+    assert rows, "q333 returned no rows"
+    # idempotence: zero keeps remain after absorb
+    assert all(r.action2 != "keep" for r in rows)
+    # every pass-1 survivor is now an exact dup of an ABSORBED doc
+    # (match in the batch id space), and the canonical survivor of each
+    # text group matches itself
+    kept = [r for r in rows if r.action1 == "keep"]
+    assert kept, "fixture produced no pass-1 survivors"
+    for r in kept:
+        assert r.action2 == "drop_exact"
+        assert r.match_id2 >= _INC_OFF
+        assert r.match_id2 <= r.batch_id
+    assert any(r.match_id2 == r.batch_id for r in kept)
+    # pass-1 drops are untouched by the absorb: exact matches still
+    # resolve to the ORIGINAL base doc (absorbed ids are all larger)
+    for r in rows:
+        if r.action1 == "drop_exact":
+            assert r.action2 == "drop_exact" and r.match_id2 < _INC_OFF
+
+
+def test_q333_pass1_matches_q327(spark):
+    """q333's pass-1 verdict column must be exactly q327's actions —
+    same machinery driven off the staged index instead of inline
+    relations."""
+    from nfl_predictions_spark.operators.dedup import (
+        q327_incremental_dedup,
+        q333_absorb_rededup,
+    )
+
+    got = {
+        r.batch_id: r.action1
+        for r in q333_absorb_rededup(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.batch_id: r.action
+        for r in q327_incremental_dedup(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_q333_delta_components_are_survivor_sized(spark):
+    """The absorb stages DELTA components only: the survivor digest
+    table must hold exactly the deduped pass-1 keeps (O(survivors)),
+    and every delta component must cover the same id set — the
+    'updated incrementally, not rebuilt' claim made structural."""
+    from nfl_predictions_spark.operators.dedup import (
+        base_index,
+        q333_absorb_rededup,
+    )
+
+    rows = q333_absorb_rededup(spark, SF_SMOKE).collect()
+    survivors = {
+        r.match_id2 for r in rows if r.action1 == "keep"
+    }  # canonical absorbed ids
+    idx = base_index(spark, SF_SMOKE)
+    kdig = idx["comp"]("kdig", None)
+    assert {r.doc_id for r in kdig.select("doc_id").collect()} == survivors
+    for kind in ("kex", "ksz", "kpd"):
+        ids = {
+            r.doc_id
+            for r in idx["comp"](kind, None).select("doc_id").distinct().collect()
+        }
+        assert ids == survivors, kind
+    # delta is disjoint from the base id space
+    base_ids = {r.doc_id for r in idx["bdig"].select("doc_id").collect()}
+    assert not (survivors & base_ids)
+
+
+def test_q331_duplicate_targets_emit_all_deciles(spark, tmp_path):
+    """ADVICE r08 #1: with fewer docs than deciles, several checkpoint
+    targets collide — one output row per k must still appear (the
+    oracle's chunkmap emits duplicates), not last-writer-wins."""
+    import shutil
+
+    from nfl_predictions_spark.operators.text import _VG_STEPS, q331_vocab_growth
+
+    tiny = tmp_path / "tinysf"
+    tiny.mkdir()
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "b c d e f"), (3, "c d e f g")],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(str(tiny / "documents.parquet"))
+    try:
+        rows = q331_vocab_growth(spark, str(tiny)).collect()
+        assert [r.k for r in rows] == list(range(1, _VG_STEPS + 1))
+        # duplicate-target ks share the checkpoint doc's cumulative stats
+        by_k = {r.k: r for r in rows}
+        assert by_k[1].n_docs == 1 and by_k[_VG_STEPS].n_docs == 3
+        # ceil(3k/10): k=1..3 -> doc 1, k=4..6 -> doc 2, k=7..10 -> doc 3
+        for k in range(1, _VG_STEPS + 1):
+            assert by_k[k].n_docs == -(-3 * k // _VG_STEPS)
+    finally:
+        shutil.rmtree(tiny, ignore_errors=True)
+
+
+def test_round9_plan_shapes(spark):
+    """Plan pins for q333 (VERDICT r08 #8 discipline): the steady-state
+    run carries only the three declared row_number windows (batch-side
+    prefix ranking + one best-match pick per pass) and no nested-loop
+    or cartesian joins anywhere."""
+    import __spark_entry__ as em
+
+    p = (
+        em.queries()["q333_absorb_rededup"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"\bWindow\b", p)) <= 3
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q332_epoch_sink_idempotent_layout(spark):
+    """ADVICE r08 #3 regression pin: q332's sink is per-epoch overwrite
+    partitions (epoch=<id> dirs), so a retried micro-batch replaces its
+    own rows — and the discovered partition column never leaks into the
+    wire schema."""
+    from nfl_predictions_spark.operators.streaming_batch import (
+        q332_stream_neardup_ingest,
+    )
+
+    out = q332_stream_neardup_ingest(spark, SF_SMOKE)
+    assert out.columns == ["chunk", "batch_id", "action", "match_id", "jac"]
