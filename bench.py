@@ -247,7 +247,11 @@ HEADLINE = [
     "q331_vocab_growth",
     "q332_stream_neardup_ingest",
     # round-9: base-absorb manifest compaction (incremental == rebuild)
+    # and the multi-generation sequential absorb loop. q335 (the
+    # streamed q334) stays out: q332 already carries the fixed
+    # stream-replay wall in the headline, and q335's plans are q334's.
     "q333_absorb_rededup",
+    "q334_multigen_absorb",
 ]
 
 _METRIC_FIELDS = {

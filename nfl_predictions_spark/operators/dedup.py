@@ -2305,3 +2305,252 @@ def q333_absorb_rededup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return verd1.join(verd2, "batch_id").orderBy("batch_id")
+
+
+# ---------------------------------------------------------------------------
+# q334 — multi-generation sequential absorb (the full ingest loop)
+# ---------------------------------------------------------------------------
+
+
+def _multigen_oracle() -> str:
+    """Unrolled {_INC_CHUNKS}-generation rebuild: chunk g is deduped
+    against base_g = base + survivors of chunks < g, survivors (keeps
+    minus intra-chunk exact dups, min batch_id wins) are appended, and
+    the next generation repeats — generated as a flat CTE chain so
+    DuckDB re-derives every generation's corpus from scratch. Every
+    per-generation CTE is MATERIALIZED: base_{g+1} references the
+    whole chain of generation g, so inlined CTEs re-evaluate earlier
+    generations multiplicatively (measured: >15 min at sf0.001
+    inlined vs seconds materialized)."""
+    parts = [
+        f"""
+WITH base AS MATERIALIZED (SELECT doc_id, text FROM documents),
+batch AS MATERIALIZED (
+  SELECT doc_id + {_INC_OFF} AS batch_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              WHEN doc_id % 3 = 1
+                THEN array_to_string(ts[1:greatest(len(ts) - 2, 0)], ' ')
+              ELSE array_to_string(list_reverse(ts), ' ')
+         END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
+),
+chunkmap AS MATERIALIZED (
+  SELECT batch_id,
+         CAST(floor((row_number() OVER (ORDER BY batch_id) - 1)
+              * {_INC_CHUNKS} / (SELECT count(*) FROM batch)) AS BIGINT)
+           AS chunk
+  FROM batch
+),
+base_0 AS MATERIALIZED (SELECT doc_id, text FROM base)"""
+    ]
+    for g in range(_INC_CHUNKS):
+        parts.append(f""",
+chunk_{g} AS MATERIALIZED (
+  SELECT b.batch_id, b.text FROM batch b
+  JOIN chunkmap cm ON cm.batch_id = b.batch_id WHERE cm.chunk = {g}
+),
+exact_{g} AS MATERIALIZED (
+  SELECT c.batch_id, min(d.doc_id) AS match_id
+  FROM chunk_{g} c JOIN base_{g} d ON md5(c.text) = md5(d.text)
+  GROUP BY c.batch_id
+),
+rem_{g} AS MATERIALIZED (
+  SELECT * FROM chunk_{g}
+  WHERE batch_id NOT IN (SELECT batch_id FROM exact_{g})
+),
+bt_{g} AS MATERIALIZED (SELECT batch_id, string_split(text, ' ') AS ts FROM rem_{g}),
+bex_{g} AS MATERIALIZED (SELECT batch_id, unnest({_SHINGLE_SQL}) AS s
+            FROM bt_{g} WHERE len(ts) >= 3),
+dt_{g} AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ts FROM base_{g}),
+dex_{g} AS MATERIALIZED (SELECT doc_id, unnest({_SHINGLE_SQL}) AS s
+            FROM dt_{g} WHERE len(ts) >= 3),
+bsz_{g} AS MATERIALIZED (SELECT batch_id, count(*) AS sz FROM bex_{g} GROUP BY batch_id),
+dsz_{g} AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM dex_{g} GROUP BY doc_id),
+inter_{g} AS MATERIALIZED (
+  SELECT b.batch_id, d.doc_id, count(*) AS i
+  FROM bex_{g} b JOIN dex_{g} d ON b.s = d.s GROUP BY 1, 2
+),
+near_{g} AS MATERIALIZED (
+  SELECT batch_id, doc_id AS match_id,
+         i * 1.0 / (bsz_{g}.sz + dsz_{g}.sz - i) AS jac
+  FROM inter_{g} JOIN bsz_{g} USING (batch_id) JOIN dsz_{g} USING (doc_id)
+  WHERE i * 1.0 / (bsz_{g}.sz + dsz_{g}.sz - i) >= {_INC_TAU}
+  QUALIFY row_number() OVER (PARTITION BY batch_id
+                             ORDER BY jac DESC, doc_id ASC) = 1
+),
+verd_{g} AS MATERIALIZED (
+  SELECT batch_id, 'drop_exact' AS action, match_id,
+         CAST(1.0 AS DOUBLE) AS jac
+  FROM exact_{g}
+  UNION ALL
+  SELECT batch_id, 'drop_near' AS action, match_id, round(jac, 6) AS jac
+  FROM near_{g}
+  UNION ALL
+  SELECT r.batch_id, 'keep' AS action, CAST(-1 AS BIGINT) AS match_id,
+         CAST(0.0 AS DOUBLE) AS jac
+  FROM rem_{g} r
+  WHERE r.batch_id NOT IN (SELECT batch_id FROM near_{g})
+),
+surv_{g} AS MATERIALIZED (
+  SELECT min(r.batch_id) AS doc_id, md5(r.text) AS dg
+  FROM rem_{g} r
+  WHERE r.batch_id NOT IN (SELECT batch_id FROM near_{g})
+  GROUP BY md5(r.text)
+),
+base_{g + 1} AS MATERIALIZED (
+  SELECT doc_id, text FROM base_{g}
+  UNION ALL
+  SELECT s.doc_id, b.text FROM surv_{g} s JOIN batch b ON b.batch_id = s.doc_id
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {g} AS gen, batch_id, action, match_id, jac FROM verd_{g}"
+        for g in range(_INC_CHUNKS)
+    )
+    parts.append(f"\n{union}\nORDER BY batch_id\n")
+    return "".join(parts)
+
+
+@_q("q334_multigen_absorb", _multigen_oracle())
+def q334_multigen_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-generation sequential absorb — the COMPLETE production
+    ingest loop: the re-crawl batch arrives as {_INC_CHUNKS}
+    batch_id-ordered chunks; chunk g is deduped against base_g = base
+    + survivors of every earlier chunk, its survivors (keeps minus
+    intra-chunk exact duplicates, min batch_id wins) are absorbed, and
+    generation g+1 repeats. Unlike q327/q333 (whole batch vs one
+    frozen base), later chunks here DROP against earlier chunks'
+    survivors — exactly what a lake ingesting crawl snapshots in
+    sequence does.
+
+    Scale shape: per-generation work is proportional to the CHUNK.
+    The base-side index never rebuilds — each generation appends
+    eagerly-checkpointed DELTA components (survivor digests, shingles,
+    sizes, prefix rows ranked under the FROZEN (df, s) index order —
+    exact for ppjoin under any shared total order, see q333), and the
+    probe side unions base + deltas. The oracle re-derives every
+    generation's corpus from scratch (an unrolled {_INC_CHUNKS}-step
+    rebuild), so a hash-green row certifies the whole incremental
+    chain (q164/q228 discipline, iterated).
+    """
+    idx = base_index(spark, sf_dir)
+    dfreq = idx["dfreq"].localCheckpoint(eager=False)
+    bt = recrawl_batch(table(spark, sf_dir, "documents"))
+    n = bt.count()
+    w = Window.orderBy("batch_id")
+    chunks = (
+        bt.withColumn(
+            "chunk",
+            ((F.row_number().over(w) - 1) * _INC_CHUNKS / n).cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    state = AbsorbState(idx, dfreq)
+    verdicts = []
+    for g in range(_INC_CHUNKS):
+        ch = chunks.filter(F.col("chunk") == g).select("batch_id", "text")
+        verdicts.append(
+            state.absorb(ch).select(
+                F.lit(g).cast("int").alias("gen"),
+                "batch_id",
+                "action",
+                "match_id",
+                "jac",
+            )
+        )
+    out = verdicts[0]
+    for v in verdicts[1:]:
+        out = out.unionByName(v)
+    return out.orderBy("batch_id")
+
+
+def _union_all(frames: list) -> DataFrame:
+    acc = frames[0]
+    for f in frames[1:]:
+        acc = acc.unionByName(f)
+    return acc
+
+
+class AbsorbState:
+    """The carried index state of the sequential absorb loop: base
+    components plus one eagerly-checkpointed DELTA per absorbed chunk.
+    ``absorb(chunk)`` assigns verdicts against base-plus-deltas, then
+    appends the chunk's survivors — shared verbatim by the batch loop
+    (q334) and the streaming foreachBatch form (q335), which is what
+    makes stream == batch provable."""
+
+    def __init__(self, idx: dict, dfreq: DataFrame):
+        self.dfreq = dfreq
+        self.digs = [idx["bdig"]]
+        self.exs = [idx["dex"]]
+        self.szs = [idx["dsz"]]
+        self.pds = [idx["pd"]]
+
+    def absorb(self, ch: DataFrame) -> DataFrame:
+        bdg = ch.select("batch_id", F.md5("text").alias("dg"))
+        exact = (
+            bdg.join(_union_all(self.digs), "dg")
+            .groupBy("batch_id")
+            .agg(F.min("doc_id").alias("match_id"))
+            .localCheckpoint(eager=False)
+        )
+        rem = ch.join(exact.select("batch_id"), "batch_id", "left_anti")
+        bex = shingle_rows(rem, id_col="batch_id").localCheckpoint(eager=False)
+        bsz = bex.groupBy("batch_id").agg(F.count(F.lit(1)).alias("sz"))
+        pb = inc_prefix(bex, "batch_id", bsz, self.dfreq)
+        near = inc_near(
+            pb,
+            _union_all(self.pds),
+            bex,
+            _union_all(self.exs),
+            bsz,
+            _union_all(self.szs),
+        ).localCheckpoint(eager=False)
+        verdicts = (
+            exact.select(
+                "batch_id",
+                F.lit("drop_exact").alias("action"),
+                "match_id",
+                F.lit(1.0).alias("jac"),
+            )
+            .unionByName(
+                near.select(
+                    "batch_id",
+                    F.lit("drop_near").alias("action"),
+                    "match_id",
+                    "jac",
+                )
+            )
+            .unionByName(
+                rem.join(near.select("batch_id"), "batch_id", "left_anti")
+                .select(
+                    "batch_id",
+                    F.lit("keep").alias("action"),
+                    F.lit(-1).cast("long").alias("match_id"),
+                    F.lit(0.0).alias("jac"),
+                )
+            )
+        )
+        # absorb this chunk's survivors as eagerly-checkpointed DELTA
+        # components — O(chunk survivors) each; eager truncates the
+        # lineage so the next generation's plan does not re-derive this
+        # one. Prefix rows rank under the FROZEN (df, s) index order.
+        surv = (
+            rem.join(near.select("batch_id"), "batch_id", "left_anti")
+            .select("batch_id", "text", F.md5("text").alias("dg"))
+        )
+        first = surv.groupBy("dg").agg(F.min("batch_id").alias("batch_id"))
+        sv = (
+            surv.join(first, ["dg", "batch_id"])
+            .select(F.col("batch_id").alias("doc_id"), "text", "dg")
+            .localCheckpoint(eager=True)
+        )
+        kex = shingle_rows(sv.select("doc_id", "text")).localCheckpoint(
+            eager=True
+        )
+        ksz = kex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        self.digs.append(sv.select("doc_id", "dg"))
+        self.exs.append(kex)
+        self.szs.append(ksz)
+        self.pds.append(inc_prefix(kex, "doc_id", ksz, self.dfreq))
+        return verdicts

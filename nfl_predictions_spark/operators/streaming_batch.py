@@ -959,3 +959,90 @@ def q332_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("chunk", "batch_id", "action", "match_id", "jac")
         .orderBy("batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q335 — streamed multi-generation absorb (q334 as a stream)
+# ---------------------------------------------------------------------------
+
+
+def _q335_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _multigen_oracle
+
+    return _multigen_oracle()
+
+
+@_q("q335_stream_absorb_ingest", _q335_oracle())
+def q335_stream_absorb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup loop as a STREAM: q334's sequential
+    absorb driven by a file stream, one chunk per micro-batch
+    (maxFilesPerTrigger=1 — absorption makes later chunks depend on
+    earlier survivors, so micro-batches cannot be coalesced the way
+    q332's absorb-free ingest can). The carried state is
+    dedup.AbsorbState — base index components plus one
+    eagerly-checkpointed survivor delta per processed chunk — held
+    across foreachBatch invocations, which Structured Streaming runs
+    strictly in micro-batch order. Because both forms drive the SAME
+    AbsorbState.absorb step, stream == batch is provable and pinned
+    row-for-row in tests; the oracle is q334's unrolled
+    multi-generation rebuild. Verdicts land in per-epoch overwrite
+    partitions (idempotent under micro-batch retry, the q332
+    contract). The in-memory carried state is scoped to one replay
+    (fresh checkpoint dir, failures surface via awaitTermination); a
+    long-lived deployment would persist each delta keyed by epoch —
+    exactly the staged-component shape q333 demonstrates — and
+    reload on restart."""
+    from nfl_predictions_spark.operators.dedup import (
+        _INC_CHUNKS,
+        AbsorbState,
+        base_index,
+    )
+    from nfl_predictions_spark.streaming.sources import recrawl_file_stream
+
+    import os
+
+    idx = base_index(spark, sf_dir)
+    state = AbsorbState(idx, idx["dfreq"].localCheckpoint(eager=False))
+    out_dir = tempfile.mkdtemp(prefix="nflspark_absorb_out_")
+
+    def handle(chunk_df: DataFrame, bid: int) -> None:
+        ch = chunk_df.select("batch_id", "text", "chunk").localCheckpoint(
+            eager=False
+        )
+        (
+            state.absorb(ch.select("batch_id", "text"))
+            .join(ch.select("batch_id", "chunk"), "batch_id")
+            .select(
+                F.col("chunk").cast("int").alias("gen"),
+                "batch_id",
+                "action",
+                "match_id",
+                "jac",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={bid}"))
+        )
+
+    stream = recrawl_file_stream(
+        spark, sf_dir, n_chunks=_INC_CHUNKS, files_per_trigger=1
+    )
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="nflspark_absorbck_"),
+            )
+            .start()
+        )
+        assert q.awaitTermination(300), "q335 stream did not finish in 300 s"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    return (
+        spark.read.parquet(out_dir)
+        .select("gen", "batch_id", "action", "match_id", "jac")
+        .orderBy("batch_id")
+    )

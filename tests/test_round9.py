@@ -118,6 +118,47 @@ def test_q331_duplicate_targets_emit_all_deciles(spark, tmp_path):
         shutil.rmtree(tiny, ignore_errors=True)
 
 
+def test_q335_stream_equals_batch_q334(spark):
+    """The streamed sequential absorb must produce EXACTLY q334's
+    verdicts: both drive the same AbsorbState.absorb step, one chunk
+    per micro-batch, so the carried index state evolves identically."""
+    from nfl_predictions_spark.operators.dedup import q334_multigen_absorb
+    from nfl_predictions_spark.operators.streaming_batch import (
+        q335_stream_absorb_ingest,
+    )
+
+    got = {
+        r.batch_id: (r.gen, r.action, r.match_id, r.jac)
+        for r in q335_stream_absorb_ingest(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.batch_id: (r.gen, r.action, r.match_id, r.jac)
+        for r in q334_multigen_absorb(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_q334_absorb_discriminates(spark):
+    """The fixture must exercise CROSS-GENERATION absorption — at least
+    one later-chunk doc dropping against an EARLIER chunk's absorbed
+    survivor (match in the batch id space). Without this the
+    multi-generation oracle would be indistinguishable from q327."""
+    from nfl_predictions_spark.operators.dedup import (
+        _INC_OFF,
+        q334_multigen_absorb,
+    )
+
+    rows = q334_multigen_absorb(spark, SF_SMOKE).collect()
+    cross = [r for r in rows if r.match_id >= _INC_OFF]
+    assert cross, "no cross-generation matches — fixture too weak"
+    for r in cross:
+        # an absorbed survivor is always from a STRICTLY earlier or
+        # same chunk, and absorbed ids precede the matching doc
+        assert r.match_id < r.batch_id
+    # and plain base matches still dominate
+    assert len(cross) < len(rows) / 4
+
+
 def test_round9_plan_shapes(spark):
     """Plan pins for q333 (VERDICT r08 #8 discipline): the steady-state
     run carries only the three declared row_number windows (batch-side
@@ -134,6 +175,55 @@ def test_round9_plan_shapes(spark):
     assert len(re.findall(r"\bWindow\b", p)) <= 3
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+    from nfl_predictions_spark.operators.dedup import _INC_CHUNKS
+
+    p = (
+        em.queries()["q334_multigen_absorb"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two row_number windows per generation (batch prefix rank + best
+    # match); deltas are eagerly checkpointed so nothing re-derives
+    assert len(re.findall(r"\bWindow\b", p)) <= 2 * _INC_CHUNKS
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+#: Oracle-backed entries added AFTER the round-9 window froze; they
+#: MUST take the first slots of the round-10 window. Shrink to empty
+#: next round — any other name appearing in the ledger's `missing`
+#: fails this test (VERDICT r08 #5: conformance completeness becomes a
+#: structural CI assertion, not a per-round audit).
+POST_WINDOW_ADDITIONS = {
+    "q333_absorb_rededup",
+    "q334_multigen_absorb",
+    "q335_stream_absorb_ingest",
+}
+
+
+def test_green_ledger_complete():
+    """Every oracle-backed registry entry has a recorded driver-green
+    round, sits in the in-flight driver window, or is a declared
+    post-window addition queued for the next rotation. Nothing falls
+    through the cracks silently."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from green_ledger import build
+
+    out = build(repo)
+    missing = {n for n, v in out["entries"].items() if v == "missing"}
+    assert missing <= POST_WINDOW_ADDITIONS, missing
+    # the in-flight window only ever contains green-or-pending entries
+    import __spark_entry__ as em
+
+    window = list(em.queries())[:50]
+    for n in window:
+        assert out["entries"][n] != "missing", n
 
 
 def test_q332_epoch_sink_idempotent_layout(spark):
