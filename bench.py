@@ -252,6 +252,7 @@ HEADLINE = [
     # stream-replay wall in the headline, and q335's plans are q334's.
     "q333_absorb_rededup",
     "q334_multigen_absorb",
+    "q336_compacted_rededup",
 ]
 
 _METRIC_FIELDS = {

@@ -118,6 +118,27 @@ def test_q331_duplicate_targets_emit_all_deciles(spark, tmp_path):
         shutil.rmtree(tiny, ignore_errors=True)
 
 
+def test_q336_compaction_verdict_invariant(spark):
+    """Re-ranking the absorbed index under refreshed document
+    frequencies must not change a single verdict vs q333's
+    frozen-order pass 2 — the correctness claim that makes deferred
+    compaction safe in production."""
+    from nfl_predictions_spark.operators.dedup import (
+        q333_absorb_rededup,
+        q336_compacted_rededup,
+    )
+
+    got = {
+        r.batch_id: (r.action, r.match_id, r.jac)
+        for r in q336_compacted_rededup(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.batch_id: (r.action2, r.match_id2, r.jac2)
+        for r in q333_absorb_rededup(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
 def test_q335_stream_equals_batch_q334(spark):
     """The streamed sequential absorb must produce EXACTLY q334's
     verdicts: both drive the same AbsorbState.absorb step, one chunk
@@ -200,6 +221,7 @@ POST_WINDOW_ADDITIONS = {
     "q333_absorb_rededup",
     "q334_multigen_absorb",
     "q335_stream_absorb_ingest",
+    "q336_compacted_rededup",
 }
 
 
