@@ -2583,19 +2583,29 @@ def q334_multigen_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    state = AbsorbState(idx, dfreq)
-    verdicts = []
-    for g in range(_INC_CHUNKS):
-        ch = chunks.filter(F.col("chunk") == g).select("batch_id", "text")
-        verdicts.append(
-            state.absorb(ch).select(
-                F.lit(g).cast("int").alias("gen"),
-                "batch_id",
-                "action",
-                "match_id",
-                "jac",
+    # chunk-sized work: 32 shuffle partitions would schedule ~30 empty
+    # tasks per exchange across the loop's many small shuffles (the
+    # q332 tuning, applied to the whole absorb loop — the eager delta
+    # checkpoints execute the per-generation pipelines inside this
+    # scope, so the tuned width covers the real work)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        state = AbsorbState(idx, dfreq)
+        verdicts = []
+        for g in range(_INC_CHUNKS):
+            ch = chunks.filter(F.col("chunk") == g).select("batch_id", "text")
+            verdicts.append(
+                state.absorb(ch).select(
+                    F.lit(g).cast("int").alias("gen"),
+                    "batch_id",
+                    "action",
+                    "match_id",
+                    "jac",
+                )
             )
-        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     out = verdicts[0]
     for v in verdicts[1:]:
         out = out.unionByName(v)
@@ -2681,10 +2691,13 @@ class AbsorbState:
         sv = (
             surv.join(first, ["dg", "batch_id"])
             .select(F.col("batch_id").alias("doc_id"), "text", "dg")
+            .coalesce(1)  # chunk-survivor-sized: one partition, one task
             .localCheckpoint(eager=True)
         )
-        kex = shingle_rows(sv.select("doc_id", "text")).localCheckpoint(
-            eager=True
+        kex = (
+            shingle_rows(sv.select("doc_id", "text"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
         )
         ksz = kex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         self.digs.append(sv.select("doc_id", "dg"))
