@@ -253,6 +253,7 @@ HEADLINE = [
     "q333_absorb_rededup",
     "q334_multigen_absorb",
     "q336_compacted_rededup",
+    "q337_ivf_absorb",
 ]
 
 _METRIC_FIELDS = {

@@ -880,6 +880,171 @@ def q41f_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q337 — incremental IVF absorb (vector-index analogue of q333)
+# ---------------------------------------------------------------------------
+
+_ANN_OFF = 1000000  # absorbed vector ids live in a disjoint id space
+
+_IVF_ABSORB_ORACLE = f"""
+WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+nb AS (
+  SELECT vec_id + {_ANN_OFF} AS vec_id,
+         CAST(list_reverse(embedding) AS DOUBLE[]) AS emb
+  FROM embeddings
+),
+e AS (SELECT * FROM eb UNION ALL SELECT * FROM nb),
+m AS (
+  SELECT cell, c FROM read_parquet('{_IVF_FITTED_ROOT}/*/*.parquet')
+  WHERE n_vec = (SELECT count(*) FROM embeddings)
+),
+a AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, m.cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_D2_DUCK.format(x='e.emb', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM e, m
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, emb AS qe FROM eb WHERE vec_id < {_N_QUERIES}),
+probe AS (
+  SELECT qid, qe, cell FROM (
+    SELECT q.qid, q.qe, m.cell,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        round({_D2_DUCK.format(x='q.qe', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM q, m
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+p AS (
+  SELECT probe.qid, a.vec_id AS cid,
+    list_dot_product(qe, e.emb)
+      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e.emb, e.emb)))
+      AS cos
+  FROM probe JOIN a USING (cell) JOIN e ON e.vec_id = a.vec_id
+),
+r AS (
+  SELECT qid, cid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
+  FROM p
+)
+SELECT qid, cid, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {_TOP_K} ORDER BY qid, rn
+"""
+
+
+def _ivf_assign(emb: DataFrame, med: DataFrame) -> DataFrame:
+    """Deterministic argmin cell assignment vs broadcast centroids —
+    the q41e/q41f contract (round-6 d2, cell tie-break)."""
+
+    def d2(x: str, c: str) -> Column:
+        return (
+            _dot(F.col(x), F.col(x))
+            - 2 * _dot(F.col(x), F.col(c))
+            + _dot(F.col(c), F.col(c))
+        )
+
+    return (
+        emb.crossJoin(F.broadcast(med))
+        .select(
+            "vec_id",
+            F.struct(
+                F.round(d2("emb", "c"), 6).alias("d"), F.col("cell")
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", F.col("best.cell").alias("cell"))
+    )
+
+
+@_q("q337_ivf_absorb", _IVF_ABSORB_ORACLE)
+def q337_ivf_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index absorb — the vector-search analogue of
+    q333's dedup-index absorb, i.e. production vector-DB ingest: a
+    NEW vector batch (element-reversed embeddings in a disjoint id
+    space — deterministic on both engines) is assigned to the FROZEN
+    fitted centroids (q41f's staged bytes) and appended to the staged
+    inverted lists as a DELTA; base assignments are READ from the
+    staged component, never recomputed. Top-{_TOP_K} queries then
+    probe the merged index. Because the quantizer is frozen, base
+    assignments are invariant under absorption, so incremental ==
+    rebuild — and the oracle IS the rebuild: it re-assigns every
+    vector (base + batch) from the shared centroid bytes from
+    scratch. Occupancy drift after absorb (the retrain trigger) is
+    q324's hubness audit shape; re-fitting the quantizer is q41f's
+    staging path — together the full IVF lifecycle.
+
+    Scale shape: per-ingest work is O(batch x nlist) map-side
+    (broadcast centroids, no shuffle for assignment); the probe is
+    q41e/q41f's cell-bounded join lattice. Nothing rebuilds."""
+    import os as _os
+
+    from nfl_predictions_spark.operators.extended import _staged_path
+    from nfl_predictions_spark.operators.graph import _atomic_stage
+
+    cent_path = _fitted_centroids_path(spark, sf_dir)
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    med = spark.read.parquet(cent_path).select(
+        "cell", F.col("c").cast("array<double>").alias("c")
+    )
+
+    # staged base inverted list — built once per fixture; ingest reads it
+    aroot = _staged_path(sf_dir, "ivf_assign", sources=("embeddings",))
+    aout = _os.path.join(aroot, "base")
+    if not _os.path.exists(_os.path.join(aout, "_SUCCESS")):
+        _atomic_stage(_ivf_assign(emb, med), aout)
+    base_assign = spark.read.parquet(aout)
+
+    nb = emb.select(
+        (F.col("vec_id") + _ANN_OFF).alias("vec_id"),
+        F.reverse("emb").alias("emb"),
+    )
+    assign = base_assign.unionByName(_ivf_assign(nb, med))
+    alle = emb.unionByName(nb).localCheckpoint(eager=False)
+
+    def d2(x: str, c: str) -> Column:
+        return (
+            _dot(F.col(x), F.col(x))
+            - 2 * _dot(F.col(x), F.col(c))
+            + _dot(F.col(c), F.col(c))
+        )
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.asc(F.round(d2("qe", "c"), 6)), F.asc("cell")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(med))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("qid", "qe", "cell")
+    )
+    cands = (
+        assign.join(F.broadcast(probe), "cell")
+        .join(alle, "vec_id")
+        .select(
+            "qid", "qe", F.col("vec_id").alias("cid"), F.col("emb").alias("ce")
+        )
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (
+        _norm(F.col("qe")) * _norm(F.col("ce"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("cid")
+    )
+    return (
+        cands.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q165 — k-means (Lloyd) as a deterministic relational iteration
 # ---------------------------------------------------------------------------
 

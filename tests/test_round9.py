@@ -180,6 +180,32 @@ def test_q334_absorb_discriminates(spark):
     assert len(cross) < len(rows) / 4
 
 
+def test_q337_absorb_surfaces_new_vectors(spark):
+    """The absorbed batch must actually surface in probe results (some
+    top-k hit carries an absorbed id) — otherwise the incremental
+    inverted-list update is untested dead weight — while every query
+    still returns a full, contiguous top-k."""
+    from nfl_predictions_spark.operators.similarity import (
+        _ANN_OFF,
+        _N_QUERIES,
+        _TOP_K,
+        q337_ivf_absorb,
+    )
+
+    rows = q337_ivf_absorb(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == min(_N_QUERIES, len(by_q))
+    for qid, rs in by_q.items():
+        assert [r.rn for r in sorted(rs, key=lambda r: r.rn)] == list(
+            range(1, len(rs) + 1)
+        )
+        assert len(rs) <= _TOP_K
+    absorbed_hits = [r for r in rows if r.cid >= _ANN_OFF]
+    assert absorbed_hits, "no absorbed vector ever reached a top-k"
+
+
 def test_round9_plan_shapes(spark):
     """Plan pins for q333 (VERDICT r08 #8 discipline): the steady-state
     run carries only the three declared row_number windows (batch-side
@@ -222,6 +248,7 @@ POST_WINDOW_ADDITIONS = {
     "q334_multigen_absorb",
     "q335_stream_absorb_ingest",
     "q336_compacted_rededup",
+    "q337_ivf_absorb",
 }
 
 

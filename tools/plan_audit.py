@@ -53,6 +53,7 @@ ALLOW = {
         "q120_bloom_semi_join",  # 1-row packed bloom bit words
         "q41e_ann_ivf_medoid",  # query x medoid table (nlist rows)
         "q41f_ivf_fitted",  # same shape: corpus x 16-row fitted-centroid table
+        "q337_ivf_absorb",  # q41f shape: (base+batch) x 16-row centroid table
         "q132_bm25_retrieval",  # 1-row corpus stats (N, avgdl)
         "q136_hybrid_rrf",  # 1-row corpus stats via the BM25 subtree
         "q155_sliding_distinct",  # calendar-sized broadcast range join
