@@ -254,6 +254,7 @@ HEADLINE = [
     "q334_multigen_absorb",
     "q336_compacted_rededup",
     "q337_ivf_absorb",
+    "q338_evict_rededup",
 ]
 
 _METRIC_FIELDS = {

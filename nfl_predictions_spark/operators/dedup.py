@@ -2446,6 +2446,153 @@ def q336_compacted_rededup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q338 — tombstone eviction + re-dedup (merge-on-read deletes)
+# ---------------------------------------------------------------------------
+
+_EVICT_MOD = 7  # deterministic tombstone set: doc_id % 7 == 0
+
+_EVICT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {_EVICT_MOD} <> 0
+),
+batch AS (
+  SELECT doc_id + {_INC_OFF} AS batch_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              WHEN doc_id % 3 = 1
+                THEN array_to_string(ts[1:greatest(len(ts) - 2, 0)], ' ')
+              ELSE array_to_string(list_reverse(ts), ' ')
+         END AS text
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)
+),
+exact AS (
+  SELECT b.batch_id, min(d.doc_id) AS match_id
+  FROM batch b JOIN base d ON md5(b.text) = md5(d.text)
+  GROUP BY b.batch_id
+),
+rem AS (
+  SELECT * FROM batch WHERE batch_id NOT IN (SELECT batch_id FROM exact)
+),
+bt AS (SELECT batch_id, string_split(text, ' ') AS ts FROM rem),
+bex AS (SELECT batch_id, unnest({{_SHINGLE_SQL}}) AS s
+        FROM bt WHERE len(ts) >= 3),
+dt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM base),
+dex AS (SELECT doc_id, unnest({{_SHINGLE_SQL}}) AS s
+        FROM dt WHERE len(ts) >= 3),
+bsz AS (SELECT batch_id, count(*) AS sz FROM bex GROUP BY batch_id),
+dsz AS (SELECT doc_id, count(*) AS sz FROM dex GROUP BY doc_id),
+inter AS (
+  SELECT b.batch_id, d.doc_id, count(*) AS i
+  FROM bex b JOIN dex d ON b.s = d.s GROUP BY 1, 2
+),
+near AS (
+  SELECT batch_id, doc_id AS match_id,
+         i * 1.0 / (bsz.sz + dsz.sz - i) AS jac
+  FROM inter JOIN bsz USING (batch_id) JOIN dsz USING (doc_id)
+  WHERE i * 1.0 / (bsz.sz + dsz.sz - i) >= {_INC_TAU}
+  QUALIFY row_number() OVER (PARTITION BY batch_id
+                             ORDER BY jac DESC, doc_id ASC) = 1
+)
+SELECT batch_id, action, match_id, jac FROM (
+  SELECT batch_id, 'drop_exact' AS action, match_id,
+         CAST(1.0 AS DOUBLE) AS jac
+  FROM exact
+  UNION ALL
+  SELECT batch_id, 'drop_near' AS action, match_id, round(jac, 6) AS jac
+  FROM near
+  UNION ALL
+  SELECT b.batch_id, 'keep' AS action, CAST(-1 AS BIGINT) AS match_id,
+         CAST(0.0 AS DOUBLE) AS jac
+  FROM batch b
+  WHERE b.batch_id NOT IN (SELECT batch_id FROM exact)
+    AND b.batch_id NOT IN (SELECT batch_id FROM near)
+)
+ORDER BY batch_id
+""".replace("{_SHINGLE_SQL}", _SHINGLE_SQL)
+
+
+@_q("q338_evict_rededup", _EVICT_ORACLE)
+def q338_evict_rededup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone eviction — the INVERSE of q333's absorb, i.e. the
+    delete path a production lake needs (takedowns, GDPR erasure,
+    license revocation): a deterministic tombstone set
+    (doc_id % {_EVICT_MOD} == 0) is removed from the base corpus
+    WITHOUT touching the staged index bytes. Every probe applies the
+    tombstones MERGE-ON-READ: broadcast anti-joins on doc_id against
+    each staged component (digests, shingles, sizes, prefix rows) —
+    O(probe) extra work, no index rewrite (a physical rewrite is the
+    q336 compaction pass applied with the filter). The re-crawl batch
+    is then re-deduped and verdicts FLIP where the evicted doc was the
+    match: exact matches fall back to the next surviving copy or
+    degrade to near/keep — pinned against q327 in tests.
+
+    Correctness under the frozen order: document frequencies still
+    COUNT evicted docs' grams (merge-on-read does not refresh df) —
+    that is only the shared total order ppjoin ranks under, never a
+    correctness input, so the prefix filter stays exact (q333's
+    argument; the oracle rebuilds the evicted corpus from scratch and
+    re-ranks from true df, proving order-independence again)."""
+    idx = base_index(spark, sf_dir)
+    dfreq = idx["dfreq"].localCheckpoint(eager=False)
+    bt = recrawl_batch(table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    tomb = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _EVICT_MOD == 0)
+        .localCheckpoint(eager=False)
+    )
+
+    def alive(compdf: DataFrame) -> DataFrame:
+        # merge-on-read: tombstones are applied at probe time by a
+        # broadcast anti-join; the staged component is never rewritten
+        return compdf.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+    bdg = bt.select("batch_id", F.md5("text").alias("dg"))
+    exact = (
+        bdg.join(alive(idx["bdig"]), "dg")
+        .groupBy("batch_id")
+        .agg(F.min("doc_id").alias("match_id"))
+        .localCheckpoint(eager=False)
+    )
+    rem = bt.join(exact.select("batch_id"), "batch_id", "left_anti")
+    bex = shingle_rows(rem, id_col="batch_id").localCheckpoint(eager=False)
+    bsz = bex.groupBy("batch_id").agg(F.count(F.lit(1)).alias("sz"))
+    pb = inc_prefix(bex, "batch_id", bsz, dfreq)
+    near = inc_near(
+        pb,
+        alive(idx["pd"]),
+        bex,
+        alive(idx["dex"]),
+        bsz,
+        alive(idx["dsz"]),
+    ).localCheckpoint(eager=False)
+    return (
+        exact.select(
+            "batch_id",
+            F.lit("drop_exact").alias("action"),
+            "match_id",
+            F.lit(1.0).alias("jac"),
+        )
+        .unionByName(
+            near.select(
+                "batch_id", F.lit("drop_near").alias("action"), "match_id", "jac"
+            )
+        )
+        .unionByName(
+            rem.join(near.select("batch_id"), "batch_id", "left_anti")
+            .select(
+                "batch_id",
+                F.lit("keep").alias("action"),
+                F.lit(-1).cast("long").alias("match_id"),
+                F.lit(0.0).alias("jac"),
+            )
+        )
+        .orderBy("batch_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q334 — multi-generation sequential absorb (the full ingest loop)
 # ---------------------------------------------------------------------------
 

@@ -206,6 +206,38 @@ def test_q337_absorb_surfaces_new_vectors(spark):
     assert absorbed_hits, "no absorbed vector ever reached a top-k"
 
 
+def test_q338_eviction_flips_verdicts(spark):
+    """Evicting the tombstone set must flip exactly the verdicts whose
+    match was evicted: q327 matches to surviving docs are untouched,
+    matches to evicted docs re-resolve (next copy, near, or keep), and
+    no q338 verdict ever references an evicted doc."""
+    from nfl_predictions_spark.operators.dedup import (
+        _EVICT_MOD,
+        q327_incremental_dedup,
+        q338_evict_rededup,
+    )
+
+    before = {
+        r.batch_id: r for r in q327_incremental_dedup(spark, SF_SMOKE).collect()
+    }
+    after = {
+        r.batch_id: r for r in q338_evict_rededup(spark, SF_SMOKE).collect()
+    }
+    assert set(before) == set(after)
+    flips = 0
+    for bid, b in before.items():
+        a = after[bid]
+        # no verdict may point at an evicted doc
+        assert not (a.match_id >= 0 and a.match_id % _EVICT_MOD == 0)
+        if b.match_id >= 0 and b.match_id % _EVICT_MOD == 0:
+            flips += 1
+            assert (a.action, a.match_id) != (b.action, b.match_id)
+        elif b.action == "drop_exact":
+            # surviving exact matches are untouched by eviction
+            assert (a.action, a.match_id) == (b.action, b.match_id)
+    assert flips > 0, "tombstone set hit no matches — fixture too weak"
+
+
 def test_round9_plan_shapes(spark):
     """Plan pins for q333 (VERDICT r08 #8 discipline): the steady-state
     run carries only the three declared row_number windows (batch-side
@@ -249,6 +281,7 @@ POST_WINDOW_ADDITIONS = {
     "q335_stream_absorb_ingest",
     "q336_compacted_rededup",
     "q337_ivf_absorb",
+    "q338_evict_rededup",
 }
 
 
