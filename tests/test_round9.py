@@ -269,6 +269,36 @@ def test_round9_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 
+    def plan(name):
+        return (
+            em.queries()[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # q336: staged compacted index hides its build window — the probe
+    # carries only the batch prefix rank + best-match pick
+    p = plan("q336_compacted_rededup")
+    assert len(re.findall(r"\bWindow\b", p)) <= 2
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    # q337: batch assignment + query probe are the only two broadcast
+    # centroid crossjoins (base assignment comes from the staged
+    # component); probe rank + final top-k are the only windows
+    p = plan("q337_ivf_absorb")
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert len(re.findall(r"\bWindow\b", p)) <= 2
+    assert "CartesianProduct" not in p
+
+    # q338: tombstones apply as broadcast HASH anti-joins — merge-on-
+    # read must never degrade to a nested-loop plan
+    p = plan("q338_evict_rededup")
+    assert len(re.findall(r"\bWindow\b", p)) <= 2
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
 
 #: Oracle-backed entries added AFTER the round-9 window froze; they
 #: MUST take the first slots of the round-10 window. Shrink to empty
