@@ -82,6 +82,11 @@ SHOWCASE = [
     ("q329_dbscan_cells", "DBSCAN — one cell shuffle, per-cell pandas CC, no global loop"),
     ("q330_acf_ljung_box", "ACF — one events pre-agg, all lags on one ordered window"),
     ("q331_vocab_growth", "vocab growth — broadcast checkpoint grid, no global running window"),
+    # round 9: the index-lifecycle arc
+    ("q333_absorb_rededup", "absorb — staged base index + O(survivor) delta components"),
+    ("q336_compacted_rededup", "compaction — staged re-ranked index, probe-only windows"),
+    ("q337_ivf_absorb", "IVF absorb — staged inverted list + batch-only assignment"),
+    ("q338_evict_rededup", "eviction — broadcast hash anti-join tombstones, no rewrite"),
 ]
 
 
