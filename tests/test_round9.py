@@ -338,6 +338,137 @@ def test_green_ledger_complete():
         assert out["entries"][n] != "missing", n
 
 
+def _ref_multigen_absorb(docs: dict, n_chunks: int, tau: float, off: int):
+    """Plain-Python reference for the q334 semantics: derive the
+    re-crawl batch (id%3 rules), rank-split into chunks, then per
+    generation: exact (md5-equal text, min surviving id), near (best
+    DISTINCT-3-gram Jaccard >= tau, jac desc / id asc tie-break),
+    keep; absorb keeps minus intra-chunk exact dups (min id wins)."""
+    import hashlib
+
+    def grams(text):
+        ts = text.split(" ")
+        return {
+            " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+        } if len(ts) >= 3 else set()
+
+    def derive(i, text):
+        ts = text.split(" ")
+        if i % 3 == 0:
+            return text
+        if i % 3 == 1:
+            return " ".join(ts[: max(len(ts) - 2, 0)])
+        return " ".join(reversed(ts))
+
+    batch = [(i + off, derive(i, t)) for i, t in sorted(docs.items())]
+    n = len(batch)
+    chunks = [[] for _ in range(n_chunks)]
+    for rank, row in enumerate(batch):
+        chunks[rank * n_chunks // n].append(row)
+
+    base = {i: t for i, t in docs.items()}
+    out = {}
+    for g, chunk in enumerate(chunks):
+        bg = {i: grams(t) for i, t in base.items()}
+        by_dig = {}
+        for i, t in base.items():
+            by_dig.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(i)
+        survivors = []
+        for bid, text in chunk:
+            dg = hashlib.md5(text.encode()).hexdigest()
+            if dg in by_dig:
+                out[bid] = (g, "drop_exact", min(by_dig[dg]), 1.0)
+                continue
+            gs = grams(text)
+            best = None
+            for did in sorted(base):
+                inter = len(gs & bg[did])
+                if not gs or not bg[did] or not inter:
+                    continue
+                jac = inter / (len(gs) + len(bg[did]) - inter)
+                if jac >= tau and (best is None or jac > best[1] + 1e-12):
+                    best = (did, jac)
+            if best is not None:
+                out[bid] = (g, "drop_near", best[0], round(best[1], 6))
+            else:
+                out[bid] = (g, "keep", -1, 0.0)
+                survivors.append((bid, text))
+        absorbed = {}
+        for bid, text in survivors:  # intra-chunk exact dedup, min wins
+            dg = hashlib.md5(text.encode()).hexdigest()
+            absorbed.setdefault(dg, (bid, text))
+        for bid, text in absorbed.values():
+            base[bid] = text
+    return out
+
+
+def test_q334_matches_pure_python_reference(spark, tmp_path):
+    """The full sequential-absorb loop against a plain-Python oracle on
+    an ADVERSARIAL fixture: sub-3-token docs (empty shingle sets),
+    identical docs inside one chunk (intra-chunk survivor dedup),
+    identical and near-dup docs across chunks (cross-generation exact
+    and near matches against absorbed survivors)."""
+    import shutil
+
+    from nfl_predictions_spark.operators.dedup import (
+        _INC_CHUNKS,
+        _INC_OFF,
+        _INC_TAU,
+        q334_multigen_absorb,
+    )
+
+    docs = {
+        # id%3==2 -> reversed = genuinely new; ids 2,5 identical source
+        # => identical reversed survivors land in DIFFERENT chunks
+        2: "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        " lambda mu nu xi omicron pi",
+        5: "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        " lambda mu nu xi omicron pi",
+        # 8: last-token edit of 2's source (13/15 gram Jaccard after
+        # reversal) => its reversal near-matches the absorbed survivor
+        # of 2 (cross-generation drop_near)
+        8: "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        " lambda mu nu xi omicron rho",
+        # 11: reversed palindrome-ish short doc
+        11: "x y",
+        # id%3==0 -> verbatim exact dups of base
+        0: "one two three four five six",
+        3: "seven eight nine ten eleven",
+        6: "one two three four five six",  # base twin of 0
+        9: "tiny",
+        # id%3==1 -> truncated near-dups
+        1: "red orange yellow green blue indigo violet ultra",
+        4: "red orange yellow green blue indigo violet ultra",
+        7: "spark flink trino duck presto hive impala drill",
+        10: "a b c",
+    }
+    tiny = tmp_path / "absorbsf"
+    tiny.mkdir()
+    spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tiny / "documents.parquet"))
+    try:
+        got = {
+            r.batch_id: (r.gen, r.action, r.match_id, r.jac)
+            for r in q334_multigen_absorb(spark, str(tiny)).collect()
+        }
+        want = _ref_multigen_absorb(docs, _INC_CHUNKS, _INC_TAU, _INC_OFF)
+        assert set(got) == set(want)
+        for bid in want:
+            g, w = got[bid], want[bid]
+            assert g[:3] == w[:3], (bid, g, w)
+            assert abs(g[3] - w[3]) < 1e-9, (bid, g, w)
+        # the fixture must actually exercise the cross-generation paths
+        acts = {}
+        for bid, (gen, action, mid, _) in want.items():
+            acts.setdefault(action, []).append((bid, mid))
+        assert any(m >= _INC_OFF for _, m in acts.get("drop_exact", []))
+        assert any(m >= _INC_OFF for _, m in acts.get("drop_near", []))
+        assert acts.get("keep"), "no survivors at all"
+    finally:
+        shutil.rmtree(tiny, ignore_errors=True)
+
+
 def test_q332_epoch_sink_idempotent_layout(spark):
     """ADVICE r08 #3 regression pin: q332's sink is per-epoch overwrite
     partitions (epoch=<id> dirs), so a retried micro-batch replaces its
