@@ -255,6 +255,7 @@ HEADLINE = [
     "q336_compacted_rededup",
     "q337_ivf_absorb",
     "q338_evict_rededup",
+    "q339_ivf_drift",
 ]
 
 _METRIC_FIELDS = {

@@ -931,6 +931,33 @@ FROM r WHERE rn <= {_TOP_K} ORDER BY qid, rn
 """
 
 
+def _staged_base_assign(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, med: DataFrame,
+    cent_path: str,
+) -> DataFrame:
+    """The staged base inverted list, keyed by BOTH the embeddings
+    fixture fingerprint (via _staged_path) AND the centroid
+    generation's fingerprint. The second key is load-bearing:
+    TESTDATA's sf0.001 and sf0.01 share an embedding count, so they
+    share one nv<count> centroid dir that rebuilds in place whenever
+    the other fixture uses it (q41f's shared-bytes contract is
+    per-run and immune) — an assignment staged against the previous
+    generation would silently go stale without this key (caught by a
+    real q339 oracle FAIL; regression-pinned in tests)."""
+    import os as _os
+
+    from nfl_predictions_spark.operators.extended import _staged_path
+    from nfl_predictions_spark.operators.graph import _atomic_stage
+
+    with open(_os.path.join(cent_path, "_FINGERPRINT")) as f:
+        cfp = f.read().strip()
+    aroot = _staged_path(sf_dir, "ivf_assign", sources=("embeddings",))
+    aout = _os.path.join(aroot, f"base_{cfp}")
+    if not _os.path.exists(_os.path.join(aout, "_SUCCESS")):
+        _atomic_stage(_ivf_assign(emb, med), aout)
+    return spark.read.parquet(aout)
+
+
 def _ivf_assign(emb: DataFrame, med: DataFrame) -> DataFrame:
     """Deterministic argmin cell assignment vs broadcast centroids —
     the q41e/q41f contract (round-6 d2, cell tie-break)."""
@@ -976,11 +1003,6 @@ def q337_ivf_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-ingest work is O(batch x nlist) map-side
     (broadcast centroids, no shuffle for assignment); the probe is
     q41e/q41f's cell-bounded join lattice. Nothing rebuilds."""
-    import os as _os
-
-    from nfl_predictions_spark.operators.extended import _staged_path
-    from nfl_predictions_spark.operators.graph import _atomic_stage
-
     cent_path = _fitted_centroids_path(spark, sf_dir)
     emb = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -988,13 +1010,9 @@ def q337_ivf_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = spark.read.parquet(cent_path).select(
         "cell", F.col("c").cast("array<double>").alias("c")
     )
-
-    # staged base inverted list — built once per fixture; ingest reads it
-    aroot = _staged_path(sf_dir, "ivf_assign", sources=("embeddings",))
-    aout = _os.path.join(aroot, "base")
-    if not _os.path.exists(_os.path.join(aout, "_SUCCESS")):
-        _atomic_stage(_ivf_assign(emb, med), aout)
-    base_assign = spark.read.parquet(aout)
+    # staged base inverted list — built once per (fixture, centroid
+    # generation); ingest reads it
+    base_assign = _staged_base_assign(spark, sf_dir, emb, med, cent_path)
 
     nb = emb.select(
         (F.col("vec_id") + _ANN_OFF).alias("vec_id"),
@@ -1041,6 +1059,124 @@ def q337_ivf_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
         .orderBy("qid", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q339 — IVF occupancy drift after absorb (the re-train trigger)
+# ---------------------------------------------------------------------------
+
+_IVF_DRIFT_ORACLE = f"""
+WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+nb AS (
+  SELECT vec_id + {_ANN_OFF} AS vec_id,
+         CAST(list_reverse(embedding) AS DOUBLE[]) AS emb
+  FROM embeddings
+),
+m AS (
+  SELECT cell, c FROM read_parquet('{_IVF_FITTED_ROOT}/*/*.parquet')
+  WHERE n_vec = (SELECT count(*) FROM embeddings)
+),
+ab AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, m.cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_D2_DUCK.format(x='e.emb', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM eb e, m
+  ) WHERE rn = 1
+),
+an AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, m.cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_D2_DUCK.format(x='e.emb', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM nb e, m
+  ) WHERE rn = 1
+),
+cb AS (SELECT cell, count(*) AS n_base FROM ab GROUP BY cell),
+cn AS (SELECT cell, count(*) AS n_new FROM an GROUP BY cell),
+tot AS (SELECT (SELECT count(*) FROM ab) AS tb, (SELECT count(*) FROM an) AS tn)
+SELECT m.cell,
+       CAST(coalesce(cb.n_base, 0) AS BIGINT) AS n_base,
+       CAST(coalesce(cn.n_new, 0) AS BIGINT) AS n_new,
+       round(coalesce(cb.n_base, 0) * 1.0 / tot.tb, 6) AS share_base,
+       round(coalesce(cn.n_new, 0) * 1.0 / tot.tn, 6) AS share_new,
+       round(
+         CASE WHEN coalesce(cb.n_base, 0) = 0 THEN -1.0
+              ELSE (coalesce(cn.n_new, 0)
+                    - tot.tn * (cb.n_base * 1.0 / tot.tb))
+                   * (coalesce(cn.n_new, 0)
+                      - tot.tn * (cb.n_base * 1.0 / tot.tb))
+                   / (tot.tn * (cb.n_base * 1.0 / tot.tb))
+         END, 6) AS chi2_term
+FROM m
+LEFT JOIN cb ON cb.cell = m.cell
+LEFT JOIN cn ON cn.cell = m.cell
+CROSS JOIN tot
+ORDER BY m.cell
+"""
+
+
+@_q("q339_ivf_drift", _IVF_DRIFT_ORACLE)
+def q339_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy drift — the monitoring query that closes the
+    q337 ingest loop by deciding WHEN the frozen quantizer must be
+    re-fitted: per cell, base vs absorbed-batch occupancy, occupancy
+    shares, and the per-cell Pearson chi-square term of the new batch
+    against the base distribution (expected = batch_total *
+    base_share; sentinel -1 for cells empty in base, where the term is
+    undefined and the cell alone already signals drift). A large
+    chi-square total means the ingest stream no longer matches the
+    trained cell structure — the production retrain trigger; the
+    retrain itself is q41f's staged fitting path.
+
+    Scale shape: base occupancy comes from the STAGED inverted list
+    (one component scan + a 16-cell groupBy); only the batch is
+    assigned per run (broadcast centroids, map-side). Everything
+    downstream is a 16-row frame. Exactness: counts are BIGINT;
+    shares and chi-square terms are single fixed-order float
+    expressions rounded at 6 on both engines."""
+    cent_path = _fitted_centroids_path(spark, sf_dir)
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    med = spark.read.parquet(cent_path).select(
+        "cell", F.col("c").cast("array<double>").alias("c")
+    )
+    base_assign = _staged_base_assign(spark, sf_dir, emb, med, cent_path)
+
+    nb = emb.select(
+        (F.col("vec_id") + _ANN_OFF).alias("vec_id"),
+        F.reverse("emb").alias("emb"),
+    )
+    new_assign = _ivf_assign(nb, med).localCheckpoint(eager=False)
+
+    cb = base_assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_base"))
+    cn = new_assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_new"))
+    tb = base_assign.count()
+    tn = new_assign.count()
+
+    nb_ = F.coalesce(F.col("n_base"), F.lit(0)).cast("long")
+    nn_ = F.coalesce(F.col("n_new"), F.lit(0)).cast("long")
+    expected = F.lit(tn) * (F.col("n_base") * F.lit(1.0) / F.lit(tb))
+    return (
+        med.select("cell")
+        .join(cb, "cell", "left")
+        .join(cn, "cell", "left")
+        .select(
+            "cell",
+            nb_.alias("n_base"),
+            nn_.alias("n_new"),
+            F.round(nb_ * F.lit(1.0) / F.lit(tb), 6).alias("share_base"),
+            F.round(nn_ * F.lit(1.0) / F.lit(tn), 6).alias("share_new"),
+            F.round(
+                F.when(nb_ == 0, F.lit(-1.0)).otherwise(
+                    (nn_ - expected) * (nn_ - expected) / expected
+                ),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("cell")
     )
 
 

@@ -238,6 +238,50 @@ def test_q338_eviction_flips_verdicts(spark):
     assert flips > 0, "tombstone set hit no matches — fixture too weak"
 
 
+def test_staged_assign_keys_on_centroid_generation(spark, tmp_path):
+    """Regression pin for the cross-scale centroid aliasing bug:
+    sf0.001 and sf0.01 share an embedding count and therefore one
+    in-place-rebuilt centroid dir, so the staged inverted list MUST
+    key on the centroid generation fingerprint — a stale-generation
+    assignment must never be served for fresh centroids."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.similarity import (
+        _fitted_centroids_path,
+        _staged_base_assign,
+    )
+    from nfl_predictions_spark.sources.tables import spread, table
+
+    cent_path = _fitted_centroids_path(spark, SF_SMOKE)
+    emb = spread(table(spark, SF_SMOKE, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    med = spark.read.parquet(cent_path).select(
+        "cell", F.col("c").cast("array<double>").alias("c")
+    )
+    real = _staged_base_assign(spark, SF_SMOKE, emb, med, cent_path)
+
+    # a "rebuilt" centroid generation: same dir contract, new
+    # fingerprint, shifted centroids — must mint a SEPARATE staged
+    # assignment, not serve the previous generation's
+    fake = tmp_path / "cent2"
+    fake.mkdir()
+    (fake / "_FINGERPRINT").write_text("deadbeef00")
+    med2 = med.select(
+        "cell", F.transform("c", lambda x: x + F.lit(10.0)).alias("c")
+    )
+    other = _staged_base_assign(spark, SF_SMOKE, emb, med2, str(fake))
+    a = {r.vec_id: r.cell for r in real.collect()}
+    b = {r.vec_id: r.cell for r in other.collect()}
+    assert set(a) == set(b)
+    assert a != b, "shifted centroids produced an identical assignment"
+    # and the real generation re-reads ITS OWN staged bytes unchanged
+    again = _staged_base_assign(spark, SF_SMOKE, emb, med, cent_path)
+    assert {r.vec_id: r.cell for r in again.collect()} == a
+
+
 def test_round9_plan_shapes(spark):
     """Plan pins for q333 (VERDICT r08 #8 discipline): the steady-state
     run carries only the three declared row_number windows (batch-side
@@ -312,6 +356,7 @@ POST_WINDOW_ADDITIONS = {
     "q336_compacted_rededup",
     "q337_ivf_absorb",
     "q338_evict_rededup",
+    "q339_ivf_drift",
 }
 
 
