@@ -1004,23 +1004,30 @@ def q335_stream_absorb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = base_index(spark, sf_dir)
     state = AbsorbState(idx, idx["dfreq"].localCheckpoint(eager=False))
     out_dir = tempfile.mkdtemp(prefix="nflspark_absorb_out_")
+    # epoch -> verdict frame: a RETRIED micro-batch must rewrite its
+    # sink partition but must NOT mutate the carried index state a
+    # second time (double-absorbing its survivors) — the state-side
+    # half of the idempotence contract the per-epoch sink provides
+    absorbed: dict = {}
 
     def handle(chunk_df: DataFrame, bid: int) -> None:
-        ch = chunk_df.select("batch_id", "text", "chunk").localCheckpoint(
-            eager=False
-        )
-        (
-            state.absorb(ch.select("batch_id", "text"))
-            .join(ch.select("batch_id", "chunk"), "batch_id")
-            .select(
-                F.col("chunk").cast("int").alias("gen"),
-                "batch_id",
-                "action",
-                "match_id",
-                "jac",
+        if bid not in absorbed:
+            ch = chunk_df.select("batch_id", "text", "chunk").localCheckpoint(
+                eager=False
             )
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, f"epoch={bid}"))
+            absorbed[bid] = (
+                state.absorb(ch.select("batch_id", "text"))
+                .join(ch.select("batch_id", "chunk"), "batch_id")
+                .select(
+                    F.col("chunk").cast("int").alias("gen"),
+                    "batch_id",
+                    "action",
+                    "match_id",
+                    "jac",
+                )
+            )
+        absorbed[bid].write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={bid}")
         )
 
     stream = recrawl_file_stream(
