@@ -63,12 +63,33 @@ def main() -> None:
     print(f"never-checked: {len(never)} ({len(eligible)} oracle-backed, "
           f"{len(rows_only)} rows-only — excluded: {rows_only})")
     proposal = SENTINELS + eligible[:n_new]
+    if len(proposal) < 50:
+        # backfill with the LONGEST-UNCHECKED previously-green entries
+        # (oldest first-green round in the ledger) — re-certifies stale
+        # rows on the modern HEAD once the first-timer debt runs out
+        try:
+            sys.path.insert(0, os.path.join(repo, "tools"))
+            from green_ledger import build
+
+            entries = build(repo)["entries"]
+
+            def age(n: str) -> int:
+                v = entries.get(n, "")
+                return int(v[1:]) if v.startswith("r") and v[1:].isdigit() else 99
+
+            stale = sorted(
+                (n for n in names if n in oracle and n not in proposal),
+                key=lambda n: (age(n), names.index(n)),
+            )
+            proposal += stale[: 50 - len(proposal)]
+            print("# backfilled to 50 with oldest-green entries "
+                  "(re-certification pass)")
+        except Exception as exc:  # ledger unavailable: manual backfill
+            print(f"# NOTE: only {len(proposal)} entries — backfill "
+                  f"manually (ledger error: {exc})")
     print(f"\nproposed window ({len(proposal)} entries):")
     for n in proposal:
         print(f'    "{n}",')
-    if len(proposal) < 50:
-        print(f"# NOTE: only {len(proposal)} entries — backfill with "
-              "previously-checked entries to keep the window at 50.")
 
 
 if __name__ == "__main__":
