@@ -84,72 +84,72 @@ def _registry():
     # the four round-7 additions (q320/q321/q37d/q41f) front-loaded,
     # then the similarity/dedup certifiers, the q43-q104
     # modern/maintenance block, and the analytics/join/curation block.
-    # Round 9 rotates per VERDICT r08 #1 / NOTES "Round-9 rotation
-    # plan": the round-8 continuation additions (q322-q332)
-    # front-loaded, then the analytics/timeseries/graph/tokenizer
-    # remainder. Sentinels stay at the round-8 trim of 5 (round-8
-    # precedent: q06 joins covered here by q139/q144's joins, q39
-    # minhash by q324/q327/q332's banded similarity machinery, q16's
-    # lag family by q92/q175/q199/q208's windows) so ALL 45
-    # never-driver-checked oracle-backed entries fit in one 50-slot
-    # window — the rotation debt retires completely this round.
-    # Computed by tools/rotate_window.py.
+    # Round 10 rotates per VERDICT r09 #2 / NOTES "Final-HEAD window
+    # re-verification + round-10 tooling": the full 8-sentinel set is
+    # restored (q06/q16/q39 return after the round-8/9 trim), then the
+    # 7 POST_WINDOW_ADDITIONS (the round-9 index-lifecycle entries,
+    # the only never-driver-checked oracle-backed registry entries),
+    # then — with the rotation debt retired — 35 oldest-green re-certs:
+    # the q01-q32 canonical block whose driver rows date to r01/r02,
+    # re-certified on the current engine. Computed by
+    # tools/rotate_window.py (auto-backfill with longest-unchecked
+    # green entries).
     window = [
         # sentinels — one proven-green entry per major family
         "q12_agg_pricing_summary",
+        "q16_window_lag_default",
+        "q06_join_broadcast",
         "q31_stream_tumbling",
         "q38_dedup_exact",
+        "q39_minhash_lsh_pairs",
         "q40_token_stats",
         "q41_ann_topk",
-        # round-8 additions, never driver-checked (VERDICT r08 #1
-        # front-load list): streaming/incremental/span dedup, DBSCAN,
-        # hubness, blocklist tagging, vocab growth
-        "q332_stream_neardup_ingest",
-        "q322_maximal_shared_spans",
-        "q325_span_dedup_removal",
-        "q327_incremental_dedup",
-        "q329_dbscan_cells",
-        "q324_knn_hubness",
-        "q328_blocklist_tagging",
-        "q331_vocab_growth",
-        # analytics / timeseries tail (q87-q268 remainder)
-        "q92_weighted_moving_avg",
-        "q142_last_touch_attribution",
-        "q144_event_transitions",
-        "q168_continuous_aggregate",
-        "q175_time_weighted_avg",
-        "q176_linear_interpolate",
-        "q185_seasonal_outliers",
-        "q191_partition_gaps",
-        "q192_cep_pattern",
-        "q199_capped_running_balance",
-        "q201_event_paths",
-        "q257_imputation_eval",
-        "q258_percentile_bands",
-        "q259_cohort_ltv",
-        "q268_m4_decimation",
-        "q139_triangle_count",
-        "q145_bfs_levels",
-        "q131_importance_sample",
-        "q138_bigram_logprob",
-        "q140_weighted_sample",
-        "q147_quality_topk_filter",
-        "q246_worst_window_logprob",
-        "q323_chunk_windows",
-        "q326_weighted_reservoir",
-        "q180_forget_cascade",
-        "q182_winsorized_mean",
-        "q196_seasonal_naive_backtest",
-        "q206_weighted_median",
-        "q207_benford_audit",
-        "q208_lag1_autocorr",
-        "q330_acf_ljung_box",
-        "q227_jackknife_se",
-        "q233_median_ci",
-        "q254_huber_mean",
-        "q249_bpe_compression",
-        "q306_regex_pretokenize",
-        "q87_ml_feature_importance",
+        # round-9 index-lifecycle additions, never driver-checked
+        # (POST_WINDOW_ADDITIONS — mandatory first slots per
+        # tests/test_round9.py + VERDICT r09 #2)
+        "q335_stream_absorb_ingest",
+        "q333_absorb_rededup",
+        "q336_compacted_rededup",
+        "q338_evict_rededup",
+        "q334_multigen_absorb",
+        "q337_ivf_absorb",
+        "q339_ivf_drift",
+        # oldest-green re-certification pass (r01/r02 driver rows)
+        "q01_scan_parquet",
+        "q02_scan_csv_schema",
+        "q03_project_alias",
+        "q04_filter_conjunctive",
+        "q05_limit_offset",
+        "q07_join_shuffle_agg",
+        "q08_join_left_outer",
+        "q09_join_semi",
+        "q10_join_anti",
+        "q11_join_theta",
+        "q13_agg_distinct",
+        "q14_agg_approx_distinct",
+        "q15_rollup",
+        "q17_window_rank",
+        "q18_window_running_sum",
+        "q19_sort_multikey",
+        "q20_topk",
+        "q21_union_all_counts",
+        "q21b_union_distinct",
+        "q22_intersect",
+        "q22b_except",
+        "q22c_except_all_counts",
+        "q23_string_scalars",
+        "q24_date_scalars",
+        "q25_math_conditional",
+        "q26_array_collect",
+        "q27_json",
+        "q28_cast_matrix",
+        "q29_udf_parity",
+        "q30_grouped_normalize",
+        "q30b_grouped_normalize_expr",
+        "q15b_cube",
+        "q19b_sort_nulls",
+        "q26b_map_lookup",
+        "q32_stream_sliding",
     ]
     ordered: dict[str, Callable] = {}
     for name in window:

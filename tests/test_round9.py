@@ -349,15 +349,8 @@ def test_round9_plan_shapes(spark):
 #: next round — any other name appearing in the ledger's `missing`
 #: fails this test (VERDICT r08 #5: conformance completeness becomes a
 #: structural CI assertion, not a per-round audit).
-POST_WINDOW_ADDITIONS = {
-    "q333_absorb_rededup",
-    "q334_multigen_absorb",
-    "q335_stream_absorb_ingest",
-    "q336_compacted_rededup",
-    "q337_ivf_absorb",
-    "q338_evict_rededup",
-    "q339_ivf_drift",
-}
+POST_WINDOW_ADDITIONS: set[str] = set()  # retired: q333-q339 sit in
+# the round-10 window's first post-sentinel slots (test_driver_window)
 
 
 def test_green_ledger_complete():
