@@ -244,12 +244,11 @@ def test_staged_assign_keys_on_centroid_generation(spark, tmp_path):
     in-place-rebuilt centroid dir, so the staged inverted list MUST
     key on the centroid generation fingerprint — a stale-generation
     assignment must never be served for fresh centroids."""
-    import os
-
     from pyspark.sql import functions as F
 
     from nfl_predictions_spark.operators.similarity import (
         _fitted_centroids_path,
+        _served_centroids,
         _staged_base_assign,
     )
     from nfl_predictions_spark.sources.tables import spread, table
@@ -258,27 +257,27 @@ def test_staged_assign_keys_on_centroid_generation(spark, tmp_path):
     emb = spread(table(spark, SF_SMOKE, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    med = spark.read.parquet(cent_path).select(
-        "cell", F.col("c").cast("array<double>").alias("c")
+    cent, gen = _served_centroids(spark, cent_path)
+    med = cent.select(
+        "cell", F.col("c").cast("array<double>").alias("c"), "gen"
     )
-    real = _staged_base_assign(spark, SF_SMOKE, emb, med, cent_path)
+    real = _staged_base_assign(spark, SF_SMOKE, emb, med, gen)
 
-    # a "rebuilt" centroid generation: same dir contract, new
-    # fingerprint, shifted centroids — must mint a SEPARATE staged
-    # assignment, not serve the previous generation's
-    fake = tmp_path / "cent2"
-    fake.mkdir()
-    (fake / "_FINGERPRINT").write_text("deadbeef00")
+    # a "rebuilt" centroid generation: new generation string, shifted
+    # centroids — must mint a SEPARATE staged assignment, not serve
+    # the previous generation's
     med2 = med.select(
-        "cell", F.transform("c", lambda x: x + F.lit(10.0)).alias("c")
+        "cell",
+        F.transform("c", lambda x: x + F.lit(10.0)).alias("c"),
+        F.lit("deadbeef00").alias("gen"),
     )
-    other = _staged_base_assign(spark, SF_SMOKE, emb, med2, str(fake))
+    other = _staged_base_assign(spark, SF_SMOKE, emb, med2, "deadbeef00")
     a = {r.vec_id: r.cell for r in real.collect()}
     b = {r.vec_id: r.cell for r in other.collect()}
     assert set(a) == set(b)
     assert a != b, "shifted centroids produced an identical assignment"
     # and the real generation re-reads ITS OWN staged bytes unchanged
-    again = _staged_base_assign(spark, SF_SMOKE, emb, med, cent_path)
+    again = _staged_base_assign(spark, SF_SMOKE, emb, med, gen)
     assert {r.vec_id: r.cell for r in again.collect()} == a
 
 
