@@ -1155,6 +1155,62 @@ def _adamic_adar_oracle() -> str:
     """
 
 
+def _adamic_adar_candidates(e: DataFrame) -> DataFrame:
+    """Adamic-Adar candidate scores from a symmetric, distinct,
+    directed-both-ways edge list (columns a, b) — the wedge machinery
+    behind q315, factored so the cap-binding test can drive it on a
+    synthetic skewed graph.
+
+    Shuffle discipline (VERDICT r09 #2): the previous shape joined
+    the FULL edge list against itself on the wedge center, shuffling
+    2 x |E| rows before the degree cap could prune anything — 594 MB
+    at sf1, 465x across the decade, the one pair-proportional shuffle
+    in the registry. Because the staged store is bucketed by dst and
+    the graph is symmetric (both orientations present), grouping by
+    ``b`` IS grouping by wedge center: degree, the cap filter, and
+    the capped centers' neighbor lists all derive exchange-free from
+    the bucketed scan, hubs are dropped BEFORE any neighbor list
+    materializes (a hub's list is never collected, so the cap also
+    bounds executor memory), and pairs explode map-side bounded by
+    C(cap, 2) per center. The only shuffles left are the wedge-pair
+    groupBy and the existing-edge anti-join — both data-proportional
+    (~10x per decade, pinned in SCALING.md's grower table)."""
+    deg = e.groupBy(F.col("b").alias("z")).agg(F.count(F.lit(1)).alias("d"))
+    ctr = deg.filter((F.col("d") >= 2) & (F.col("d") <= _AA_DEG_CAP))
+    # co-bucketed join: e's dst bucketing and ctr's groupBy(b) hash
+    # agree, so no exchange on either side
+    capped = e.join(ctr, e["b"] == ctr["z"]).select(
+        "z", "d", F.col("a").alias("n")
+    )
+    nbr = capped.groupBy("z", "d").agg(
+        F.sort_array(F.collect_list("n")).alias("ns")
+    )
+    w = F.round(1.0 / F.log(F.col("d")), 6).cast("decimal(18,6)")
+    # all u < v pairs of the (sorted, distinct, <= cap-sized) neighbor
+    # list, map-side: for element i, pair it with everything after it
+    pairs = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda u, i: F.transform(
+                F.slice(F.col("ns"), i + F.lit(2), F.size(F.col("ns"))),
+                lambda v: F.struct(u.alias("u"), v.alias("v")),
+            ),
+        )
+    )
+    wedge = (
+        nbr.select(w.alias("w"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w").cast("double").alias("aa"),
+        )
+    )
+    existing = e.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    return wedge.join(existing, ["u", "v"], "left_anti")
+
+
 def q315_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction over the co-purchase graph: for
     part pairs NOT yet bought together, score by the common neighbors
@@ -1168,33 +1224,17 @@ def q315_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard — so wedge CENTERS are capped at degree {_AA_DEG_CAP} (the
     standard hub prune; 1/ln(deg) already discounts exactly the hubs
     the cap drops, so top-score candidates are insensitive to it).
-    Work is then bounded by n x cap per center, shuffles key on the
-    wedge center then the (u, v) pair, and the existing-edge anti-join
-    runs on the pair key. Per-wedge weights quantize to round-6
-    DECIMAL before summing, so cross-engine accumulation is exact.
-    The staged dst-bucketed edge store (copurchase_edges) feeds every
-    stage without re-deriving the graph.
+    Degree, the cap filter, and the capped neighbor lists all come
+    exchange-free off the dst-bucketed staged edge store (the graph
+    is symmetric, so dst-grouping IS center-grouping); pairs explode
+    map-side bounded by C(cap, 2) per center; the only shuffles are
+    the (u, v) pair aggregation and the existing-edge anti-join, both
+    data-proportional — see _adamic_adar_candidates. Per-wedge
+    weights quantize to round-6 DECIMAL before summing, so
+    cross-engine accumulation is exact.
     """
     e = copurchase_edges(spark, sf_dir)  # directed both ways, distinct
-    deg = e.groupBy(F.col("a").alias("z")).agg(F.count(F.lit(1)).alias("d"))
-    ctr = deg.filter((F.col("d") >= 2) & (F.col("d") <= _AA_DEG_CAP))
-    e1 = e.select(F.col("a").alias("z"), F.col("b").alias("u"))
-    e2 = e.select(F.col("a").alias("z"), F.col("b").alias("v"))
-    w = F.round(1.0 / F.log(F.col("d")), 6).cast("decimal(18,6)")
-    wedge = (
-        e1.join(ctr, "z")
-        .join(e2, "z")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum(w).cast("double").alias("aa"),
-        )
-    )
-    existing = e.filter(F.col("a") < F.col("b")).select(
-        F.col("a").alias("u"), F.col("b").alias("v")
-    )
-    cand = wedge.join(existing, ["u", "v"], "left_anti")
+    cand = _adamic_adar_candidates(e)
     # Top-k FIRST via orderBy+limit (TakeOrderedAndProject: each
     # partition keeps its own top-{_AA_OUT}, the driver merges k-row
     # heaps — never a global sort), THEN rank the {_AA_OUT} survivors

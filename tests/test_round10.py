@@ -156,3 +156,80 @@ def test_centroid_parquet_carries_generation_in_band(spark):
     assert gen == marker
     cols = set(spark.read.parquet(cent_path).columns)
     assert {"cell", "c", "n_vec", "gen"} <= cols
+
+
+def test_adamic_adar_cap_binds_on_skewed_hub(spark):
+    """VERDICT r09 #3: prove the degree cap actually binds. A hub with
+    ~25x the median degree (and > _AA_DEG_CAP) must contribute ZERO
+    wedges: pairs whose only common neighbor is the hub are absent
+    from the candidates, and hub-adjacent scores carry no hub term.
+    The pure-Python oracle below computes capped Adamic-Adar directly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.graph import (
+        _AA_DEG_CAP,
+        _adamic_adar_candidates,
+    )
+
+    hub = 0
+    spokes = list(range(1, _AA_DEG_CAP + 38))  # hub degree 101 > cap
+    cliques = [[200 + 10 * c + j for j in range(4)] for c in range(6)]
+    und = {(hub, s) for s in spokes}
+    for cl in cliques:
+        und |= {(a, b) for a in cl for b in cl if a < b}
+    # bridge nodes tie spokes to cliques so spoke pairs have capped
+    # common neighbors too
+    und |= {(1, 200), (2, 200), (1, 210), (3, 210)}
+    edges = sorted(und)
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "a long, b long",
+    )
+    got = {
+        (r.u, r.v): (r.n_common, round(r.aa, 6))
+        for r in _adamic_adar_candidates(e).collect()
+    }
+
+    # pure-Python capped reference
+    nbrs: dict = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {z: len(ns) for z, ns in nbrs.items()}
+    assert deg[hub] > _AA_DEG_CAP
+    med = sorted(deg.values())[len(deg) // 2]
+    assert deg[hub] >= 10 * med, "fixture not skewed enough"
+    want: dict = {}
+    for z, ns in nbrs.items():
+        if not (2 <= deg[z] <= _AA_DEG_CAP):
+            continue
+        w = round(1.0 / math.log(deg[z]), 6)
+        for u in ns:
+            for v in ns:
+                if u < v and v not in nbrs[u]:
+                    n, s = want.get((u, v), (0, 0.0))
+                    want[(u, v)] = (n + 1, round(s + w, 6))
+    assert got == want
+    # the cap BOUND something real: uncapped scoring would have
+    # produced spoke-pair candidates through the hub
+    assert (spokes[10], spokes[11]) not in got
+
+
+def test_q315_plan_exchange_free_until_pair_agg(spark):
+    """Plan pin (VERDICT r09 #3): degree, cap filter, and neighbor
+    collection ride the dst-bucketed edge store with NO exchange —
+    the only hash exchanges in the executed plan are the wedge-pair
+    aggregation's, and nothing degrades to a nested-loop join."""
+    import re
+
+    from nfl_predictions_spark.operators.graph import q315_adamic_adar
+
+    df = q315_adamic_adar(spark, SF_SMOKE)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 2
+    assert "Bucketed: true" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
