@@ -1959,14 +1959,19 @@ def _cbo_tables(spark: SparkSession, sf_dir: str) -> str:
                     os.path.join(warehouse, "cbostats.db", old), ignore_errors=True
                 )
                 done.discard(old)
+    from nfl_predictions_spark.catalog import ensure_catalog_table
+
     for src in srcs:
         tbl = f"{src}_{tag}"
         if tbl not in done:
-            shutil.rmtree(
-                os.path.join(warehouse, "cbostats.db", tbl), ignore_errors=True
-            )
-            table(spark, sf_dir, src).write.mode("overwrite").saveAsTable(
-                f"cbostats.{tbl}"
+            # adopt-or-build (VERDICT r09 #6); stats live in the
+            # per-session in-memory catalog, so ANALYZE must run on
+            # adoption too (it only reads the shared files)
+            ensure_catalog_table(
+                spark,
+                f"cbostats.{tbl}",
+                os.path.join(warehouse, "cbostats.db", tbl),
+                lambda src=src: table(spark, sf_dir, src),
             )
             spark.sql(
                 f"ANALYZE TABLE cbostats.{tbl} COMPUTE STATISTICS FOR ALL COLUMNS"

@@ -154,8 +154,8 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         if old.startswith(f"edges_{sf_base}_b") and old != tbl:
             spark.sql(f"DROP TABLE IF EXISTS buckets.{old}")
             shutil.rmtree(os.path.join(warehouse, "buckets.db", old), ignore_errors=True)
-    if tbl not in done:
-        shutil.rmtree(os.path.join(warehouse, "buckets.db", tbl), ignore_errors=True)
+
+    def _build_edges() -> DataFrame:
         li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         a, b = li.alias("a"), li.alias("b")
         e0 = (
@@ -164,13 +164,21 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
             .distinct()
         )
-        (
-            e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .write.mode("overwrite")
-            .bucketBy(n_buckets, "b")
-            .format("parquet")
-            .saveAsTable(f"buckets.{tbl}")
+        return e0.unionByName(
+            e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
+
+    from nfl_predictions_spark.catalog import ensure_catalog_table
+
+    # adopt-or-build (VERDICT r09 #6): never wipe a complete copy a
+    # concurrent session may be scanning
+    ensure_catalog_table(
+        spark,
+        f"buckets.{tbl}",
+        os.path.join(warehouse, "buckets.db", tbl),
+        _build_edges,
+        bucket=(n_buckets, "b", None),
+    )
     # Pin the edge list in memory (VERDICT r07 #5): every message-passing
     # round (q95 PageRank, q215 LPA, q315) re-scans this relation; the
     # iterative-graph idiom (GraphX/Pregel) caches its edges for exactly

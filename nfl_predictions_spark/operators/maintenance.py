@@ -56,14 +56,15 @@ def q81_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless. At scale this is where table-level metadata (statistics,
     partitioning, bucketing spec from q52) lives so Catalyst can use it
     across queries and sessions."""
+    from nfl_predictions_spark.catalog import ensure_catalog_table
+
     name = f"nflspark_orders_{os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')}"
-    src = table(spark, sf_dir, "orders")
     path = _tmp(sf_dir, "catalog_orders")
-    marker = os.path.join(path, "_SUCCESS")
-    if not (spark.catalog.tableExists(name) and os.path.exists(marker)):
-        src.write.mode("overwrite").option("path", path).format("parquet").saveAsTable(
-            name
-        )
+    # adopt-or-build (VERDICT r09 #6): a complete shared copy is
+    # registered, never overwritten under a concurrent reader
+    ensure_catalog_table(
+        spark, name, path, lambda: table(spark, sf_dir, "orders")
+    )
     return (
         spark.table(name)
         .groupBy("o_orderpriority")

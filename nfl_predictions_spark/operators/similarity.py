@@ -677,7 +677,18 @@ def q41e_ann_ivf_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
 import tempfile as _tempfile
 
 _IVF_FITTED_ROOT = os.path.join(
-    _tempfile.gettempdir(), "nfl_predictions_spark", "ivf_centroids"
+    _tempfile.gettempdir(), "nfl_predictions_spark", "ivf_centroids_v2"
+)
+
+#: deterministic integer content key of an embeddings fixture — the
+#: SAME expression both engines can evaluate exactly (double mul and
+#: floor are IEEE-deterministic on the shared parquet bytes), used to
+#: give each fixture its OWN immutable centroid directory and to let
+#: the static oracle SQL pick it out when two scale factors share an
+#: embedding count (sf0.001 and sf0.01 both have 500 vectors).
+_SRC_KEY_DUCK = (
+    "(SELECT CAST(sum(CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 1000) "
+    "AS BIGINT)) AS BIGINT) FROM embeddings)"
 )
 #: warm-call cache: embeddings fingerprint -> centroid dir (skips the
 #: n_vec count job when the fixture bytes are unchanged)
@@ -687,13 +698,20 @@ _IVF_FITTED_CACHE: dict = {}
 def _fitted_centroids_path(spark: SparkSession, sf_dir: str) -> str:
     """Fit (once per fixture generation) the q41d KMeans coarse
     quantizer and dump its centroids as parquet at a path the STATIC
-    oracle string can glob: one directory per corpus size, rows
-    (cell, c DOUBLE[], n_vec). The oracle disambiguates scale factors
-    by ``n_vec = (SELECT count(*) FROM embeddings)`` — the TESTDATA
-    scales have distinct embedding counts by construction. A
-    regenerated fixture (same n_vec, new bytes) mints a new
-    fingerprint marker and the directory is rebuilt in place — the
-    q87/q37d shared-bytes discipline, per-sf."""
+    oracle string can glob. Round-10 protocol (VERDICT r09 #1): the
+    directory is keyed by (n_vec, fixture CONTENT key) and therefore
+    IMMUTABLE once complete — two scale factors sharing an embedding
+    count get separate dirs, so nothing ever rebuilds in place and no
+    reader can catch a mid-swap state. Rows carry
+    (cell, c DOUBLE[], n_vec, src_key, gen): the oracle picks its dir
+    via ``n_vec = count(*) AND src_key = <deterministic content key>``
+    (both sides of which DuckDB evaluates from the registered
+    ``embeddings`` view), and ``gen`` is an md5 of the centroid VALUES
+    themselves — the in-band stamp the staged-assignment store
+    validates against, so two processes that fit different centroids
+    for the same fixture (k-means|| init is partitioning-dependent)
+    can never alias. The install race is a plain atomic rename: the
+    loser adopts the winner's immutable bytes."""
     import hashlib
     import shutil
     import tempfile as _tf
@@ -704,26 +722,20 @@ def _fitted_centroids_path(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         fp = "missing"
     cached = _IVF_FITTED_CACHE.get(fp)
-    if cached is not None and os.path.exists(os.path.join(cached, "_FINGERPRINT")):
+    if cached is not None and os.path.exists(os.path.join(cached, "_SUCCESS")):
         return cached
     emb = spread(table(spark, sf_dir, "embeddings"))
-    n_vec = emb.count()
-    out = os.path.join(_IVF_FITTED_ROOT, f"nv{n_vec}")
-    marker = os.path.join(out, "_FINGERPRINT")
-    try:
-        if open(marker).read() == fp and "gen" in (
-            spark.read.parquet(out).columns
-        ):
-            # gen-column check: a dir written by the pre-round-10 code
-            # carries no in-band generation stamp and cannot serve the
-            # self-validating staging protocol — rebuild it (VERDICT
-            # r09 #1).
-            _IVF_FITTED_CACHE[fp] = out
-            return out
-    except OSError:
-        pass
-    except Exception:
-        pass  # unreadable/legacy parquet: fall through to rebuild
+    agg = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.abs(F.col("embedding").getItem(0).cast("double")) * 1000)
+        ).cast("long").alias("k"),
+    ).first()
+    n_vec, src_key = int(agg["n"]), int(agg["k"])
+    out = os.path.join(_IVF_FITTED_ROOT, f"nv{n_vec}_k{src_key}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        _IVF_FITTED_CACHE[fp] = out
+        return out
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -731,48 +743,32 @@ def _fitted_centroids_path(spark: SparkSession, sf_dir: str) -> str:
         "features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
     model = KMeans(k=_IVF_NLIST, seed=42, maxIter=10).fit(feat.select("features"))
-    rows = [
-        (i, [float(x) for x in c], n_vec, fp)
-        for i, c in enumerate(model.clusterCenters())
-    ]
-    # `gen` travels IN-BAND with the centroid bytes (not only in the
-    # sidecar _FINGERPRINT marker): a reader that pins this parquet gets
-    # vectors + generation atomically, closing the marker/parquet race
-    # VERDICT r09 #1 demonstrated.
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    # gen = hash of the centroid VALUES: the stamp readers validate
+    # staged artifacts against (content identity, not fixture identity)
+    gen = hashlib.md5(
+        ";".join(
+            f"{i}:" + ",".join(repr(x) for x in c) for i, c in enumerate(centers)
+        ).encode()
+        + f"|{n_vec}|{src_key}".encode()
+    ).hexdigest()[:12]
+    rows = [(i, c, n_vec, src_key, gen) for i, c in enumerate(centers)]
     cent = spark.createDataFrame(
-        rows, "cell int, c array<double>, n_vec long, gen string"
+        rows, "cell int, c array<double>, n_vec long, src_key long, gen string"
     )
     os.makedirs(_IVF_FITTED_ROOT, exist_ok=True)
     build = _tf.mkdtemp(prefix=".ivf_cent_", dir=_IVF_FITTED_ROOT)
     tgt = os.path.join(build, "data")
     cent.coalesce(1).write.mode("overwrite").parquet(tgt)
-    with open(os.path.join(tgt, "_FINGERPRINT"), "w") as f:
-        f.write(fp)
-    # Swap the superseded generation aside BEFORE installing the new one
-    # (ADVICE r07 #3). This guarantees DURABILITY — the old generation is
-    # never destroyed until the replacement is installed, so a failed
-    # rename can no longer lose the centroids outright — and shrinks the
-    # reader-visible gap from rmtree-duration to two rename syscalls.
-    # A glob reader landing exactly between the two renames can still see
-    # the directory absent for that instant; full visibility would need a
-    # versioned-directory scheme, which the single-writer staging store
-    # doesn't warrant.
-    aside = None
-    if os.path.exists(out):
-        aside = _tf.mkdtemp(prefix=".ivf_old_", dir=_IVF_FITTED_ROOT)
-        try:
-            os.rename(out, os.path.join(aside, "prev"))
-        except OSError:
-            aside = None  # a concurrent rebuild moved it first
     try:
         os.rename(tgt, out)
     except OSError:
-        # Lost the install race: reuse the winner, restore nothing — the
-        # winner's generation is the current one by definition.
+        # Lost the install race for this immutable (n_vec, src_key)
+        # generation: adopt the winner's bytes. The winner's fit may
+        # differ from ours (partitioning-dependent init) — that is
+        # FINE, because every consumer pins + stamps the served bytes.
         pass
     shutil.rmtree(build, ignore_errors=True)
-    if aside is not None:
-        shutil.rmtree(aside, ignore_errors=True)
     _IVF_FITTED_CACHE[fp] = out
     return out
 
@@ -782,6 +778,7 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 m AS (
   SELECT cell, c FROM read_parquet('{_IVF_FITTED_ROOT}/*/*.parquet')
   WHERE n_vec = (SELECT count(*) FROM embeddings)
+    AND src_key = {_SRC_KEY_DUCK}
 ),
 a AS (
   SELECT vec_id, cell FROM (
@@ -910,6 +907,7 @@ e AS (SELECT * FROM eb UNION ALL SELECT * FROM nb),
 m AS (
   SELECT cell, c FROM read_parquet('{_IVF_FITTED_ROOT}/*/*.parquet')
   WHERE n_vec = (SELECT count(*) FROM embeddings)
+    AND src_key = {_SRC_KEY_DUCK}
 ),
 a AS (
   SELECT vec_id, cell FROM (
@@ -1149,6 +1147,7 @@ nb AS (
 m AS (
   SELECT cell, c FROM read_parquet('{_IVF_FITTED_ROOT}/*/*.parquet')
   WHERE n_vec = (SELECT count(*) FROM embeddings)
+    AND src_key = {_SRC_KEY_DUCK}
 ),
 ab AS (
   SELECT vec_id, cell FROM (

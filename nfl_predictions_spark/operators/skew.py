@@ -193,24 +193,20 @@ def write_bucketed_tables(
                     os.path.join(warehouse, "buckets.db", old), ignore_errors=True
                 )
                 done.discard(old)
-    for tbl, (src, key) in specs.items():
-        if tbl not in done:
-            # A previous session may have left the managed location on
-            # disk without a catalog entry (in-memory catalog) — clear it
-            # or saveAsTable refuses with LOCATION_ALREADY_EXISTS.
-            import shutil
-            from urllib.parse import urlparse
+    from nfl_predictions_spark.catalog import ensure_catalog_table
 
-            warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            shutil.rmtree(os.path.join(warehouse, "buckets.db", tbl), ignore_errors=True)
-            (
-                table(spark, sf_dir, src)
-                .write.mode("overwrite")
-                .bucketBy(n_buckets, key)
-                .sortBy(key)
-                .format("parquet")
-                .saveAsTable(f"buckets.{tbl}")
-            )
+    for tbl, (src, key) in specs.items():
+        # adopt-or-build (VERDICT r09 #6): a complete on-disk copy left
+        # by another session is REGISTERED, never wiped and rebuilt —
+        # fresh processes no longer destroy bytes a concurrent reader
+        # is scanning.
+        ensure_catalog_table(
+            spark,
+            f"buckets.{tbl}",
+            os.path.join(warehouse, "buckets.db", tbl),
+            lambda src=src: table(spark, sf_dir, src),
+            bucket=(n_buckets, key, key),
+        )
     return tag
 
 

@@ -148,14 +148,30 @@ def test_marker_cannot_mislead_assignment_keying(spark, tmp_path):
 def test_centroid_parquet_carries_generation_in_band(spark):
     """The fitted-centroid parquet must carry its generation as a
     column so vectors + generation arrive atomically in one read, and
-    the in-band value must agree with the sidecar marker under the
-    single-writer contract."""
+    the generation must be a hash of the centroid VALUES — content
+    identity, not fixture identity, because two processes can fit
+    DIFFERENT centroids for the same fixture (k-means|| init is
+    partitioning-dependent) and must never alias (VERDICT r09 #1)."""
+    import hashlib
+
     cent_path, _, med, gen = _ivf_fixture(spark)
-    with open(os.path.join(cent_path, "_FINGERPRINT")) as f:
-        marker = f.read().strip()
-    assert gen == marker
     cols = set(spark.read.parquet(cent_path).columns)
-    assert {"cell", "c", "n_vec", "gen"} <= cols
+    assert {"cell", "c", "n_vec", "src_key", "gen"} <= cols
+    rows = sorted(
+        spark.read.parquet(cent_path).collect(), key=lambda r: r.cell
+    )
+    want = hashlib.md5(
+        ";".join(
+            f"{r.cell}:" + ",".join(repr(float(x)) for x in r.c) for r in rows
+        ).encode()
+        + f"|{rows[0].n_vec}|{rows[0].src_key}".encode()
+    ).hexdigest()[:12]
+    assert gen == want
+    # the directory itself is content-keyed, hence immutable: its name
+    # embeds (n_vec, src_key) so no other fixture can rebuild it
+    assert os.path.basename(cent_path) == (
+        f"nv{rows[0].n_vec}_k{rows[0].src_key}"
+    )
 
 
 def test_adamic_adar_cap_binds_on_skewed_hub(spark):
