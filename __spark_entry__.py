@@ -114,6 +114,7 @@ def _registry():
         "q334_multigen_absorb",
         "q337_ivf_absorb",
         "q339_ivf_drift",
+        "q340_ivf_refit_migrate",
         # oldest-green re-certification pass (r01/r02 driver rows)
         "q01_scan_parquet",
         "q02_scan_csv_schema",
@@ -149,7 +150,6 @@ def _registry():
         "q15b_cube",
         "q19b_sort_nulls",
         "q26b_map_lookup",
-        "q32_stream_sliding",
     ]
     ordered: dict[str, Callable] = {}
     for name in window:

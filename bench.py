@@ -256,6 +256,8 @@ HEADLINE = [
     "q337_ivf_absorb",
     "q338_evict_rededup",
     "q339_ivf_drift",
+    # round-10: the quantizer re-fit + index migration q339 triggers
+    "q340_ivf_refit_migrate",
 ]
 
 _METRIC_FIELDS = {

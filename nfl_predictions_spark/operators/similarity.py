@@ -736,16 +736,39 @@ def _fitted_centroids_path(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         _IVF_FITTED_CACHE[fp] = out
         return out
+    _fit_centroid_dir(
+        spark,
+        emb.select(F.col("embedding").cast("array<double>").alias("emb")),
+        n_vec,
+        src_key,
+        out,
+    )
+    _IVF_FITTED_CACHE[fp] = out
+    return out
+
+
+def _fit_centroid_dir(
+    spark: SparkSession, vecs: DataFrame, n_vec: int, src_key: int, out: str
+) -> str:
+    """Fit the KMeans coarse quantizer on ``vecs`` (one ``emb``
+    array<double> column) and install the centroids at the immutable
+    content-keyed directory ``out`` via atomic rename. The in-band
+    ``gen`` column is an md5 of the centroid VALUES — the stamp every
+    staged-assignment reader validates against. Losing the install
+    race adopts the winner's bytes (two fits of the same data can
+    differ: k-means|| init is partitioning-dependent), which is safe
+    because every consumer pins + stamps the bytes it actually
+    serves."""
+    import hashlib
+    import shutil
+    import tempfile as _tf
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = emb.withColumn(
-        "features", array_to_vector(F.col("embedding").cast("array<double>"))
-    )
+    feat = vecs.withColumn("features", array_to_vector(F.col("emb")))
     model = KMeans(k=_IVF_NLIST, seed=42, maxIter=10).fit(feat.select("features"))
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    # gen = hash of the centroid VALUES: the stamp readers validate
-    # staged artifacts against (content identity, not fixture identity)
     gen = hashlib.md5(
         ";".join(
             f"{i}:" + ",".join(repr(x) for x in c) for i, c in enumerate(centers)
@@ -763,13 +786,8 @@ def _fitted_centroids_path(spark: SparkSession, sf_dir: str) -> str:
     try:
         os.rename(tgt, out)
     except OSError:
-        # Lost the install race for this immutable (n_vec, src_key)
-        # generation: adopt the winner's bytes. The winner's fit may
-        # differ from ours (partitioning-dependent init) — that is
-        # FINE, because every consumer pins + stamps the served bytes.
-        pass
+        pass  # lost the race: adopt the winner's immutable bytes
     shutil.rmtree(build, ignore_errors=True)
-    _IVF_FITTED_CACHE[fp] = out
     return out
 
 
@@ -1250,6 +1268,156 @@ def q339_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
         .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q340 — IVF quantizer re-fit + index migration (the act q339 triggers)
+# ---------------------------------------------------------------------------
+
+#: content key of base + absorbed batch (reversed embeddings): the
+#: absorbed batch's first component is the original LAST component
+_SRC_KEY2_DUCK = (
+    "(SELECT CAST("
+    "sum(CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 1000) AS BIGINT))"
+    " + sum(CAST(floor(abs(CAST(embedding[len(embedding)] AS DOUBLE))"
+    " * 1000) AS BIGINT)) AS BIGINT) FROM embeddings)"
+)
+
+_IVF_MIGRATE_ORACLE = f"""
+WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+nb AS (
+  SELECT vec_id + {_ANN_OFF} AS vec_id,
+         CAST(list_reverse(embedding) AS DOUBLE[]) AS emb
+  FROM embeddings
+),
+e AS (SELECT * FROM eb UNION ALL SELECT * FROM nb),
+m AS (
+  SELECT cell, c FROM read_parquet('{_IVF_FITTED_ROOT}/*/*.parquet')
+  WHERE n_vec = 2 * (SELECT count(*) FROM embeddings)
+    AND src_key = {_SRC_KEY2_DUCK}
+),
+a AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, m.cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_D2_DUCK.format(x='e.emb', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM e, m
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, emb AS qe FROM eb WHERE vec_id < {_N_QUERIES}),
+probe AS (
+  SELECT qid, qe, cell FROM (
+    SELECT q.qid, q.qe, m.cell,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        round({_D2_DUCK.format(x='q.qe', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM q, m
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+p AS (
+  SELECT probe.qid, a.vec_id AS cid,
+    list_dot_product(qe, e.emb)
+      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e.emb, e.emb)))
+      AS cos
+  FROM probe JOIN a USING (cell) JOIN e ON e.vec_id = a.vec_id
+),
+r AS (
+  SELECT qid, cid, cos,
+    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, cid) AS rn
+  FROM p
+)
+SELECT qid, cid, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {_TOP_K} ORDER BY qid, rn
+"""
+
+
+@_q("q340_ivf_refit_migrate", _IVF_MIGRATE_ORACLE)
+def q340_ivf_refit_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer RE-FIT + index migration — the act q339's drift
+    monitor triggers, completing the vector-index lifecycle (VERDICT
+    r09 #4): after enough absorbed batches shift the distribution, the
+    coarse quantizer is re-fit on base + absorbed and the inverted
+    list migrates to the new generation, while probes against the OLD
+    generation keep answering untouched (its centroid dir and staged
+    assignment are immutable; q337/q339 remain correct mid-migration —
+    pinned in tests). Top-{_TOP_K} queries then probe the MIGRATED
+    index. The oracle is the from-scratch rebuild under the new
+    centroids (q333's incremental-equals-rebuild discipline): it
+    re-assigns every vector from the shared refit bytes.
+
+    Scale shape: the re-fit is MLlib KMeans over base+absorbed (one
+    cached pass per iteration, map-side assignment cost O(N x nlist));
+    migration itself is ONE map-side pass over all vectors against the
+    broadcast new centroids staged as a fresh generation of the
+    self-validating assignment store — no shuffle, no index rewrite,
+    and the old generation serves until the new one's _SUCCESS lands.
+    The probe is q41e/q41f's cell-bounded join lattice."""
+    # old generation stays serveable throughout (probe-during-migration)
+    _fitted_centroids_path(spark, sf_dir)
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    nb = emb.select(
+        (F.col("vec_id") + _ANN_OFF).alias("vec_id"),
+        F.reverse("emb").alias("emb"),
+    )
+    alle = emb.unionByName(nb).localCheckpoint(eager=False)
+    agg = alle.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.abs(F.col("emb").getItem(0)) * 1000))
+        .cast("long")
+        .alias("k"),
+    ).first()
+    n2, key2 = int(agg["n"]), int(agg["k"])
+    new_path = os.path.join(_IVF_FITTED_ROOT, f"nv{n2}_k{key2}")
+    if not os.path.exists(os.path.join(new_path, "_SUCCESS")):
+        _fit_centroid_dir(spark, alle.select("emb"), n2, key2, new_path)
+    cent2, gen2 = _served_centroids(spark, new_path)
+    med2 = cent2.select(
+        "cell", F.col("c").cast("array<double>").alias("c"), "gen"
+    )
+    # migration = the new generation of the staged assignment store,
+    # stamped + validated exactly like the base index
+    migrated = _staged_base_assign(spark, sf_dir, alle, med2, gen2)
+
+    def d2(x: str, c: str) -> Column:
+        return (
+            _dot(F.col(x), F.col(x))
+            - 2 * _dot(F.col(x), F.col(c))
+            + _dot(F.col(c), F.col(c))
+        )
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.asc(F.round(d2("qe", "c"), 6)), F.asc("cell")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(med2))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("qid", "qe", "cell")
+    )
+    cands = (
+        migrated.join(F.broadcast(probe), "cell")
+        .join(alle, "vec_id")
+        .select(
+            "qid", "qe", F.col("vec_id").alias("cid"), F.col("emb").alias("ce")
+        )
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (
+        _norm(F.col("qe")) * _norm(F.col("ce"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("cid")
+    )
+    return (
+        cands.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
+        .orderBy("qid", "rn")
     )
 
 

@@ -249,3 +249,43 @@ def test_q315_plan_exchange_free_until_pair_agg(spark):
     assert "Bucketed: true" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q340_probe_during_migration_determinism(spark):
+    """VERDICT r09 #4 done-condition: migration must not disturb the
+    serving generation. q337 (old index) answers identically before
+    and after q340 re-fits + migrates, and q340 itself is idempotent —
+    the refit dir and the migrated assignment generation are immutable
+    content-keyed artifacts, so a second call serves the same bytes."""
+    from nfl_predictions_spark.operators.similarity import (
+        q337_ivf_absorb,
+        q340_ivf_refit_migrate,
+    )
+
+    before = [tuple(r) for r in q337_ivf_absorb(spark, SF_SMOKE).collect()]
+    mig1 = [tuple(r) for r in q340_ivf_refit_migrate(spark, SF_SMOKE).collect()]
+    after = [tuple(r) for r in q337_ivf_absorb(spark, SF_SMOKE).collect()]
+    mig2 = [tuple(r) for r in q340_ivf_refit_migrate(spark, SF_SMOKE).collect()]
+    assert before == after, "migration disturbed the serving generation"
+    assert mig1 == mig2, "migration is not idempotent"
+    assert mig1 and before
+    # the migrated index is a genuinely different generation: the
+    # refit on base+absorbed must change at least one query's top-k
+    assert mig1 != before
+
+
+def test_q340_plan_shape(spark):
+    """Plan pin for q340 (VERDICT r09 #8 discipline): steady-state run
+    carries only the probe-rank and result-rank windows, and the only
+    nested-loop joins are the 16-row broadcast centroid sweeps."""
+    import re
+
+    from nfl_predictions_spark.operators.similarity import (
+        q340_ivf_refit_migrate,
+    )
+
+    df = q340_ivf_refit_migrate(spark, SF_SMOKE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bWindow\b", p)) <= 2
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # query x 16-row refit
+    assert "CartesianProduct" not in p

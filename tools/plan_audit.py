@@ -54,6 +54,7 @@ ALLOW = {
         "q41e_ann_ivf_medoid",  # query x medoid table (nlist rows)
         "q41f_ivf_fitted",  # same shape: corpus x 16-row fitted-centroid table
         "q337_ivf_absorb",  # q41f shape: (base+batch) x 16-row centroid table
+        "q340_ivf_refit_migrate",  # same: queries x 16-row refit centroids
         "q132_bm25_retrieval",  # 1-row corpus stats (N, avgdl)
         "q136_hybrid_rrf",  # 1-row corpus stats via the BM25 subtree
         "q155_sliding_distinct",  # calendar-sized broadcast range join
