@@ -1067,6 +1067,57 @@ def _ivf_assign(
     )
 
 
+def _ivf_probe_topk(
+    emb: DataFrame, alle: DataFrame, med: DataFrame, assign: DataFrame
+) -> DataFrame:
+    """The shared IVF probe lattice (q41e/q41f shape): the first
+    {_N_QUERIES} base vectors probe their nprobe nearest cells against
+    the broadcast centroid table, candidates meet the inverted list on
+    the cell key, and exact cosine re-ranks the bounded candidate set.
+    Used by q337 (absorb), q340 (migrated index), and q341 (streamed
+    ingest) so stream == batch == migration shares one plan."""
+
+    def d2(x: str, c: str) -> Column:
+        return (
+            _dot(F.col(x), F.col(x))
+            - 2 * _dot(F.col(x), F.col(c))
+            + _dot(F.col(c), F.col(c))
+        )
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.asc(F.round(d2("qe", "c"), 6)), F.asc("cell")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(med.select("cell", "c")))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("qid", "qe", "cell")
+    )
+    cands = (
+        assign.join(F.broadcast(probe), "cell")
+        .join(alle, "vec_id")
+        .select(
+            "qid", "qe", F.col("vec_id").alias("cid"), F.col("emb").alias("ce")
+        )
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (
+        _norm(F.col("qe")) * _norm(F.col("ce"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("cid")
+    )
+    return (
+        cands.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
+        .orderBy("qid", "rn")
+    )
+
+
 @_q("q337_ivf_absorb", _IVF_ABSORB_ORACLE)
 def q337_ivf_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index absorb — the vector-search analogue of
@@ -1110,45 +1161,7 @@ def q337_ivf_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = base_assign.unionByName(_ivf_assign(nb, med))
     alle = emb.unionByName(nb).localCheckpoint(eager=False)
 
-    def d2(x: str, c: str) -> Column:
-        return (
-            _dot(F.col(x), F.col(x))
-            - 2 * _dot(F.col(x), F.col(c))
-            + _dot(F.col(c), F.col(c))
-        )
-
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
-    )
-    wp = Window.partitionBy("qid").orderBy(
-        F.asc(F.round(d2("qe", "c"), 6)), F.asc("cell")
-    )
-    probe = (
-        q.crossJoin(F.broadcast(med))
-        .withColumn("pr", F.row_number().over(wp))
-        .filter(F.col("pr") <= _IVF_NPROBE)
-        .select("qid", "qe", "cell")
-    )
-    cands = (
-        assign.join(F.broadcast(probe), "cell")
-        .join(alle, "vec_id")
-        .select(
-            "qid", "qe", F.col("vec_id").alias("cid"), F.col("emb").alias("ce")
-        )
-    )
-    cos = _dot(F.col("qe"), F.col("ce")) / (
-        _norm(F.col("qe")) * _norm(F.col("ce"))
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round("cos_raw", 6)), F.asc("cid")
-    )
-    return (
-        cands.withColumn("cos_raw", cos)
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
-        .orderBy("qid", "rn")
-    )
+    return _ivf_probe_topk(emb, alle, med, assign)
 
 
 # ---------------------------------------------------------------------------
@@ -1380,45 +1393,7 @@ def q340_ivf_refit_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stamped + validated exactly like the base index
     migrated = _staged_base_assign(spark, sf_dir, alle, med2, gen2)
 
-    def d2(x: str, c: str) -> Column:
-        return (
-            _dot(F.col(x), F.col(x))
-            - 2 * _dot(F.col(x), F.col(c))
-            + _dot(F.col(c), F.col(c))
-        )
-
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
-    )
-    wp = Window.partitionBy("qid").orderBy(
-        F.asc(F.round(d2("qe", "c"), 6)), F.asc("cell")
-    )
-    probe = (
-        q.crossJoin(F.broadcast(med2))
-        .withColumn("pr", F.row_number().over(wp))
-        .filter(F.col("pr") <= _IVF_NPROBE)
-        .select("qid", "qe", "cell")
-    )
-    cands = (
-        migrated.join(F.broadcast(probe), "cell")
-        .join(alle, "vec_id")
-        .select(
-            "qid", "qe", F.col("vec_id").alias("cid"), F.col("emb").alias("ce")
-        )
-    )
-    cos = _dot(F.col("qe"), F.col("ce")) / (
-        _norm(F.col("qe")) * _norm(F.col("ce"))
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round("cos_raw", 6)), F.asc("cid")
-    )
-    return (
-        cands.withColumn("cos_raw", cos)
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("qid", "cid", F.round("cos_raw", 6).alias("cos"), "rn")
-        .orderBy("qid", "rn")
-    )
+    return _ivf_probe_topk(emb, alle, med2, migrated)
 
 
 # ---------------------------------------------------------------------------

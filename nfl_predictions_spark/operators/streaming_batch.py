@@ -1053,3 +1053,87 @@ def q335_stream_absorb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gen", "batch_id", "action", "match_id", "jac")
         .orderBy("batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q341 — streamed IVF vector ingest (q337 as a stream)
+# ---------------------------------------------------------------------------
+
+
+def _q341_oracle() -> str:
+    from nfl_predictions_spark.operators.similarity import _IVF_ABSORB_ORACLE
+
+    return _IVF_ABSORB_ORACLE
+
+
+@_q("q341_stream_ivf_ingest", _q341_oracle())
+def q341_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production vector-DB ingest as a STREAM: q337's absorbed batch
+    arrives as a file stream of vec_id-ordered chunks, each micro-batch
+    assigned map-side against the FROZEN pinned centroids and landed as
+    a per-epoch delta partition (overwrite sink: idempotent under
+    micro-batch retry, the q332/q335 contract). Because the quantizer
+    is frozen, per-vector assignment is order-independent, so the
+    streamed index state equals q337's batch absorb exactly — the
+    oracle IS q337's from-scratch rebuild, and the final top-k probe
+    reuses the shared _ivf_probe_topk lattice (stream == batch shares
+    one plan, pinned row-for-row in tests).
+
+    Scale shape: per-trigger work is O(chunk x nlist) map-side with no
+    shuffle (broadcast centroids), deltas append as epoch partitions —
+    the index is never rebuilt, and probes stay answerable between any
+    two micro-batches against base + landed epochs."""
+    import os
+
+    from nfl_predictions_spark.operators.similarity import (
+        _fitted_centroids_path,
+        _ivf_assign,
+        _ivf_probe_topk,
+        _served_centroids,
+        _staged_base_assign,
+        _ANN_OFF,
+    )
+    from nfl_predictions_spark.sources.tables import spread, table
+    from nfl_predictions_spark.streaming.sources import vector_file_stream
+
+    cent_path = _fitted_centroids_path(spark, sf_dir)
+    cent, gen = _served_centroids(spark, cent_path)
+    med = cent.select(
+        "cell", F.col("c").cast("array<double>").alias("c"), "gen"
+    )
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base_assign = _staged_base_assign(spark, sf_dir, emb, med, gen)
+
+    out_dir = tempfile.mkdtemp(prefix="nflspark_vecingest_out_")
+    assigned: dict = {}
+
+    def handle(chunk_df: DataFrame, bid: int) -> None:
+        if bid not in assigned:
+            ch = chunk_df.select("vec_id", "emb").localCheckpoint(eager=False)
+            assigned[bid] = _ivf_assign(ch, med)
+        assigned[bid].write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={bid}")
+        )
+
+    stream = vector_file_stream(spark, sf_dir, n_chunks=4, files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="nflspark_vecingestck_"),
+        )
+        .start()
+    )
+    assert q.awaitTermination(300), "q341 stream did not finish in 300 s"
+
+    deltas = spark.read.parquet(out_dir).select("vec_id", "cell")
+    assign = base_assign.unionByName(deltas)
+    nb = emb.select(
+        (F.col("vec_id") + _ANN_OFF).alias("vec_id"),
+        F.reverse("emb").alias("emb"),
+    )
+    alle = emb.unionByName(nb).localCheckpoint(eager=False)
+    return _ivf_probe_topk(emb, alle, med, assign)

@@ -243,3 +243,74 @@ def documents_file_stream(
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
+
+
+def stage_vector_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> str:
+    """The q337 absorbed vector batch (element-reversed embeddings in
+    the disjoint +_ANN_OFF id space) as n vec_id-ordered chunk files
+    with increasing mtimes — the vector-DB ingest stream. Same atomic
+    build-then-rename staging as the event/document/recrawl chunks."""
+    from nfl_predictions_spark.operators.similarity import _ANN_OFF
+
+    key = f"vecingest_{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}"
+    base = os.path.join(tempfile.gettempdir(), "nfl_predictions_spark", "stream")
+    root = os.path.join(base, key)
+    in_dir = os.path.join(root, "in")
+    marker = os.path.join(root, "_done")
+    if os.path.exists(marker):
+        return in_dir
+    os.makedirs(base, exist_ok=True)
+    build_root = tempfile.mkdtemp(prefix=f".{key}_build_", dir=base)
+    build_in = os.path.join(build_root, "in")
+    os.makedirs(build_in)
+
+    from nfl_predictions_spark.sources.tables import spread
+
+    df = spread(table(spark, sf_dir, "embeddings")).select(
+        (F.col("vec_id") + _ANN_OFF).alias("vec_id"),
+        F.reverse(F.col("embedding").cast("array<double>")).alias("emb"),
+    )
+    n = df.count()
+    from pyspark.sql import Window
+
+    w = Window.orderBy("vec_id")
+    ranked = df.withColumn(
+        "chunk", ((F.row_number().over(w) - 1) * n_chunks / n).cast("long")
+    )
+    for i in range(n_chunks):
+        part = ranked.filter(F.col("chunk") == i).drop("chunk")
+        tmpout = os.path.join(build_root, "tmpout")
+        part.coalesce(1).write.mode("overwrite").parquet(tmpout)
+        src = glob.glob(os.path.join(tmpout, "part-*.parquet"))[0]
+        dst = os.path.join(build_in, f"chunk{i:03d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(os.path.join(build_root, "tmpout"), ignore_errors=True)
+    with open(os.path.join(build_root, "_done"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(build_root, root)
+    except OSError:
+        if os.path.exists(marker):
+            shutil.rmtree(build_root, ignore_errors=True)
+        else:
+            shutil.rmtree(root, ignore_errors=True)
+            os.rename(build_root, root)
+    return in_dir
+
+
+def vector_file_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    in_dir = stage_vector_chunks(spark, sf_dir, n_chunks)
+    schema = "vec_id long, emb array<double>"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .parquet(in_dir)
+    )

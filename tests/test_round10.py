@@ -289,3 +289,66 @@ def test_q340_plan_shape(spark):
     assert len(re.findall(r"\bWindow\b", p)) <= 2
     assert p.count("BroadcastNestedLoopJoin") <= 1  # query x 16-row refit
     assert "CartesianProduct" not in p
+
+
+def test_q341_stream_equals_batch(spark):
+    """The streamed vector ingest must equal q337's batch absorb
+    row-for-row — same frozen quantizer, same staged base component,
+    same probe lattice (they literally share _ivf_probe_topk)."""
+    from nfl_predictions_spark.operators.similarity import q337_ivf_absorb
+    from nfl_predictions_spark.operators.streaming_batch import (
+        q341_stream_ivf_ingest,
+    )
+
+    batch = [tuple(r) for r in q337_ivf_absorb(spark, SF_SMOKE).collect()]
+    stream = [
+        tuple(r) for r in q341_stream_ivf_ingest(spark, SF_SMOKE).collect()
+    ]
+    assert batch == stream
+    assert batch
+
+
+def test_q341_epoch_sink_retry_idempotent(spark):
+    """A retried micro-batch must rewrite its epoch partition, not
+    double-ingest: replaying the same chunk through the handler twice
+    leaves exactly one delta per vector (the q332/q335 contract)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nfl_predictions_spark.operators.similarity import (
+        _fitted_centroids_path,
+        _ivf_assign,
+        _served_centroids,
+    )
+    from nfl_predictions_spark.sources.tables import spread, table
+
+    cent_path = _fitted_centroids_path(spark, SF_SMOKE)
+    cent, gen = _served_centroids(spark, cent_path)
+    med = cent.select(
+        "cell", F.col("c").cast("array<double>").alias("c"), "gen"
+    )
+    chunk = (
+        spread(table(spark, SF_SMOKE, "embeddings"))
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.reverse(F.col("embedding").cast("array<double>")).alias("emb"),
+        )
+        .limit(50)
+    )
+    out_dir = tempfile.mkdtemp(prefix="nflspark_vecingest_test_")
+    assigned: dict = {}
+
+    def handle(df, bid):
+        if bid not in assigned:
+            assigned[bid] = _ivf_assign(df, med)
+        assigned[bid].write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={bid}")
+        )
+
+    handle(chunk, 0)
+    handle(chunk, 0)  # the retry
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 50
+    assert got.groupBy("vec_id").count().filter("count > 1").count() == 0
