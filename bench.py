@@ -256,8 +256,12 @@ HEADLINE = [
     "q337_ivf_absorb",
     "q338_evict_rededup",
     "q339_ivf_drift",
-    # round-10: the quantizer re-fit + index migration q339 triggers
+    # round-10: the quantizer re-fit + index migration q339 triggers,
+    # and the drift policy that decides it. q341 (streamed q337) stays
+    # out on the q335 precedent: its plans are q337's plus the fixed
+    # stream-replay wall q332 already carries.
     "q340_ivf_refit_migrate",
+    "q342_ivf_refit_policy",
 ]
 
 _METRIC_FIELDS = {

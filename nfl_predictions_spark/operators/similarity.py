@@ -1536,6 +1536,226 @@ def q165_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q342 — drift-triggered refit policy (q339's monitor wired to q340's act)
+# ---------------------------------------------------------------------------
+
+#: chi-square critical value at alpha=0.05 for nlist-1 = 15 dof — the
+#: standard retrain trigger threshold
+_DRIFT_CRIT = 25.0
+
+#: identity batch ids live in a second disjoint id space
+_ANN_OFF2 = 2 * _ANN_OFF
+
+_IVF_POLICY_ORACLE = f"""
+WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+rev AS (
+  SELECT vec_id + {_ANN_OFF} AS vec_id,
+         CAST(list_reverse(embedding) AS DOUBLE[]) AS emb
+  FROM embeddings
+),
+ident AS (
+  SELECT vec_id + {_ANN_OFF2} AS vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings
+),
+m AS (
+  SELECT cell, c FROM read_parquet('{_IVF_FITTED_ROOT}/*/*.parquet')
+  WHERE n_vec = (SELECT count(*) FROM embeddings)
+    AND src_key = {_SRC_KEY_DUCK}
+),
+m2 AS (
+  SELECT cell, c FROM read_parquet('{_IVF_FITTED_ROOT}/*/*.parquet')
+  WHERE n_vec = 2 * (SELECT count(*) FROM embeddings)
+    AND src_key = {_SRC_KEY2_DUCK}
+),
+ab AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, m.cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_D2_DUCK.format(x='e.emb', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM eb e, m
+  ) WHERE rn = 1
+),
+batches AS (
+  SELECT 'identity' AS batch_tag, vec_id, emb FROM ident
+  UNION ALL
+  SELECT 'reversed' AS batch_tag, vec_id, emb FROM rev
+),
+an AS (
+  SELECT batch_tag, vec_id, cell FROM (
+    SELECT b.batch_tag, b.vec_id, m.cell,
+      row_number() OVER (PARTITION BY b.batch_tag, b.vec_id ORDER BY
+        round({_D2_DUCK.format(x='b.emb', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM batches b, m
+  ) WHERE rn = 1
+),
+cb AS (SELECT cell, count(*) AS n_base FROM ab GROUP BY cell),
+cn AS (SELECT batch_tag, cell, count(*) AS n_new FROM an
+       GROUP BY batch_tag, cell),
+tot AS (SELECT (SELECT count(*) FROM ab) AS tb,
+               (SELECT count(*) FROM eb) AS tn),
+chi AS (
+  SELECT t.batch_tag,
+         round(sum(
+           CASE WHEN cb.n_base IS NULL OR cb.n_base = 0 THEN 0.0
+                ELSE (coalesce(cn.n_new, 0)
+                      - tot.tn * (cb.n_base * 1.0 / tot.tb))
+                     * (coalesce(cn.n_new, 0)
+                        - tot.tn * (cb.n_base * 1.0 / tot.tb))
+                     / (tot.tn * (cb.n_base * 1.0 / tot.tb))
+           END), 6) AS chi2_total
+  FROM (SELECT DISTINCT batch_tag FROM batches) t
+  CROSS JOIN cb
+  LEFT JOIN cn ON cn.batch_tag = t.batch_tag AND cn.cell = cb.cell
+  CROSS JOIN tot
+  GROUP BY t.batch_tag
+),
+moved AS (
+  -- migration bill under the refit quantizer: base + REVERSED batch
+  -- vectors whose cell changes (the q340 index)
+  SELECT count(*) AS n FROM (
+    SELECT e.vec_id,
+      (SELECT m.cell FROM m ORDER BY
+         round({_D2_DUCK.format(x='e.emb', c='m.c')}, 6) ASC, m.cell ASC
+         LIMIT 1) AS c_old,
+      (SELECT m2.cell FROM m2 ORDER BY
+         round({_D2_DUCK.format(x='e.emb', c='m2.c')}, 6) ASC, m2.cell ASC
+         LIMIT 1) AS c_new
+    FROM (SELECT vec_id, emb FROM eb UNION ALL SELECT vec_id, emb FROM rev) e
+  ) WHERE c_old <> c_new
+)
+SELECT batch_tag, chi2_total,
+       CASE WHEN chi2_total > {_DRIFT_CRIT} THEN 'refit' ELSE 'absorb' END
+         AS decision,
+       CASE WHEN chi2_total > {_DRIFT_CRIT}
+            THEN (SELECT CAST(n AS BIGINT) FROM moved)
+            ELSE CAST(0 AS BIGINT) END AS n_moved
+FROM chi ORDER BY batch_tag
+"""
+
+
+@_q("q342_ivf_refit_policy", _IVF_POLICY_ORACLE)
+def q342_ivf_refit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-maintenance POLICY: q339's occupancy-drift monitor
+    wired to q340's re-fit, end to end. Two candidate ingest batches
+    are scored against the serving quantizer — an in-distribution
+    batch (identity copies in a disjoint id space) and the drifted
+    reversed batch — and each gets the production decision: total
+    chi-square vs base occupancy over the {_IVF_NLIST} cells, 'refit'
+    iff it exceeds the 0.05 critical value ({_DRIFT_CRIT}, 15 dof),
+    plus the migration bill (vectors whose cell changes under the
+    refit quantizer) for the branch that migrates. The identity batch
+    lands exactly on base occupancy (chi2 = 0, absorb, bill 0); the
+    reversed batch trips the trigger — both decision branches are
+    exercised in one query, and the refit bytes are q340's immutable
+    staged generation.
+
+    Scale shape: both batch assignments are map-side vs broadcast
+    centroids; occupancies are {_IVF_NLIST}-row frames; the migration
+    bill joins two generations of the staged assignment store on
+    vec_id (the old-gen base component is read, never recomputed)."""
+    cent_path = _fitted_centroids_path(spark, sf_dir)
+    cent, gen = _served_centroids(spark, cent_path)
+    med = cent.select(
+        "cell", F.col("c").cast("array<double>").alias("c"), "gen"
+    )
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base_assign = _staged_base_assign(spark, sf_dir, emb, med, gen)
+
+    rev = emb.select(
+        (F.col("vec_id") + _ANN_OFF).alias("vec_id"),
+        F.reverse("emb").alias("emb"),
+    )
+    ident = emb.select(
+        (F.col("vec_id") + _ANN_OFF2).alias("vec_id"), F.col("emb")
+    )
+    batches = ident.withColumn("batch_tag", F.lit("identity")).unionByName(
+        rev.withColumn("batch_tag", F.lit("reversed"))
+    )
+    # per-batch assignment: map-side argmin vs broadcast centroids,
+    # grouped occupancy per batch
+    an = (
+        _ivf_assign(
+            batches.select(
+                F.concat_ws("_", "batch_tag", F.col("vec_id").cast("string"))
+                .alias("vec_id"),
+                "emb",
+            ),
+            med,
+        )
+        .withColumn("batch_tag", F.split("vec_id", "_").getItem(0))
+        .groupBy("batch_tag", "cell")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    cb = base_assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_base"))
+    tb = base_assign.count()
+    tn = emb.count()
+    expected = F.lit(tn) * (F.col("n_base") * F.lit(1.0) / F.lit(tb))
+    nn_ = F.coalesce(F.col("n_new"), F.lit(0)).cast("long")
+    chi = (
+        cb.crossJoin(
+            batches.select("batch_tag").distinct().hint("broadcast")
+        )
+        .join(an, ["batch_tag", "cell"], "left")
+        .groupBy("batch_tag")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("n_base") == 0, F.lit(0.0)).otherwise(
+                        (nn_ - expected) * (nn_ - expected) / expected
+                    )
+                ),
+                6,
+            ).alias("chi2_total")
+        )
+    )
+
+    # migration bill: q340's staged generation vs the serving one
+    alle = emb.unionByName(rev).localCheckpoint(eager=False)
+    agg = alle.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.abs(F.col("emb").getItem(0)) * 1000))
+        .cast("long")
+        .alias("k"),
+    ).first()
+    n2, key2 = int(agg["n"]), int(agg["k"])
+    new_path = os.path.join(_IVF_FITTED_ROOT, f"nv{n2}_k{key2}")
+    if not os.path.exists(os.path.join(new_path, "_SUCCESS")):
+        _fit_centroid_dir(spark, alle.select("emb"), n2, key2, new_path)
+    cent2, gen2 = _served_centroids(spark, new_path)
+    med2 = cent2.select(
+        "cell", F.col("c").cast("array<double>").alias("c"), "gen"
+    )
+    old_all = base_assign.unionByName(_ivf_assign(rev, med))
+    new_all = _staged_base_assign(spark, sf_dir, alle, med2, gen2)
+    n_moved = (
+        old_all.join(
+            new_all.select("vec_id", F.col("cell").alias("cell2")), "vec_id"
+        )
+        .filter(F.col("cell") != F.col("cell2"))
+        .count()
+    )
+
+    return (
+        chi.select(
+            "batch_tag",
+            "chi2_total",
+            F.when(F.col("chi2_total") > _DRIFT_CRIT, F.lit("refit"))
+            .otherwise(F.lit("absorb"))
+            .alias("decision"),
+            F.when(
+                F.col("chi2_total") > _DRIFT_CRIT, F.lit(n_moved)
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .orderBy("batch_tag")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q167 — ANN recall certification (exact vs LSH), as a query
 # ---------------------------------------------------------------------------
 

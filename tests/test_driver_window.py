@@ -32,6 +32,7 @@ EXPECTED_WINDOW = [
     "q339_ivf_drift",
     "q340_ivf_refit_migrate",
     "q341_stream_ivf_ingest",
+    "q342_ivf_refit_policy",
     # oldest-green re-certification pass: the q01-q32 canonical block,
     # driver rows dating to r01/r02, re-certified on the current engine
     "q01_scan_parquet",
@@ -66,7 +67,6 @@ EXPECTED_WINDOW = [
     "q30_grouped_normalize",
     "q30b_grouped_normalize_expr",
     "q15b_cube",
-    "q19b_sort_nulls",
 ]
 
 

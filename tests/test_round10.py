@@ -352,3 +352,33 @@ def test_q341_epoch_sink_retry_idempotent(spark):
     got = spark.read.parquet(out_dir)
     assert got.count() == 50
     assert got.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_q342_policy_branches(spark):
+    """The refit policy must exercise BOTH decision branches at the
+    driver gate scale: the in-distribution identity batch lands exactly
+    on base occupancy (chi2 identically 0, absorb, zero migration
+    bill); the reversed batch trips the 0.05 critical value and
+    carries a positive migration bill. At smoke scale the reversed
+    batch sits just under the critical value (n=500 has low power) —
+    the statistically honest outcome, also pinned."""
+    from nfl_predictions_spark.operators.similarity import (
+        q342_ivf_refit_policy,
+    )
+
+    smoke = {
+        r.batch_tag: (r.chi2_total, r.decision, r.n_moved)
+        for r in q342_ivf_refit_policy(spark, SF_SMOKE).collect()
+    }
+    assert smoke["identity"] == (0.0, "absorb", 0)
+    assert smoke["reversed"][0] > 0.0
+
+    gate = {
+        r.batch_tag: (r.chi2_total, r.decision, r.n_moved)
+        for r in q342_ivf_refit_policy(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert gate["identity"] == (0.0, "absorb", 0)
+    assert gate["reversed"][1] == "refit"
+    assert gate["reversed"][2] > 0
