@@ -117,6 +117,7 @@ def _registry():
         "q340_ivf_refit_migrate",
         "q341_stream_ivf_ingest",
         "q342_ivf_refit_policy",
+        "q343_dedup_maintenance_policy",
         # oldest-green re-certification pass (r01/r02 driver rows)
         "q01_scan_parquet",
         "q02_scan_csv_schema",
@@ -149,7 +150,6 @@ def _registry():
         "q29_udf_parity",
         "q30_grouped_normalize",
         "q30b_grouped_normalize_expr",
-        "q15b_cube",
     ]
     ordered: dict[str, Callable] = {}
     for name in window:

@@ -262,6 +262,7 @@ HEADLINE = [
     # stream-replay wall q332 already carries.
     "q340_ivf_refit_migrate",
     "q342_ivf_refit_policy",
+    "q343_dedup_maintenance_policy",
 ]
 
 _METRIC_FIELDS = {

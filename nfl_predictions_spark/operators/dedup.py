@@ -2852,3 +2852,128 @@ class AbsorbState:
         self.szs.append(ksz)
         self.pds.append(inc_prefix(kex, "doc_id", ksz, self.dfreq))
         return verdicts
+
+
+# ---------------------------------------------------------------------------
+# q343 — text-index maintenance policy (when to compact / re-rank)
+# ---------------------------------------------------------------------------
+
+_TOMB_CRIT = 0.10  # tombstone fraction that triggers eviction-compaction
+_STALE_CRIT = 0.30  # changed-df fraction that triggers a q336 re-rank
+_GROWTH_CRIT = 0.02  # new-shingle fraction that triggers re-compaction
+
+_MAINT_POLICY_ORACLE = f"""{_INC_WITH},
+keeps AS (
+  SELECT b.batch_id FROM batch b
+  WHERE b.batch_id NOT IN (SELECT batch_id FROM exact)
+    AND b.batch_id NOT IN (SELECT batch_id FROM near)
+),
+sgrams AS (
+  SELECT DISTINCT s FROM bex
+  WHERE batch_id IN (SELECT batch_id FROM keeps)
+),
+bgrams AS (SELECT DISTINCT s FROM dex),
+nb AS (SELECT count(*) AS n FROM bgrams),
+vals AS (
+  SELECT 'df_staleness' AS metric,
+         round((SELECT count(*) FROM sgrams JOIN bgrams USING (s))
+               * 1.0 / nb.n, 6) AS value
+  FROM nb
+  UNION ALL
+  SELECT 'tombstone_fraction',
+         round((SELECT count(*) FROM base WHERE doc_id % {_EVICT_MOD} = 0)
+               * 1.0 / (SELECT count(*) FROM base), 6)
+  UNION ALL
+  SELECT 'vocab_growth',
+         round((SELECT count(*) FROM sgrams
+                WHERE s NOT IN (SELECT s FROM bgrams))
+               * 1.0 / nb.n, 6)
+  FROM nb
+)
+SELECT metric, value,
+       CASE WHEN metric = 'tombstone_fraction' AND value > {_TOMB_CRIT}
+              THEN 'compact'
+            WHEN metric = 'df_staleness' AND value > {_STALE_CRIT}
+              THEN 'rerank'
+            WHEN metric = 'vocab_growth' AND value > {_GROWTH_CRIT}
+              THEN 'recompact'
+            ELSE 'noop' END AS decision
+FROM vals ORDER BY metric
+"""
+
+
+@_q("q343_dedup_maintenance_policy", _MAINT_POLICY_ORACLE)
+def q343_dedup_maintenance_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-index maintenance POLICY — the q342 analogue for the dedup
+    index, closing the lifecycle loop on the text side: q336 re-ranks,
+    q338 evicts, and this operator decides WHEN, from three metrics a
+    production index monitors after an ingest cycle:
+
+    - ``tombstone_fraction`` — deleted docs still carried merge-on-read
+      (q338's tombstone set, doc_id % {_EVICT_MOD} == 0 ≈ 14%): above
+      {_TOMB_CRIT} the anti-join tax on every probe exceeds the one-off
+      compaction cost → 'compact'.
+    - ``df_staleness`` — base shingles whose document frequency CHANGED
+      under the absorbed survivors, as a fraction of the base shingle
+      vocabulary: above {_STALE_CRIT} the frozen (df, s) prefix order
+      drifts from optimal (still EXACT — q333's invariant — just less
+      selective) → 'rerank' (q336's act). The derived survivors touch
+      ~26-28% of the base vocabulary (truncated-edit keeps share their
+      source doc's grams), under the 30% trigger → 'noop', the branch
+      that proves the policy does not fire blindly.
+    - ``vocab_growth`` — NEW shingles the survivors add, as a fraction
+      of the base vocabulary: above {_GROWTH_CRIT} the delta components
+      dominate probe fan-out → 'recompact' into one generation.
+
+    Scale shape: the survivor set comes from the same prefix-filtered
+    incremental dedup as q327 (never all-pairs); shingle sets are one
+    distinct over the staged exploded component plus one over the
+    survivor delta; every metric is a count ratio — two scans and a
+    broadcast-scale join, no index rewrite."""
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_base = base.count()
+    n_tomb = base.filter(F.col("doc_id") % _EVICT_MOD == 0).count()
+
+    keeps = (
+        q327_incremental_dedup(spark, sf_dir)
+        .filter(F.col("action") == "keep")
+        .select("batch_id")
+    )
+    surv = recrawl_batch(base).join(keeps, "batch_id")
+    sgrams = shingle_rows(
+        surv.select(F.col("batch_id").alias("doc_id"), "text")
+    ).select("s").distinct()
+
+    idx = base_index(spark, sf_dir)
+    bgrams = idx["dfreq"].select("s")  # distinct by construction
+    n_vocab = bgrams.count()
+    n_stale = sgrams.join(bgrams, "s", "left_semi").count()
+    n_new = sgrams.join(bgrams, "s", "left_anti").count()
+
+    rows = [
+        ("df_staleness", round(n_stale / n_vocab, 6)),
+        ("tombstone_fraction", round(n_tomb / n_base, 6)),
+        ("vocab_growth", round(n_new / n_vocab, 6)),
+    ]
+    out = spark.createDataFrame(rows, "metric string, value double")
+    return out.select(
+        "metric",
+        "value",
+        F.when(
+            (F.col("metric") == "tombstone_fraction")
+            & (F.col("value") > _TOMB_CRIT),
+            F.lit("compact"),
+        )
+        .when(
+            (F.col("metric") == "df_staleness")
+            & (F.col("value") > _STALE_CRIT),
+            F.lit("rerank"),
+        )
+        .when(
+            (F.col("metric") == "vocab_growth")
+            & (F.col("value") > _GROWTH_CRIT),
+            F.lit("recompact"),
+        )
+        .otherwise(F.lit("noop"))
+        .alias("decision"),
+    ).orderBy("metric")

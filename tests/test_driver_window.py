@@ -33,6 +33,7 @@ EXPECTED_WINDOW = [
     "q340_ivf_refit_migrate",
     "q341_stream_ivf_ingest",
     "q342_ivf_refit_policy",
+    "q343_dedup_maintenance_policy",
     # oldest-green re-certification pass: the q01-q32 canonical block,
     # driver rows dating to r01/r02, re-certified on the current engine
     "q01_scan_parquet",
@@ -66,7 +67,6 @@ EXPECTED_WINDOW = [
     "q29_udf_parity",
     "q30_grouped_normalize",
     "q30b_grouped_normalize_expr",
-    "q15b_cube",
 ]
 
 

@@ -382,3 +382,22 @@ def test_q342_policy_branches(spark):
     assert gate["identity"] == (0.0, "absorb", 0)
     assert gate["reversed"][1] == "refit"
     assert gate["reversed"][2] > 0
+
+
+def test_q343_policy_branches(spark):
+    """The text-index maintenance policy must exercise a firing branch
+    AND the noop branch: tombstones (~14%) exceed the 10% compaction
+    trigger, survivor vocab growth exceeds the 2% recompaction trigger,
+    and df staleness sits under the 30% re-rank trigger."""
+    from nfl_predictions_spark.operators.dedup import (
+        q343_dedup_maintenance_policy,
+    )
+
+    got = {
+        r.metric: (r.value, r.decision)
+        for r in q343_dedup_maintenance_policy(spark, SF_SMOKE).collect()
+    }
+    assert got["tombstone_fraction"][1] == "compact"
+    assert got["vocab_growth"][1] == "recompact"
+    assert got["df_staleness"][1] == "noop"
+    assert 0.0 < got["df_staleness"][0] < 0.30

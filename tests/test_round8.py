@@ -138,52 +138,28 @@ def test_staged_path_touches_on_handout(tmp_path):
 
 
 def test_fitted_centroids_rebuild_keeps_old_generation_readable(tmp_path, monkeypatch):
-    """ADVICE r07 #3: the rebuild path must never rmtree the live
-    generation before the replacement is installed. Simulate the swap:
-    an existing complete generation is moved ASIDE (atomic rename), the
-    new build renamed in, the aside reaped last. This guarantees
-    DURABILITY (the old bytes survive until the new install succeeds);
-    visibility-wise a reader between the two renames can still see the
-    path absent for one syscall's width — the invariant is no-data-loss,
-    not zero-gap."""
-    import shutil
-    import tempfile as _tf
-
-    root = str(tmp_path / "ivf")
-    os.makedirs(root)
-    out = os.path.join(root, "nv100")
-    os.makedirs(out)
-    with open(os.path.join(out, "data.parquet"), "w") as f:
-        f.write("old generation")
-
-    # replicate the production swap sequence from _fitted_centroids_path
-    build = _tf.mkdtemp(prefix=".ivf_cent_", dir=root)
-    tgt = os.path.join(build, "data")
-    os.makedirs(tgt)
-    with open(os.path.join(tgt, "data.parquet"), "w") as f:
-        f.write("new generation")
-
-    aside = None
-    if os.path.exists(out):
-        aside = _tf.mkdtemp(prefix=".ivf_old_", dir=root)
-        os.rename(out, os.path.join(aside, "prev"))
-        # old generation is still fully readable at its aside location
-        assert os.path.exists(os.path.join(aside, "prev", "data.parquet"))
-    os.rename(tgt, out)
-    shutil.rmtree(build, ignore_errors=True)
-    if aside is not None:
-        shutil.rmtree(aside, ignore_errors=True)
-
-    with open(os.path.join(out, "data.parquet")) as f:
-        assert f.read() == "new generation"
-    # and the production code path contains exactly this sequence
+    """ADVICE r07 #3, round-10 form: a live centroid generation must
+    never be deleted or moved while readers may hold it. The round-8
+    swap-aside sequence satisfied durability with a one-syscall
+    visibility gap; the round-10 store is strictly stronger — the
+    directory is keyed by (n_vec, fixture content key), so a rebuild
+    NEVER targets an existing generation's path: once complete it is
+    immutable, and the install is a single atomic rename whose loser
+    adopts the winner. Pin: the production source contains no rmtree
+    of the live target and no aside-swap, and an existing complete
+    generation is adopted rather than rebuilt."""
     import inspect
 
     from nfl_predictions_spark.operators import similarity
 
     src = inspect.getsource(similarity._fitted_centroids_path)
-    assert ".ivf_old_" in src
-    assert "rmtree(out" not in src  # never delete the live target directly
+    assert "rmtree(out" not in src  # never delete the live target
+    assert ".ivf_old_" not in src  # no swap-aside: nothing to swap
+    assert 'os.path.join(out, "_SUCCESS")' in src  # adopt-if-complete
+    fit = inspect.getsource(similarity._fit_centroid_dir)
+    assert "rmtree(out" not in fit
+    # install is rename-only; losing the race adopts the winner
+    assert "os.rename(tgt, out)" in fit
 
 
 def test_window_group_limit_plans_pinned(spark):
