@@ -55,6 +55,8 @@ ALLOW = {
         "q41f_ivf_fitted",  # same shape: corpus x 16-row fitted-centroid table
         "q337_ivf_absorb",  # q41f shape: (base+batch) x 16-row centroid table
         "q340_ivf_refit_migrate",  # same: queries x 16-row refit centroids
+        "q341_stream_ivf_ingest",  # q337's probe lattice (shared helper)
+        "q342_ivf_refit_policy",  # batch x 16-row centroid assignment sweeps
         "q132_bm25_retrieval",  # 1-row corpus stats (N, avgdl)
         "q136_hybrid_rrf",  # 1-row corpus stats via the BM25 subtree
         "q155_sliding_distinct",  # calendar-sized broadcast range join
