@@ -1689,15 +1689,20 @@ def q342_ivf_refit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
     cb = base_assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_base"))
-    tb = base_assign.count()
-    tn = emb.count()
-    expected = F.lit(tn) * (F.col("n_base") * F.lit(1.0) / F.lit(tb))
+    # totals ride a broadcast 1-row frame instead of driver-side counts
+    # (tb = sum of per-cell base occupancy; tn = batch size = |base|)
+    tots = cb.agg(
+        F.sum("n_base").cast("long").alias("tb"),
+        F.sum("n_base").cast("long").alias("tn"),
+    )
+    expected = F.col("tn") * (F.col("n_base") * F.lit(1.0) / F.col("tb"))
     nn_ = F.coalesce(F.col("n_new"), F.lit(0)).cast("long")
     chi = (
         cb.crossJoin(
             batches.select("batch_tag").distinct().hint("broadcast")
         )
         .join(an, ["batch_tag", "cell"], "left")
+        .crossJoin(F.broadcast(tots))
         .groupBy("batch_tag")
         .agg(
             F.round(
@@ -1729,24 +1734,28 @@ def q342_ivf_refit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_all = base_assign.unionByName(_ivf_assign(rev, med))
     new_all = _staged_base_assign(spark, sf_dir, alle, med2, gen2)
-    n_moved = (
+    moved = (
         old_all.join(
             new_all.select("vec_id", F.col("cell").alias("cell2")), "vec_id"
         )
-        .filter(F.col("cell") != F.col("cell2"))
-        .count()
+        .agg(
+            F.sum(
+                F.when(F.col("cell") != F.col("cell2"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("bill")
+        )
     )
 
     return (
-        chi.select(
+        chi.crossJoin(F.broadcast(moved))
+        .select(
             "batch_tag",
             "chi2_total",
             F.when(F.col("chi2_total") > _DRIFT_CRIT, F.lit("refit"))
             .otherwise(F.lit("absorb"))
             .alias("decision"),
-            F.when(
-                F.col("chi2_total") > _DRIFT_CRIT, F.lit(n_moved)
-            )
+            F.when(F.col("chi2_total") > _DRIFT_CRIT, F.col("bill"))
             .otherwise(F.lit(0))
             .cast("long")
             .alias("n_moved"),
