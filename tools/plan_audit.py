@@ -57,6 +57,7 @@ ALLOW = {
         "q340_ivf_refit_migrate",  # same: queries x 16-row refit centroids
         "q341_stream_ivf_ingest",  # q337's probe lattice (shared helper)
         "q342_ivf_refit_policy",  # batch x 16-row centroid assignment sweeps
+        "q343_dedup_maintenance_policy",  # 1-row vocab-total broadcast
         "q132_bm25_retrieval",  # 1-row corpus stats (N, avgdl)
         "q136_hybrid_rrf",  # 1-row corpus stats via the BM25 subtree
         "q155_sliding_distinct",  # calendar-sized broadcast range join
