@@ -73,7 +73,7 @@ SHOWCASE = [
     ("q316_kmv_distinct_sketch", "KMV — day-partitioned WindowGroupLimit k-minima"),
     ("q318_poisson_bootstrap_ci", "Poisson bootstrap — one B-group weighted aggregate"),
     # round 7
-    ("q315_adamic_adar", "Adamic-Adar — capped wedge join, TakeOrdered top-k"),
+    ("q315_adamic_adar", "Adamic-Adar — exchange-free bucketed wedges, TakeOrdered top-k"),
     ("q320_reservoir_sample", "exact-k reservoir — WindowGroupLimit per stratum"),
     ("q321_kn_doc_perplexity", "KN perplexity — (w1,w2)-keyed model/instance join"),
     ("q139_triangle_count", "triangles — staged pair relation, 3-leg equi-join"),
@@ -87,6 +87,10 @@ SHOWCASE = [
     ("q336_compacted_rededup", "compaction — staged re-ranked index, probe-only windows"),
     ("q337_ivf_absorb", "IVF absorb — staged inverted list + batch-only assignment"),
     ("q338_evict_rededup", "eviction — broadcast hash anti-join tombstones, no rewrite"),
+    # round 10: lifecycle completion + the exchange-free wedge rewrite
+    ("q340_ivf_refit_migrate", "refit+migrate — immutable new generation, map-side re-assign"),
+    ("q342_ivf_refit_policy", "refit policy — 16-row occupancy frames, 1-row bill broadcast"),
+    ("q343_dedup_maintenance_policy", "maintenance policy — staged kex reuse, one lazy plan"),
 ]
 
 
