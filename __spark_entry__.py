@@ -84,16 +84,14 @@ def _registry():
     # the four round-7 additions (q320/q321/q37d/q41f) front-loaded,
     # then the similarity/dedup certifiers, the q43-q104
     # modern/maintenance block, and the analytics/join/curation block.
-    # Round 10 rotates per VERDICT r09 #2 / NOTES "Final-HEAD window
-    # re-verification + round-10 tooling": the full 8-sentinel set is
-    # restored (q06/q16/q39 return after the round-8/9 trim), then the
-    # 7 POST_WINDOW_ADDITIONS (the round-9 index-lifecycle entries,
-    # the only never-driver-checked oracle-backed registry entries),
-    # then — with the rotation debt retired — 35 oldest-green re-certs:
-    # the q01-q32 canonical block whose driver rows date to r01/r02,
-    # re-certified on the current engine. Computed by
-    # tools/rotate_window.py (auto-backfill with longest-unchecked
-    # green entries).
+    # Round 11 rotates per VERDICT r10 #5: the 8 sentinels, then the
+    # round-11 additions — q344 (new: IVF tombstone eviction) and q342
+    # (REWRITTEN this round: the policy gained the eviction arm, so its
+    # r10 green row certifies the old schema) — then 40 re-certs of the
+    # stalest entries ranked by LATEST hash-green round (r10 re-certified
+    # Q01-Q31, so the tail is now the r1 streaming §2B rows q32-q36 and
+    # the r2 set). Computed by tools/rotate_window.py (latest-green
+    # backfill, VERDICT r10 #5).
     window = [
         # sentinels — one proven-green entry per major family
         "q12_agg_pricing_summary",
@@ -104,52 +102,50 @@ def _registry():
         "q39_minhash_lsh_pairs",
         "q40_token_stats",
         "q41_ann_topk",
-        # round-9 index-lifecycle additions, never driver-checked
-        # (POST_WINDOW_ADDITIONS — mandatory first slots per
-        # tests/test_round9.py + VERDICT r09 #2)
-        "q335_stream_absorb_ingest",
-        "q333_absorb_rededup",
-        "q336_compacted_rededup",
-        "q338_evict_rededup",
-        "q334_multigen_absorb",
-        "q337_ivf_absorb",
-        "q339_ivf_drift",
-        "q340_ivf_refit_migrate",
-        "q341_stream_ivf_ingest",
+        # round-11 additions: never-checked + rewritten-since-green
+        "q344_ivf_evict",
         "q342_ivf_refit_policy",
-        "q343_dedup_maintenance_policy",
-        # oldest-green re-certification pass (r01/r02 driver rows)
-        "q01_scan_parquet",
-        "q02_scan_csv_schema",
-        "q03_project_alias",
-        "q04_filter_conjunctive",
-        "q05_limit_offset",
-        "q07_join_shuffle_agg",
-        "q08_join_left_outer",
-        "q09_join_semi",
-        "q10_join_anti",
-        "q11_join_theta",
-        "q13_agg_distinct",
-        "q14_agg_approx_distinct",
-        "q15_rollup",
-        "q17_window_rank",
-        "q18_window_running_sum",
-        "q19_sort_multikey",
-        "q20_topk",
-        "q21_union_all_counts",
-        "q21b_union_distinct",
-        "q22_intersect",
-        "q22b_except",
-        "q22c_except_all_counts",
-        "q23_string_scalars",
-        "q24_date_scalars",
-        "q25_math_conditional",
-        "q26_array_collect",
-        "q27_json",
-        "q28_cast_matrix",
-        "q29_udf_parity",
-        "q30_grouped_normalize",
-        "q30b_grouped_normalize_expr",
+        # stalest-latest-green re-certification pass (r1/r2 rows)
+        "q15b_cube",
+        "q19b_sort_nulls",
+        "q26b_map_lookup",
+        "q53_stateful_running_totals",
+        "q68_stream_stream_join",
+        "q83_python_stream_source",
+        "q84_state_reader",
+        "q100_stream_static_enrich",
+        "q32_stream_sliding",
+        "q33_stream_session",
+        "q34_stream_watermark",
+        "q35_stream_dedup",
+        "q36_stream_route_counts",
+        "q91_decontamination",
+        "q41c_ann_lsh",
+        "q42_embedding_near_dup",
+        "q90_chunk_documents",
+        "q63_asof_join",
+        "q65_range_join",
+        "q66_connected_components",
+        "q96_streaming_matview",
+        "q112_streaming_corpus_ingest",
+        "q39c_simhash_pairs",
+        "q117_dup_passages",
+        "q40b_quality_score",
+        "q40c_lang_id",
+        "q40d_fingerprint",
+        "q40e_top_terms",
+        "q105_vocab_oov",
+        "q97_image_header_parse",
+        "q114_image_decode_stats",
+        "q115_audio_decode_stats",
+        "q116_video_decode_stats",
+        "q121_per_key_sample",
+        "q51_salted_agg",
+        "q52_bucketed_join",
+        "q120_bloom_semi_join",
+        "q72_recursive_cte",
+        "q73_variant_json",
+        "q74_sql_udf",
     ]
     ordered: dict[str, Callable] = {}
     for name in window:

@@ -263,6 +263,7 @@ HEADLINE = [
     "q340_ivf_refit_migrate",
     "q342_ivf_refit_policy",
     "q343_dedup_maintenance_policy",
+    "q344_ivf_evict",
 ]
 
 _METRIC_FIELDS = {

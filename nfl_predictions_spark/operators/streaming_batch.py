@@ -820,47 +820,24 @@ def q225_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q332_oracle() -> str:
-    from nfl_predictions_spark.operators.dedup import _INC_STREAM_ORACLE
+def neardup_foreach_handler(spark: SparkSession, sf_dir: str, out_dir: str):
+    """q332's production foreachBatch handler, factored out so the
+    crash-restart test (VERDICT r10 #3) drives the EXACT code the query
+    runs: dedupes one micro-batch of re-crawl chunks against the staged
+    base index and lands the verdicts in the deterministic epoch=<id>
+    overwrite partition (idempotent under micro-batch retry AND under
+    checkpoint-recovery re-delivery after a crash — same epoch id, same
+    bytes). Stateless given the base index, so a restarted query needs
+    no state recovery: the checkpoint's committed offsets are the only
+    carried state."""
+    import os
 
-    return _INC_STREAM_ORACLE
-
-
-@_q("q332_stream_neardup_ingest", _q332_oracle())
-def q332_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming incremental near-dedup — q327's batch-vs-base verdicts
-    produced by a STREAM: the derived re-crawl batch arrives as
-    batch_id-ordered micro-batches (file stream) and every chunk is
-    deduped against the base corpus inside foreachBatch — exact
-    verdicts from an md5 join against the staged base digest table,
-    near verdicts from the ppjoin prefix-filter ssjoin against the
-    staged base prefix index (dedup.inc_prefix / inc_near — the SAME
-    machinery q327 runs in batch). Each micro-batch OVERWRITES its own
-    deterministic epoch=<id> sink partition, so a retried epoch
-    replaces rather than duplicates its rows — the at-least-once
-    foreachBatch contract hardened to an idempotent effectively-once
-    sink (plain parquet append would duplicate on retry).
-
-    This is the steady-state production shape: the base-side index
-    (digests + document-frequency-ranked prefix rows) is built ONCE
-    and every arriving crawl chunk joins against it — per-chunk work
-    is proportional to the CHUNK, never the corpus. Verdicts are
-    per-batch-doc independent given the base, so the streamed result
-    provably equals the q327 batch computation restricted per chunk —
-    which is exactly what the oracle states (q327's verdict CTEs plus
-    a chunk map), making this an incremental computation certified
-    against its batch equivalent (the q112/q164 discipline, extended
-    from exact to NEAR dedup)."""
     from nfl_predictions_spark.operators.dedup import (
         base_index,
         inc_near,
         inc_prefix,
         shingle_rows,
     )
-    from nfl_predictions_spark.operators.dedup import _INC_CHUNKS
-    from nfl_predictions_spark.streaming.sources import recrawl_file_stream
-
-    import os
 
     # staged base-side index, built ONCE PER FIXTURE (not per run —
     # this is the persistent dedup index a production lake keeps and
@@ -873,8 +850,6 @@ def q332_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsz = idx["dsz"].localCheckpoint(eager=False)
     dfreq = idx["dfreq"].localCheckpoint(eager=False)
     pd_ = idx["pd"].localCheckpoint(eager=False)
-
-    out_dir = tempfile.mkdtemp(prefix="nflspark_neardup_out_")
 
     def handle(chunk_df: DataFrame, bid: int) -> None:
         chunk_df = chunk_df.localCheckpoint(eager=False)
@@ -931,6 +906,45 @@ def q332_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(out_dir, f"epoch={bid}"))
         )
 
+    return handle
+
+
+def _q332_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _INC_STREAM_ORACLE
+
+    return _INC_STREAM_ORACLE
+
+
+@_q("q332_stream_neardup_ingest", _q332_oracle())
+def q332_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental near-dedup — q327's batch-vs-base verdicts
+    produced by a STREAM: the derived re-crawl batch arrives as
+    batch_id-ordered micro-batches (file stream) and every chunk is
+    deduped against the base corpus inside foreachBatch — exact
+    verdicts from an md5 join against the staged base digest table,
+    near verdicts from the ppjoin prefix-filter ssjoin against the
+    staged base prefix index (dedup.inc_prefix / inc_near — the SAME
+    machinery q327 runs in batch). Each micro-batch OVERWRITES its own
+    deterministic epoch=<id> sink partition, so a retried epoch
+    replaces rather than duplicates its rows — the at-least-once
+    foreachBatch contract hardened to an idempotent effectively-once
+    sink (plain parquet append would duplicate on retry).
+
+    This is the steady-state production shape: the base-side index
+    (digests + document-frequency-ranked prefix rows) is built ONCE
+    and every arriving crawl chunk joins against it — per-chunk work
+    is proportional to the CHUNK, never the corpus. Verdicts are
+    per-batch-doc independent given the base, so the streamed result
+    provably equals the q327 batch computation restricted per chunk —
+    which is exactly what the oracle states (q327's verdict CTEs plus
+    a chunk map), making this an incremental computation certified
+    against its batch equivalent (the q112/q164 discipline, extended
+    from exact to NEAR dedup)."""
+    from nfl_predictions_spark.operators.dedup import _INC_CHUNKS
+    from nfl_predictions_spark.streaming.sources import recrawl_file_stream
+
+    out_dir = tempfile.mkdtemp(prefix="nflspark_neardup_out_")
+    handle = neardup_foreach_handler(spark, sf_dir, out_dir)
     # 2 chunk files per trigger: halves the replay's fixed per-epoch
     # cost; chunk attribution is data-borne (the staged chunk column),
     # so the stream==batch + rank-split pins discriminate unchanged
@@ -966,6 +980,98 @@ def q332_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def absorb_foreach_handler(
+    spark: SparkSession, sf_dir: str, out_dir: str, state=None
+):
+    """q335's production foreachBatch handler + its carried
+    AbsorbState, factored out so the crash-restart test (VERDICT r10
+    #3) drives the EXACT code the query runs. Pass a ``state`` rebuilt
+    by :func:`recover_absorb_state` to resume after a crash; the
+    default builds the fresh pre-ingest state.
+
+    Returns ``(handle, state)``. The epoch->frame memo inside guards
+    the state against same-process micro-batch RETRY double-absorption
+    (a retried epoch rewrites its sink partition only); cross-process
+    recovery re-absorbs committed chunks deterministically instead."""
+    import os
+
+    from nfl_predictions_spark.operators.dedup import AbsorbState, base_index
+
+    if state is None:
+        idx = base_index(spark, sf_dir)
+        state = AbsorbState(idx, idx["dfreq"].localCheckpoint(eager=False))
+    # epoch -> verdict frame: a RETRIED micro-batch must rewrite its
+    # sink partition but must NOT mutate the carried index state a
+    # second time (double-absorbing its survivors) — the state-side
+    # half of the idempotence contract the per-epoch sink provides
+    absorbed: dict = {}
+
+    def handle(chunk_df: DataFrame, bid: int) -> None:
+        if bid not in absorbed:
+            ch = chunk_df.select("batch_id", "text", "chunk").localCheckpoint(
+                eager=False
+            )
+            absorbed[bid] = (
+                state.absorb(ch.select("batch_id", "text"))
+                .join(ch.select("batch_id", "chunk"), "batch_id")
+                .select(
+                    F.col("chunk").cast("int").alias("gen"),
+                    "batch_id",
+                    "action",
+                    "match_id",
+                    "jac",
+                )
+            )
+        absorbed[bid].write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={bid}")
+        )
+
+    return handle, state
+
+
+def recover_absorb_state(spark: SparkSession, sf_dir: str, out_dir: str):
+    """The q335 RESTART path (VERDICT r10 #3): rebuild the carried
+    AbsorbState from the sink's committed epoch partitions. Each
+    committed epoch names the chunk it absorbed (the data-borne ``gen``
+    column); replaying those chunks through ``AbsorbState.absorb`` in
+    epoch order reconstructs the exact pre-crash state — absorption is
+    deterministic given the base index and the chunk, which is the
+    same argument that makes stream == batch provable. Committed sink
+    partitions are NOT rewritten (verdicts were already landed; only
+    the state is rebuilt), and the crashed epoch re-fires from the
+    checkpoint with its original batch id."""
+    import os
+
+    from nfl_predictions_spark.operators.dedup import (
+        _INC_CHUNKS,
+        AbsorbState,
+        base_index,
+    )
+    from nfl_predictions_spark.streaming.sources import stage_recrawl_chunks
+
+    idx = base_index(spark, sf_dir)
+    state = AbsorbState(idx, idx["dfreq"].localCheckpoint(eager=False))
+    epochs = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("epoch=")
+    )
+    if not epochs:
+        return state
+    chunks_dir = stage_recrawl_chunks(spark, sf_dir, _INC_CHUNKS)
+    staged = spark.read.schema("batch_id long, text string, chunk long").parquet(
+        chunks_dir
+    )
+    for eid in epochs:
+        landed = spark.read.parquet(os.path.join(out_dir, f"epoch={eid}"))
+        chunk_ids = [r[0] for r in landed.select("gen").distinct().collect()]
+        ch = staged.filter(
+            F.col("chunk").isin([int(c) for c in chunk_ids])
+        ).localCheckpoint(eager=False)
+        state.absorb(ch.select("batch_id", "text"))
+    return state
+
+
 def _q335_oracle() -> str:
     from nfl_predictions_spark.operators.dedup import _multigen_oracle
 
@@ -992,43 +1098,11 @@ def q335_stream_absorb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-lived deployment would persist each delta keyed by epoch —
     exactly the staged-component shape q333 demonstrates — and
     reload on restart."""
-    from nfl_predictions_spark.operators.dedup import (
-        _INC_CHUNKS,
-        AbsorbState,
-        base_index,
-    )
+    from nfl_predictions_spark.operators.dedup import _INC_CHUNKS
     from nfl_predictions_spark.streaming.sources import recrawl_file_stream
 
-    import os
-
-    idx = base_index(spark, sf_dir)
-    state = AbsorbState(idx, idx["dfreq"].localCheckpoint(eager=False))
     out_dir = tempfile.mkdtemp(prefix="nflspark_absorb_out_")
-    # epoch -> verdict frame: a RETRIED micro-batch must rewrite its
-    # sink partition but must NOT mutate the carried index state a
-    # second time (double-absorbing its survivors) — the state-side
-    # half of the idempotence contract the per-epoch sink provides
-    absorbed: dict = {}
-
-    def handle(chunk_df: DataFrame, bid: int) -> None:
-        if bid not in absorbed:
-            ch = chunk_df.select("batch_id", "text", "chunk").localCheckpoint(
-                eager=False
-            )
-            absorbed[bid] = (
-                state.absorb(ch.select("batch_id", "text"))
-                .join(ch.select("batch_id", "chunk"), "batch_id")
-                .select(
-                    F.col("chunk").cast("int").alias("gen"),
-                    "batch_id",
-                    "action",
-                    "match_id",
-                    "jac",
-                )
-            )
-        absorbed[bid].write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"epoch={bid}")
-        )
+    handle, _state = absorb_foreach_handler(spark, sf_dir, out_dir)
 
     stream = recrawl_file_stream(
         spark, sf_dir, n_chunks=_INC_CHUNKS, files_per_trigger=1
@@ -1058,6 +1132,32 @@ def q335_stream_absorb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q341 — streamed IVF vector ingest (q337 as a stream)
 # ---------------------------------------------------------------------------
+
+
+def ivf_ingest_foreach_handler(out_dir: str, med: DataFrame):
+    """q341's production foreachBatch handler, factored out so the
+    crash-restart test (VERDICT r10 #3) drives the EXACT code the
+    query runs: map-side argmin assignment of one vector micro-batch
+    against the pinned frozen centroids, landed as the deterministic
+    epoch=<id> overwrite delta. Stateless given the centroid
+    generation (frozen quantizer ⇒ per-vector assignment is
+    order-independent), so restart needs only the checkpoint's
+    committed offsets."""
+    import os
+
+    from nfl_predictions_spark.operators.similarity import _ivf_assign
+
+    assigned: dict = {}
+
+    def handle(chunk_df: DataFrame, bid: int) -> None:
+        if bid not in assigned:
+            ch = chunk_df.select("vec_id", "emb").localCheckpoint(eager=False)
+            assigned[bid] = _ivf_assign(ch, med)
+        assigned[bid].write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={bid}")
+        )
+
+    return handle
 
 
 def _q341_oracle() -> str:
@@ -1107,15 +1207,7 @@ def q341_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_assign = _staged_base_assign(spark, sf_dir, emb, med, gen)
 
     out_dir = tempfile.mkdtemp(prefix="nflspark_vecingest_out_")
-    assigned: dict = {}
-
-    def handle(chunk_df: DataFrame, bid: int) -> None:
-        if bid not in assigned:
-            ch = chunk_df.select("vec_id", "emb").localCheckpoint(eager=False)
-            assigned[bid] = _ivf_assign(ch, med)
-        assigned[bid].write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"epoch={bid}")
-        )
+    handle = ivf_ingest_foreach_handler(out_dir, med)
 
     stream = vector_file_stream(spark, sf_dir, n_chunks=4, files_per_trigger=1)
     q = (

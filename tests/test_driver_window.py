@@ -11,8 +11,6 @@ from __future__ import annotations
 import __spark_entry__ as entrymod
 
 EXPECTED_WINDOW = [
-    # full 8-sentinel set restored for round 10 (q06/q16/q39 return
-    # after the round-8/9 trim that made room for the rotation debt)
     "q12_agg_pricing_summary",
     "q16_window_lag_default",
     "q06_join_broadcast",
@@ -21,52 +19,48 @@ EXPECTED_WINDOW = [
     "q39_minhash_lsh_pairs",
     "q40_token_stats",
     "q41_ann_topk",
-    # round-9 index-lifecycle additions — the 7 POST_WINDOW_ADDITIONS,
-    # mandatory first slots per VERDICT r09 #2 / tests/test_round9.py
-    "q335_stream_absorb_ingest",
-    "q333_absorb_rededup",
-    "q336_compacted_rededup",
-    "q338_evict_rededup",
-    "q334_multigen_absorb",
-    "q337_ivf_absorb",
-    "q339_ivf_drift",
-    "q340_ivf_refit_migrate",
-    "q341_stream_ivf_ingest",
+    "q344_ivf_evict",
     "q342_ivf_refit_policy",
-    "q343_dedup_maintenance_policy",
-    # oldest-green re-certification pass: the q01-q32 canonical block,
-    # driver rows dating to r01/r02, re-certified on the current engine
-    "q01_scan_parquet",
-    "q02_scan_csv_schema",
-    "q03_project_alias",
-    "q04_filter_conjunctive",
-    "q05_limit_offset",
-    "q07_join_shuffle_agg",
-    "q08_join_left_outer",
-    "q09_join_semi",
-    "q10_join_anti",
-    "q11_join_theta",
-    "q13_agg_distinct",
-    "q14_agg_approx_distinct",
-    "q15_rollup",
-    "q17_window_rank",
-    "q18_window_running_sum",
-    "q19_sort_multikey",
-    "q20_topk",
-    "q21_union_all_counts",
-    "q21b_union_distinct",
-    "q22_intersect",
-    "q22b_except",
-    "q22c_except_all_counts",
-    "q23_string_scalars",
-    "q24_date_scalars",
-    "q25_math_conditional",
-    "q26_array_collect",
-    "q27_json",
-    "q28_cast_matrix",
-    "q29_udf_parity",
-    "q30_grouped_normalize",
-    "q30b_grouped_normalize_expr",
+    "q15b_cube",
+    "q19b_sort_nulls",
+    "q26b_map_lookup",
+    "q53_stateful_running_totals",
+    "q68_stream_stream_join",
+    "q83_python_stream_source",
+    "q84_state_reader",
+    "q100_stream_static_enrich",
+    "q32_stream_sliding",
+    "q33_stream_session",
+    "q34_stream_watermark",
+    "q35_stream_dedup",
+    "q36_stream_route_counts",
+    "q91_decontamination",
+    "q41c_ann_lsh",
+    "q42_embedding_near_dup",
+    "q90_chunk_documents",
+    "q63_asof_join",
+    "q65_range_join",
+    "q66_connected_components",
+    "q96_streaming_matview",
+    "q112_streaming_corpus_ingest",
+    "q39c_simhash_pairs",
+    "q117_dup_passages",
+    "q40b_quality_score",
+    "q40c_lang_id",
+    "q40d_fingerprint",
+    "q40e_top_terms",
+    "q105_vocab_oov",
+    "q97_image_header_parse",
+    "q114_image_decode_stats",
+    "q115_audio_decode_stats",
+    "q116_video_decode_stats",
+    "q121_per_key_sample",
+    "q51_salted_agg",
+    "q52_bucketed_join",
+    "q120_bloom_semi_join",
+    "q72_recursive_cte",
+    "q73_variant_json",
+    "q74_sql_udf",
 ]
 
 

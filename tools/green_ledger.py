@@ -19,6 +19,27 @@ import os
 import re
 import sys
 
+#: THE single declaration of the permanent rows-only set (VERDICT r10
+#: "What's wrong" #1): the 8 registry entries that by design carry no
+#: oracle SQL — each with an oracle-exact certifying twin (NOTES
+#: "Permanent rows-only residual"). SURVEY §8, SWEEP tables, and
+#: GREEN_LEDGER.json must all agree with THIS set; build() asserts the
+#: live registry matches it, and tests/test_round11.py asserts the
+#: committed artifact does too. q36/q37 additionally have historical
+#: rows-only driver rows (r1/r2) — they are still classified
+#: "rows_only" here, never "green": a rows-only row certifies
+#: execution, not values.
+PERMANENT_ROWS_ONLY = {
+    "q36_stream_score_route",
+    "q37_ml_best_play",
+    "q37b_ml_eval",
+    "q41d_ann_ivf",
+    "q155b_sliding_distinct_hll",
+    "q163b_pca_eigh",
+    "q165b_kmeans_arrow",
+    "q212_ivf_recall",
+}
+
 
 def build(repo: str) -> dict:
     sys.path.insert(0, repo)
@@ -26,6 +47,17 @@ def build(repo: str) -> dict:
 
     names = list(entrymod.queries())
     oracle = entrymod.oracle_sql()
+
+    # the ledger's classification is pinned to the declaration: any
+    # drift between "entries without oracle SQL" and the declared
+    # permanent rows-only set is a registry bug, not a ledger state
+    live_rows_only = set(names) - set(oracle)
+    if live_rows_only != PERMANENT_ROWS_ONLY:
+        raise AssertionError(
+            "registry rows-only set drifted from the declaration: "
+            f"extra={sorted(live_rows_only - PERMANENT_ROWS_ONLY)} "
+            f"missing={sorted(PERMANENT_ROWS_ONLY - live_rows_only)}"
+        )
 
     first_green: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
@@ -58,15 +90,16 @@ def build(repo: str) -> dict:
     window = set(names[:50])
     ledger = {}
     for name in names:
-        if name in first_green:
+        if name in PERMANENT_ROWS_ONLY:
+            # declared rows-only: NEVER classified green — a historical
+            # rows-only driver row (q36 r1, q37 r2) certifies execution,
+            # not values; each entry's value certification lives in its
+            # oracle-exact twin (NOTES "Permanent rows-only residual")
+            ledger[name] = "rows_only"
+        elif name in first_green:
             ledger[name] = first_green[name]
         elif name in window:
             ledger[name] = "pending"  # in the in-flight driver window
-        elif name not in oracle:
-            # permanent rows-only entries excluded from windows by the
-            # window test; each has an oracle-exact certifying twin
-            # (NOTES "Permanent rows-only residual")
-            ledger[name] = "rows_only"
         else:
             ledger[name] = "missing"
     return {

@@ -64,25 +64,36 @@ def main() -> None:
           f"{len(rows_only)} rows-only — excluded: {rows_only})")
     proposal = SENTINELS + eligible[:n_new]
     if len(proposal) < 50:
-        # backfill with the LONGEST-UNCHECKED previously-green entries
-        # (oldest first-green round in the ledger) — re-certifies stale
-        # rows on the modern HEAD once the first-timer debt runs out
+        # backfill with the LONGEST-UNCHECKED previously-green entries —
+        # ranked by the LATEST round each entry was hash-green in (not
+        # the ledger's first-green round: an entry re-certified last
+        # round is fresh even if its first green row dates to r01) —
+        # re-certifies the stalest rows on the modern HEAD once the
+        # first-timer debt runs out (VERDICT r10 #5)
         try:
-            sys.path.insert(0, os.path.join(repo, "tools"))
-            from green_ledger import build
-
-            entries = build(repo)["entries"]
+            latest: dict[str, int] = {}
+            for path in sorted(
+                glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            ):
+                rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+                try:
+                    with open(path) as f:
+                        rows = json.load(f)
+                except (OSError, ValueError):
+                    continue
+                for name, row in rows.items():
+                    if isinstance(row, dict) and row.get("hash_match"):
+                        latest[name] = max(latest.get(name, 0), rnd)
 
             def age(n: str) -> int:
-                v = entries.get(n, "")
-                return int(v[1:]) if v.startswith("r") and v[1:].isdigit() else 99
+                return latest.get(n, 99)
 
             stale = sorted(
                 (n for n in names if n in oracle and n not in proposal),
                 key=lambda n: (age(n), names.index(n)),
             )
             proposal += stale[: 50 - len(proposal)]
-            print("# backfilled to 50 with oldest-green entries "
+            print("# backfilled to 50 with stalest-latest-green entries "
                   "(re-certification pass)")
         except Exception as exc:  # ledger unavailable: manual backfill
             print(f"# NOTE: only {len(proposal)} entries — backfill "
