@@ -148,10 +148,24 @@ def q40f_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import CountVectorizer, IDF, StopWordsRemover, Tokenizer
     from pyspark.sql.window import Window
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from nfl_predictions_spark.sources.tables import spread
+
+    # spread: documents.parquet lands in O(1) row groups at bench scales,
+    # so without it the three corpus passes below (cv.fit, idf.fit, the
+    # tf explode) each serialize onto 1-2 scan tasks (VERDICT r10 #6 —
+    # this was the whole q40f decade "growth": fixed-width execution, not
+    # data superlinearity). The tokenized frame is lazily checkpointed so
+    # tokenization runs ONCE for all three consumers.
+    docs = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     tok = Tokenizer(inputCol="text", outputCol="raw_tokens")
     sw = StopWordsRemover(inputCol="raw_tokens", outputCol="tokens")
-    staged = sw.transform(tok.transform(docs))
+    staged = (
+        sw.transform(tok.transform(docs))
+        .select("doc_id", "source", "tokens")
+        .localCheckpoint(eager=False)
+    )
     cv = CountVectorizer(inputCol="tokens", outputCol="tf", minDF=2.0)
     cv_model = cv.fit(staged)
     tf = cv_model.transform(staged)

@@ -91,6 +91,8 @@ SHOWCASE = [
     ("q340_ivf_refit_migrate", "refit+migrate — immutable new generation, map-side re-assign"),
     ("q342_ivf_refit_policy", "refit policy — 16-row occupancy frames, 1-row bill broadcast"),
     ("q343_dedup_maintenance_policy", "maintenance policy — staged kex reuse, one lazy plan"),
+    # round 11: vector-side eviction
+    ("q344_ivf_evict", "IVF eviction — broadcast hash anti-join tombstones, merge-on-read"),
 ]
 
 
