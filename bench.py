@@ -264,6 +264,7 @@ HEADLINE = [
     "q342_ivf_refit_policy",
     "q343_dedup_maintenance_policy",
     "q344_ivf_evict",
+    "q345_ivf_compact",
 ]
 
 _METRIC_FIELDS = {

@@ -1972,6 +1972,99 @@ def q344_ivf_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe_topk(alive(emb), alle, med, assign)
 
 
+@_q("q345_ivf_compact", _IVF_EVICT_ORACLE)
+def q345_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL compaction of the evicted vector store — the act
+    q342's 'compact' decision buys when no refit is due (the vector
+    analogue of q336's compaction, completing the symmetry: text side
+    has evict q338 + compact q336, vector side has evict q344 + this):
+    the staged base assignment minus the tombstone set is rewritten
+    ONCE as a new immutable generation component (same centroid
+    generation — no refit, no re-assignment; eviction is a single
+    broadcast anti-join at build time), and probes serve from the
+    compacted component with ZERO per-probe anti-join tax. The
+    recurring merge-on-read cost q344 pays on every probe becomes a
+    one-time O(survivors) rewrite — which is the exact trade q342's
+    tombstone-fraction trigger prices.
+
+    Compaction must not change answers: the oracle is q344's rebuild
+    verbatim, and tests pin q345 == q344 row-for-row (candidates are
+    identical sets; only WHERE the eviction is applied moves). The
+    in-band generation stamp rides FROM the validated base artifact
+    through the compaction scan (the q337 protocol: a component can
+    never claim a generation its input bytes weren't validated
+    against); read-time validation wipes and rebuilds a raced or
+    stale artifact.
+
+    Scale shape: the rewrite is one map-side anti-join pass over the
+    cell-keyed staged component (no shuffle — tombstones broadcast);
+    the probe is the shared q41e/q41f lattice with one less join than
+    q344. Tombstoned queries still stop probing (the query set is
+    ephemeral, not part of the store)."""
+    import shutil as _sh
+
+    from nfl_predictions_spark.operators.extended import _staged_path
+    from nfl_predictions_spark.operators.graph import _atomic_stage
+
+    cent_path = _fitted_centroids_path(spark, sf_dir)
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent, gen = _served_centroids(spark, cent_path)
+    med = cent.select(
+        "cell", F.col("c").cast("array<double>").alias("c"), "gen"
+    )
+    base_assign = _staged_base_assign(spark, sf_dir, emb, med, gen)
+
+    tomb = (
+        emb.select("vec_id")
+        .filter(F.col("vec_id") % _EVICT_VEC_MOD == 0)
+        .localCheckpoint(eager=False)
+    )
+
+    # one-time physical rewrite: survivors only, staged as an immutable
+    # component keyed by (fixture, centroid generation, tombstone set);
+    # the cgen stamp is re-carried from the VALIDATED base read so the
+    # compacted bytes inherit the generation identity through lineage
+    aroot = _staged_path(sf_dir, "ivf_assign", sources=("embeddings",))
+    cout = os.path.join(aroot, f"compact_{gen}_m{_EVICT_VEC_MOD}")
+    # the base component _staged_base_assign just validated, re-read
+    # WITH its in-band cgen column so the stamp flows through the
+    # compaction scan from the artifact's own bytes (never asserted)
+    bout = os.path.join(aroot, f"base_{gen}")
+    compacted = None
+    for attempt in (0, 1):
+        if not os.path.exists(os.path.join(cout, "_SUCCESS")):
+            _atomic_stage(
+                spark.read.parquet(bout).join(
+                    F.broadcast(tomb), "vec_id", "left_anti"
+                ),
+                cout,
+            )
+        staged = spark.read.parquet(cout)
+        if "cgen" in staged.columns:
+            stamped = [r[0] for r in staged.select("cgen").distinct().collect()]
+            if stamped == [gen]:
+                compacted = staged.drop("cgen")
+                break
+        if attempt == 0:
+            _sh.rmtree(cout, ignore_errors=True)
+    if compacted is None:
+        raise RuntimeError(
+            f"compacted IVF assignment at {cout} failed generation "
+            f"validation twice (want gen={gen})"
+        )
+
+    nb = emb.select(
+        (F.col("vec_id") + _ANN_OFF).alias("vec_id"),
+        F.reverse("emb").alias("emb"),
+    )
+    assign = compacted.unionByName(_ivf_assign(nb, med))
+    alle = emb.unionByName(nb).localCheckpoint(eager=False)
+    q_surv = emb.join(F.broadcast(tomb), "vec_id", "left_anti")
+    return _ivf_probe_topk(q_surv, alle, med, assign)
+
+
 # ---------------------------------------------------------------------------
 # q167 — ANN recall certification (exact vs LSH), as a query
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ EXPECTED_WINDOW = [
     "q41_ann_topk",
     "q344_ivf_evict",
     "q342_ivf_refit_policy",
+    "q345_ivf_compact",
     "q15b_cube",
     "q19b_sort_nulls",
     "q26b_map_lookup",
@@ -60,7 +61,6 @@ EXPECTED_WINDOW = [
     "q120_bloom_semi_join",
     "q72_recursive_cte",
     "q73_variant_json",
-    "q74_sql_udf",
 ]
 
 

@@ -167,3 +167,68 @@ def test_rows_only_ledger_reconciled():
     }
     assert committed_ro == PERMANENT_ROWS_ONLY
     assert committed["counts"]["rows_only"] == 8
+
+
+def test_q345_compaction_invariance(spark):
+    """Physical compaction must not change answers (the q336 discipline
+    applied to the vector store): q345 (compacted component, zero
+    per-probe anti-joins) equals q344 (merge-on-read) row-for-row."""
+    from nfl_predictions_spark.operators.similarity import (
+        q344_ivf_evict,
+        q345_ivf_compact,
+    )
+
+    mor = sorted(tuple(r) for r in q344_ivf_evict(spark, SF_SMOKE).collect())
+    cmp_ = sorted(
+        tuple(r) for r in q345_ivf_compact(spark, SF_SMOKE).collect()
+    )
+    assert mor == cmp_
+    assert len(mor) > 0
+
+
+def test_q345_plan_shape(spark):
+    """The whole point of compaction: the probe plan carries EXACTLY ONE
+    broadcast hash anti-join (the ephemeral query set) — the staged
+    component is already tombstone-free, so the per-probe merge-on-read
+    tax q344 pays (>=2 anti-joins) is gone."""
+    p = _plan(spark, "q345_ivf_compact")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"BroadcastNestedLoopJoin", p)) <= 2
+    anti = re.findall(r"BroadcastHashJoin .*LeftAnti", p)
+    assert len(anti) == 1, f"expected exactly 1 anti-join:\n{p}"
+    assert "SortMergeJoin LeftAnti" not in p
+
+
+def test_q345_compacted_artifact_self_validates(spark):
+    """The compacted component inherits the q337 staging protocol: a
+    poisoned artifact (stamp disagreeing with the served generation)
+    is wiped and rebuilt at read time, not served."""
+    import os
+    import shutil
+
+    from nfl_predictions_spark.operators.extended import _staged_path
+    from nfl_predictions_spark.operators.graph import _atomic_stage
+    from nfl_predictions_spark.operators.similarity import (
+        _EVICT_VEC_MOD,
+        q345_ivf_compact,
+    )
+    from pyspark.sql import functions as F
+
+    from tests.test_round10 import _ivf_fixture
+
+    clean = sorted(tuple(r) for r in q345_ivf_compact(spark, SF_SMOKE).collect())
+    _, _, _, gen = _ivf_fixture(spark)
+    cout = os.path.join(
+        _staged_path(SF_SMOKE, "ivf_assign", sources=("embeddings",)),
+        f"compact_{gen}_m{_EVICT_VEC_MOD}",
+    )
+    assert os.path.exists(os.path.join(cout, "_SUCCESS"))
+    poisoned = (
+        spark.read.parquet(cout)
+        .withColumn("cgen", F.lit("deadbeef0000"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(cout)
+    _atomic_stage(poisoned, cout)
+    healed = sorted(tuple(r) for r in q345_ivf_compact(spark, SF_SMOKE).collect())
+    assert healed == clean

@@ -57,9 +57,11 @@ ALLOW = {
         "q340_ivf_refit_migrate",  # same: queries x 16-row refit centroids
         "q341_stream_ivf_ingest",  # q337's probe lattice (shared helper)
         "q342_ivf_refit_policy",  # batch x 16-row centroid assignment sweeps
-        "q344_ivf_evict",  # q337 shape: batch-assign + probe x 16-row
-        # centroid table; the tombstone joins themselves are pinned
-        # broadcast HASH anti-joins (tests/test_round11.py plan pin)
+        # q337 shape: batch-assign + probe x 16-row centroid table; the
+        # tombstone joins are pinned broadcast HASH anti-joins
+        # (tests/test_round11.py plan pins)
+        "q344_ivf_evict",
+        "q345_ivf_compact",
         "q343_dedup_maintenance_policy",  # 1-row vocab-total broadcast
         "q132_bm25_retrieval",  # 1-row corpus stats (N, avgdl)
         "q136_hybrid_rrf",  # 1-row corpus stats via the BM25 subtree
