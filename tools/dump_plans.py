@@ -93,6 +93,7 @@ SHOWCASE = [
     ("q343_dedup_maintenance_policy", "maintenance policy — staged kex reuse, one lazy plan"),
     # round 11: vector-side eviction
     ("q344_ivf_evict", "IVF eviction — broadcast hash anti-join tombstones, merge-on-read"),
+    ("q345_ivf_compact", "IVF compaction — staged tombstone-free component, 1 anti-join"),
 ]
 
 
