@@ -102,10 +102,11 @@ def _registry():
         "q39_minhash_lsh_pairs",
         "q40_token_stats",
         "q41_ann_topk",
-        # round-11 additions: never-checked (q344, q345) + rewritten (q342)
+        # round-11 additions: never-checked (q344, q345, q346) + rewritten (q342)
         "q344_ivf_evict",
         "q342_ivf_refit_policy",
         "q345_ivf_compact",
+        "q346_forget_cascade_indexes",
         # stalest-latest-green re-certification pass (r1/r2 rows)
         "q15b_cube",
         "q19b_sort_nulls",
@@ -145,7 +146,6 @@ def _registry():
         "q52_bucketed_join",
         "q120_bloom_semi_join",
         "q72_recursive_cte",
-        "q73_variant_json",
     ]
     ordered: dict[str, Callable] = {}
     for name in window:

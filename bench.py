@@ -265,6 +265,7 @@ HEADLINE = [
     "q343_dedup_maintenance_policy",
     "q344_ivf_evict",
     "q345_ivf_compact",
+    "q346_forget_cascade_indexes",
 ]
 
 _METRIC_FIELDS = {

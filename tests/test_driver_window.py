@@ -22,6 +22,7 @@ EXPECTED_WINDOW = [
     "q344_ivf_evict",
     "q342_ivf_refit_policy",
     "q345_ivf_compact",
+    "q346_forget_cascade_indexes",
     "q15b_cube",
     "q19b_sort_nulls",
     "q26b_map_lookup",
@@ -60,7 +61,6 @@ EXPECTED_WINDOW = [
     "q52_bucketed_join",
     "q120_bloom_semi_join",
     "q72_recursive_cte",
-    "q73_variant_json",
 ]
 
 

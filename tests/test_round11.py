@@ -232,3 +232,50 @@ def test_q345_compacted_artifact_self_validates(spark):
     _atomic_stage(poisoned, cout)
     healed = sorted(tuple(r) for r in q345_ivf_compact(spark, SF_SMOKE).collect())
     assert healed == clean
+
+
+def test_q346_plan_shape(spark):
+    """The index-surface erasure audit is pure map-side conditional
+    aggregation over staged components — NO joins of any kind in the
+    plan (the tombstone predicates are key-derived, and the index
+    components are read from the staged store, never recomputed)."""
+    p = _plan(spark, "q346_forget_cascade_indexes")
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_q346_cascade_consistent_with_evictions(spark):
+    """The audit's numbers must agree with the surfaces it audits:
+    documents purged == q338's tombstone set, embeddings purged ==
+    q344's, ivf purged == base minus the compacted component's rows
+    (q345), and the shingle fan-out strictly exceeds the doc count."""
+    from nfl_predictions_spark.operators.similarity import q345_ivf_compact
+    import __spark_entry__ as em
+
+    rows = {
+        r.surface: r
+        for r in em.queries()["q346_forget_cascade_indexes"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    docs, shingle = rows["documents"], rows["doc_shingle_index"]
+    emb, ivf = rows["embeddings"], rows["ivf_assignments"]
+    assert emb.purged == ivf.purged  # 1 assignment per vector
+    assert shingle.purged > docs.purged  # index fan-out
+    assert docs.purged > 0 and emb.purged > 0
+    # the compacted store (q345) holds exactly the remaining assignments
+    from nfl_predictions_spark.operators.extended import _staged_path
+    from nfl_predictions_spark.operators.similarity import (
+        _EVICT_VEC_MOD,
+    )
+    from tests.test_round10 import _ivf_fixture
+    import os
+
+    q345_ivf_compact(spark, SF_SMOKE)  # ensure staged
+    _, _, _, gen = _ivf_fixture(spark)
+    cout = os.path.join(
+        _staged_path(SF_SMOKE, "ivf_assign", sources=("embeddings",)),
+        f"compact_{gen}_m{_EVICT_VEC_MOD}",
+    )
+    n_compacted = spark.read.parquet(cout).count()
+    assert n_compacted == ivf.remaining
