@@ -84,6 +84,11 @@ def main() -> None:
                 for name, row in rows.items():
                     if isinstance(row, dict) and row.get("hash_match"):
                         latest[name] = max(latest.get(name, 0), rnd)
+            # the CURRENT window is checked by the in-flight round:
+            # rank it freshest so the next rotation moves on
+            inflight = (max(latest.values()) if latest else 0) + 1
+            for name in names[:50]:
+                latest[name] = max(latest.get(name, 0), inflight)
 
             def age(n: str) -> int:
                 return latest.get(n, 99)
