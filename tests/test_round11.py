@@ -105,11 +105,20 @@ def test_q342_eviction_arm_branches(spark):
         assert 0.0 < ident.tomb_frac < _TOMB_VEC_CRIT
         assert rev.evict_action == "compact" and rev.n_evicted > 0
         assert rev.tomb_frac > _TOMB_VEC_CRIT
-        # the unchanged drift arm still exercises both decisions
+        # the unchanged drift arm still exercises the absorb decision
         assert ident.decision == "absorb" and ident.n_moved == 0
-    # at the gate scale the reversed batch trips the refit and the
-    # survivors-only bill is positive but excludes the evicted set
+    # The refit branch needs statistical power the 500-vector fixtures
+    # lack under the deterministic quantizer fit: at the bench scale
+    # the reversed batch trips the 0.05 critical value, the
+    # survivors-only migration bill is positive, and the eviction arm
+    # still bills its compact decision alongside.
+    rows = {
+        r.batch_tag: r
+        for r in q342_ivf_refit_policy(spark, "/root/testdata/sf0.1").collect()
+    }
+    rev = rows["reversed"]
     assert rev.decision == "refit" and rev.n_moved > 0
+    assert rev.evict_action == "compact" and rev.n_evicted > 0
 
 
 def test_legacy_ivf_v1_root_reaped(spark, tmp_path):
