@@ -38,16 +38,31 @@ _CACHE_ROOT = os.path.join(
 )
 
 
+#: in-process handle memo: (root, session id) -> loaded PipelineModels.
+#: PipelineModel.load is dozens of small metadata/parquet reads per
+#: stage (~1 s for the two ensembles); the reference loads models ONCE
+#: at boot (assets/app_nfl.py:337-338), never per request, so the
+#: engine keeps the deserialized handles for the life of the session.
+#: Keyed by session id because a JVM restart invalidates the handles.
+_LOADED_MODELS: dict = {}
+
+
 def trained_models(spark: SparkSession):
     """Train-or-load the two pipelines on the deterministic synthetic
     plays table. Models are persisted in Spark's native PipelineModel
     format (same on-disk contract as the reference's shipped artifacts)
-    and reloaded on subsequent calls — the reference loads models once
+    and reloaded once per session — the reference loads models once
     at boot (assets/app_nfl.py:337-338), never per query."""
+    memo_key = (_CACHE_ROOT, spark.sparkContext.applicationId)
+    cached = _LOADED_MODELS.get(memo_key)
+    if cached is not None:
+        return cached
     marker = os.path.join(_CACHE_ROOT, "_done")
     if os.path.exists(marker):
         try:
-            return load_models(_CACHE_ROOT)
+            models = load_models(_CACHE_ROOT)
+            _LOADED_MODELS[memo_key] = models
+            return models
         except Exception:
             pass
     plays = build_features(synthetic_plays(spark, _TRAIN_GAMES, _TRAIN_PLAYS)).persist()
@@ -64,6 +79,7 @@ def trained_models(spark: SparkSession):
     save_models(pass_model, run_model, _CACHE_ROOT)
     with open(marker, "w") as f:
         f.write("ok")
+    _LOADED_MODELS[memo_key] = (pass_model, run_model)
     return pass_model, run_model
 
 

@@ -1894,6 +1894,15 @@ def inc_near(
     )
 
 
+#: session-scoped plan-handle memo: (appId, component dir) -> DataFrame.
+#: A DataFrame here is a lazy parquet-scan PLAN over the immutable
+#: staged component — caching the handle skips the repeated
+#: read.parquet footer/py4j round-trip every absorb-family query paid
+#: per call (optimization round 11); the data is still computed from
+#: the parquet bytes at every execution.
+_COMP_HANDLES: dict = {}
+
+
 def base_index(spark: SparkSession, sf_dir: str) -> dict:
     """The persistent base-corpus dedup index q332/q333 maintain —
     digest table (exact path), distinct shingles, set sizes, document
@@ -1911,12 +1920,18 @@ def base_index(spark: SparkSession, sf_dir: str) -> dict:
     from nfl_predictions_spark.operators.graph import _atomic_stage
 
     idx_root = _staged_path(sf_dir, "neardup_base_index", sources=("documents",))
+    app = spark.sparkContext.applicationId
 
     def comp(kind: str, build) -> DataFrame:
         out = os.path.join(idx_root, kind)
+        cached = _COMP_HANDLES.get((app, out))
+        if cached is not None:
+            return cached
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             _atomic_stage(build(), out)
-        return spark.read.parquet(out)
+        df = spark.read.parquet(out)
+        _COMP_HANDLES[(app, out)] = df
+        return df
 
     base = table(spark, sf_dir, "documents").select("doc_id", "text")
     bdig = comp("bdig", lambda: base.select("doc_id", F.md5("text").alias("dg")))
@@ -2226,14 +2241,16 @@ def q333_absorb_rededup(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin is in base'), so a second absorb adds nothing.
     """
     idx = base_index(spark, sf_dir)
-    dfreq = idx["dfreq"].localCheckpoint(eager=False)
+    # dfreq is a bare staged-parquet scan: checkpointing it would cost a
+    # physical-planning pass and forfeit column pruning for zero reuse
+    # benefit (optimization round 11 — same reasoning for bdg/bsz below,
+    # trivial derivations of already-checkpointed parents)
+    dfreq = idx["dfreq"]
     docs = table(spark, sf_dir, "documents")
     bt = recrawl_batch(docs).localCheckpoint(eager=False)
 
     # ---- pass 1: q327's verdicts against the staged index ----
-    bdg = bt.select("batch_id", F.md5("text").alias("dg")).localCheckpoint(
-        eager=False
-    )
+    bdg = bt.select("batch_id", F.md5("text").alias("dg"))
     exact1 = (
         bdg.join(idx["bdig"], "dg")
         .groupBy("batch_id")
@@ -2242,11 +2259,7 @@ def q333_absorb_rededup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rem1 = bt.join(exact1.select("batch_id"), "batch_id", "left_anti")
     bex = shingle_rows(rem1, id_col="batch_id").localCheckpoint(eager=False)
-    bsz = (
-        bex.groupBy("batch_id")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .localCheckpoint(eager=False)
-    )
+    bsz = bex.groupBy("batch_id").agg(F.count(F.lit(1)).alias("sz"))
     pb = inc_prefix(bex, "batch_id", bsz, dfreq).localCheckpoint(eager=False)
     near1 = inc_near(pb, idx["pd"], bex, idx["dex"], bsz, idx["dsz"]).localCheckpoint(
         eager=False
@@ -2377,7 +2390,7 @@ def q336_compacted_rededup(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is staged once, and every subsequent probe pays only
     O(batch)-sized work against the compacted components."""
     idx = base_index(spark, sf_dir)
-    dfreq0 = idx["dfreq"].localCheckpoint(eager=False)
+    dfreq0 = idx["dfreq"]
     bt = recrawl_batch(table(spark, sf_dir, "documents")).localCheckpoint(
         eager=False
     )
@@ -2393,15 +2406,15 @@ def q336_compacted_rededup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the compacted generation: refreshed df + re-ranked prefix rows
     # over the MERGED corpus, staged once
+    # staged comps are parquet scans and the unions are cheap column-
+    # pruned merges: no checkpoint (planning-pass savings, round 11)
     dex2 = idx["dex"].unionByName(kex)
-    dsz2 = idx["dsz"].unionByName(ksz).localCheckpoint(eager=False)
+    dsz2 = idx["dsz"].unionByName(ksz)
     dfreq2 = comp(
         "cdfreq",
         lambda: dex2.groupBy("s").agg(F.count(F.lit(1)).alias("df")),
-    ).localCheckpoint(eager=False)
-    pd2 = comp(
-        "cpd", lambda: inc_prefix(dex2, "doc_id", dsz2, dfreq2)
-    ).localCheckpoint(eager=False)
+    )
+    pd2 = comp("cpd", lambda: inc_prefix(dex2, "doc_id", dsz2, dfreq2))
 
     # probe: the batch against the compacted index
     bdg = bt.select("batch_id", F.md5("text").alias("dg"))
@@ -2532,15 +2545,15 @@ def q338_evict_rededup(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument; the oracle rebuilds the evicted corpus from scratch and
     re-ranks from true df, proving order-independence again)."""
     idx = base_index(spark, sf_dir)
-    dfreq = idx["dfreq"].localCheckpoint(eager=False)
+    dfreq = idx["dfreq"]
     bt = recrawl_batch(table(spark, sf_dir, "documents")).localCheckpoint(
         eager=False
     )
+    # pruned+pushed one-column scan; cheaper re-read than a checkpoint
     tomb = (
         table(spark, sf_dir, "documents")
         .select("doc_id")
         .filter(F.col("doc_id") % _EVICT_MOD == 0)
-        .localCheckpoint(eager=False)
     )
 
     def alive(compdf: DataFrame) -> DataFrame:
@@ -2718,7 +2731,7 @@ def q334_multigen_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain (q164/q228 discipline, iterated).
     """
     idx = base_index(spark, sf_dir)
-    dfreq = idx["dfreq"].localCheckpoint(eager=False)
+    dfreq = idx["dfreq"]
     bt = recrawl_batch(table(spark, sf_dir, "documents"))
     n = bt.count()
     w = Window.orderBy("batch_id")

@@ -2138,12 +2138,16 @@ def q275_grouped_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     over identical doubles; betas re-quantize at 1e-9 each round.
 
     Scale: each iteration is one scan + one groupBy(grp) aggregate —
-    {_LR_T} passes total, no driver-side data, model state is a
-    groups x 2 frame broadcast back each round (the same loop-state
-    shape as q165's k-means)."""
+    {_LR_T} passes total. Model state is a |groups| x 2 table (a few
+    dozen doubles, bounded by the order-priority cardinality), carried
+    on the DRIVER between rounds: each iteration's aggregate collects
+    to the driver and the next round's betas enter the per-row kernel
+    by closure — the MLlib iteration shape. (Optimization round 11:
+    the previous broadcast-join + lazy-localCheckpoint loop paid a
+    full physical-planning pass per iteration — 2.75 s of a 3.6 s
+    construction was planning, guide §7.3 — for the identical
+    arithmetic.)"""
     import math
-
-    from pyspark.sql.functions import pandas_udf
 
     orders = table(spark, sf_dir, "orders")
     d = orders.select(
@@ -2151,57 +2155,74 @@ def q275_grouped_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") / F.lit(100000.0)).alias("x"),
         F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
     )
-    betas = d.select("grp").distinct().select(
-        "grp", F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
-    )
-
-    @pandas_udf("qw long, qwx long, qwxx long, qwz long, qwxz long")
-    def lr_terms(x: pd.Series, y: pd.Series, b0: pd.Series, b1: pd.Series) -> pd.DataFrame:
-        cl = _LR_ETA_CLAMP
-        rows = {"qw": [], "qwx": [], "qwxx": [], "qwz": [], "qwxz": []}
-        for xi, yi, a, b in zip(x.tolist(), y.tolist(), b0.tolist(), b1.tolist()):
-            eta = a + b * xi
-            mu = 1.0 / (1.0 + math.exp(-max(min(eta, cl), -cl)))
-            w = mu * (1.0 - mu)
-            wz = w * eta + (yi - mu)
-            rows["qw"].append(math.floor(w * 1e9 + 0.5))
-            rows["qwx"].append(math.floor(w * xi * 1e9 + 0.5))
-            rows["qwxx"].append(math.floor(w * xi * xi * 1e9 + 0.5))
-            rows["qwz"].append(math.floor(wz * 1e9 + 0.5))
-            rows["qwxz"].append(math.floor(wz * xi * 1e9 + 0.5))
-        return pd.DataFrame(rows)
-
-    dec = "decimal(28,0)"
-    n_col = None
+    betas: dict = {}  # grp -> (b0, b1); implicit (0.0, 0.0) in round 1
+    counts: dict = {}
     for _ in range(_LR_T):
-        j = d.join(F.broadcast(betas), "grp")
-        s = (
-            j.select("grp", lr_terms("x", "y", "b0", "b1").alias("t"))
-            .groupBy("grp")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                (F.sum(F.col("t.qw").cast(dec)).cast("double") / 1e9).alias("sw"),
-                (F.sum(F.col("t.qwx").cast(dec)).cast("double") / 1e9).alias("swx"),
-                (F.sum(F.col("t.qwxx").cast(dec)).cast("double") / 1e9).alias("swxx"),
-                (F.sum(F.col("t.qwz").cast(dec)).cast("double") / 1e9).alias("swz"),
-                (F.sum(F.col("t.qwxz").cast(dec)).cast("double") / 1e9).alias("swxz"),
+        bmap = dict(betas)
+
+        # per-batch per-group PARTIAL sums: the kernel emits one row per
+        # (arrow batch, group) — a few dozen rows per task instead of one
+        # quantized 5-tuple per input row. The partials are exact
+        # integers, so the driver-side final sum (Python bigints == the
+        # old DECIMAL sum) is merge-order-free and bit-identical.
+        def lr_partials(batches, _bmap=bmap):
+            cl = _LR_ETA_CLAMP
+            for pdf in batches:
+                acc: dict = {}
+                for gi, xi, yi in zip(
+                    pdf["grp"].tolist(), pdf["x"].tolist(), pdf["y"].tolist()
+                ):
+                    a, b = _bmap.get(gi, (0.0, 0.0))
+                    eta = a + b * xi
+                    mu = 1.0 / (1.0 + math.exp(-max(min(eta, cl), -cl)))
+                    w = mu * (1.0 - mu)
+                    wz = w * eta + (yi - mu)
+                    g = acc.setdefault(gi, [0, 0, 0, 0, 0, 0])
+                    g[0] += 1
+                    g[1] += math.floor(w * 1e9 + 0.5)
+                    g[2] += math.floor(w * xi * 1e9 + 0.5)
+                    g[3] += math.floor(w * xi * xi * 1e9 + 0.5)
+                    g[4] += math.floor(wz * 1e9 + 0.5)
+                    g[5] += math.floor(wz * xi * 1e9 + 0.5)
+                yield pd.DataFrame(
+                    [(k, *v) for k, v in acc.items()],
+                    columns=["grp", "n", "qw", "qwx", "qwxx", "qwz", "qwxz"],
+                )
+
+        parts = d.mapInPandas(
+            lr_partials,
+            "grp string, n long, qw long, qwx long, qwxx long, qwz long, qwxz long",
+        ).collect()
+        sums: dict = {}
+        for r in parts:
+            g = sums.setdefault(r["grp"], [0, 0, 0, 0, 0, 0])
+            for i, k in enumerate(("n", "qw", "qwx", "qwxx", "qwz", "qwxz")):
+                g[i] += r[k]
+        # closed-form 2x2 solve on the driver: identical IEEE double
+        # expression tree as the previous JVM projection (decimal->double
+        # cast == Python int->float round-to-nearest; mul/sub/div and
+        # floor are deterministic, exactly as in the DuckDB replay)
+        for grp, (n, qw, qwx, qwxx, qwz, qwxz) in sums.items():
+            sw = float(qw) / 1e9
+            swx = float(qwx) / 1e9
+            swxx = float(qwxx) / 1e9
+            swz = float(qwz) / 1e9
+            swxz = float(qwxz) / 1e9
+            det = sw * swxx - swx * swx
+            b0n = (swxx * swz - swx * swxz) / det
+            b1n = (sw * swxz - swx * swz) / det
+            betas[grp] = (
+                math.floor(b0n * 1e9 + 0.5) / 1e9,
+                math.floor(b1n * 1e9 + 0.5) / 1e9,
             )
-        )
-        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
-        b0n = (F.col("swxx") * F.col("swz") - F.col("swx") * F.col("swxz")) / det
-        b1n = (F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det
-        betas = s.select(
-            "grp",
-            F.col("n"),
-            (F.floor(b0n * 1e9 + F.lit(0.5)) / 1e9).alias("b0"),
-            (F.floor(b1n * 1e9 + F.lit(0.5)) / 1e9).alias("b1"),
-        ).localCheckpoint(eager=False)
-        n_col = "n"
-    return betas.select(
-        "grp",
-        F.col(n_col).cast("long").alias("n"),
-        (F.floor(F.col("b0") * 1e6 + F.lit(0.5)) / 1e6).alias("beta0"),
-        (F.floor(F.col("b1") * 1e6 + F.lit(0.5)) / 1e6).alias("beta1"),
+            counts[grp] = n
+    out = [
+        (g, int(counts[g]), math.floor(b0 * 1e6 + 0.5) / 1e6,
+         math.floor(b1 * 1e6 + 0.5) / 1e6)
+        for g, (b0, b1) in sorted(betas.items())
+    ]
+    return spark.createDataFrame(
+        out, "grp string, n long, beta0 double, beta1 double"
     ).orderBy("grp")
 
 
@@ -2330,74 +2351,53 @@ def q293_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("l"),
         )
     )
-    # One eager materialization of the ONLY data-sized relation: after
-    # this groupBy the frame is bounded by |brands|^2 (~625 rows).
-    # Without it, every per-iteration checkpoint below re-executed the
-    # lineitem self-join (4 heavy passes; 7.2 s of q293's construction
-    # at sf0.1 — VERDICT r06 #3). With it, the iterations checkpoint
-    # millisecond-sized model frames only.
-    c = cmp.groupBy("w", "l").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
-    nij = (
-        c.select(F.col("w").alias("i"), F.col("l").alias("j"), "cnt")
-        .unionByName(c.select(F.col("l").alias("i"), F.col("w").alias("j"), "cnt"))
-        .groupBy("i", "j")
-        .agg(F.sum("cnt").alias("n"))
-    )
-    wins = c.groupBy(F.col("w").alias("wi")).agg(F.sum("cnt").alias("wn"))
-    theta = nij.select("i").distinct().withColumn("th", F.lit(1.0))
+    # ONE Spark job computes the only data-sized relation: after this
+    # groupBy the frame is bounded by |brands|^2 (~625 rows), so it
+    # collects to the driver and the {T} MM rounds run there as exact
+    # integer/double arithmetic — the identical op sequence the oracle
+    # unrolls (mul/div/floor and exact integer sums are engine-
+    # independent). (Optimization round 11: the previous broadcast-join
+    # loop paid a physical-planning pass per iteration for the same
+    # math on ~25 model rows; construction 2.5 s -> the one real job.)
+    import math
+
+    c = [
+        (r["w"], r["l"], int(r["cnt"]))
+        for r in cmp.groupBy("w", "l").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    ]
+    nij: dict = {}
+    wins: dict = {}
+    for w, l, cnt in c:
+        nij[(w, l)] = nij.get((w, l), 0) + cnt
+        nij[(l, w)] = nij.get((l, w), 0) + cnt
+        wins[w] = wins.get(w, 0) + cnt
+    items = sorted({i for i, _ in nij})
+    tot = {i: sum(n for (a, _), n in nij.items() if a == i) for i in items}
+    th = {i: 1.0 for i in items}
     for _ in range(_BT_T):
-        term = F.floor(
-            F.col("n").cast("double") / (F.col("ta_th") + F.col("tb_th")) * 1e9
-            + F.lit(0.5)
-        ).cast("decimal(28,0)")
-        s = (
-            nij.join(
-                F.broadcast(theta.select(F.col("i").alias("ta_i"),
-                                         F.col("th").alias("ta_th"))),
-                F.col("i") == F.col("ta_i"),
+        s = {i: 0 for i in items}
+        for (i, j), n in nij.items():
+            s[i] += math.floor(float(n) / (th[i] + th[j]) * 1e9 + 0.5)
+        k = {
+            i: math.floor(
+                float(wins.get(i, 0)) / (float(s[i]) / 1e9) * 1e9 + 0.5
             )
-            .join(
-                F.broadcast(theta.select(F.col("i").alias("tb_i"),
-                                         F.col("th").alias("tb_th"))),
-                F.col("j") == F.col("tb_i"),
-            )
-            .groupBy("i")
-            .agg(F.sum(term).alias("s"))
+            for i in items
+        }
+        z = sum(k.values())
+        th = {i: float(k[i]) / float(z) for i in items}
+    rows = [
+        (
+            i,
+            int(wins.get(i, 0)),
+            int(tot[i]),
+            math.floor(th[i] * 1e6 + 0.5) / 1e6,
         )
-        k = (
-            s.join(F.broadcast(wins), F.col("i") == F.col("wi"), "left")
-            .select(
-                "i",
-                F.floor(
-                    F.coalesce(F.col("wn"), F.lit(0)).cast("double")
-                    / (F.col("s").cast("double") / 1e9)
-                    * 1e9
-                    + F.lit(0.5)
-                ).cast("long").alias("kk"),
-            )
-        )
-        z = k.agg(F.sum("kk").alias("z"))
-        theta = (
-            k.crossJoin(F.broadcast(z))
-            .select(
-                "i",
-                (F.col("kk").cast("double") / F.col("z").cast("double")).alias("th"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    tot = nij.groupBy(F.col("i").alias("ti")).agg(F.sum("n").alias("n_cmp"))
-    strength = F.floor(F.col("th") * 1e6 + F.lit(0.5)) / 1e6
-    return (
-        theta.join(F.broadcast(wins), F.col("i") == F.col("wi"), "left")
-        .join(F.broadcast(tot), F.col("i") == F.col("ti"))
-        .select(
-            F.col("i").alias("brand"),
-            F.coalesce(F.col("wn"), F.lit(0)).cast("long").alias("wins"),
-            F.col("n_cmp").cast("long").alias("n_comparisons"),
-            strength.alias("strength"),
-        )
-        .orderBy(F.desc("strength"), "brand")
-    )
+        for i in items
+    ]
+    return spark.createDataFrame(
+        rows, "brand string, wins long, n_comparisons long, strength double"
+    ).orderBy(F.desc("strength"), "brand")
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nfl_predictions_spark.streaming.sources import events_file_stream
+from nfl_predictions_spark.streaming.sources import events_file_stream, stream_partitions
 from nfl_predictions_spark.streaming.windows import (
     run_to_batch,
     session_counts,
@@ -380,7 +380,7 @@ def q83_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"nflspark_synstream_{uuid.uuid4().hex[:8]}"
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_partitions())
     try:
         q = (
             stream.writeStream.format("memory")
@@ -438,7 +438,7 @@ def q84_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = tempfile.mkdtemp(prefix="nflspark_stateq_")
     name = f"nflspark_state_{uuid.uuid4().hex[:8]}"
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_partitions())
     try:
         q = (
             agg.writeStream.format("memory")
@@ -534,7 +534,7 @@ def q96_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = events_file_stream(spark, sf_dir, with_dups=False)
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_partitions())
     try:
         q = (
             stream.writeStream.foreachBatch(upsert)

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nfl_predictions_spark.ml.score import score_best_play
-from nfl_predictions_spark.streaming.sources import checkpoint_dir
+from nfl_predictions_spark.streaming.sources import checkpoint_dir, stream_partitions
 
 
 def score_and_route(
@@ -48,7 +48,7 @@ def score_and_route(
             batch.unpersist()
 
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_partitions())
     try:
         q = (
             requests_stream.writeStream.foreachBatch(handle_batch)

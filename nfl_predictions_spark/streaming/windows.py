@@ -19,7 +19,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nfl_predictions_spark.streaming.sources import checkpoint_dir
+from nfl_predictions_spark.streaming.sources import checkpoint_dir, stream_partitions
 
 _counter = itertools.count()
 
@@ -90,13 +90,18 @@ def run_to_batch(
     into its state layout at start. Under a default 200-partition
     session every micro-batch schedules 200 state tasks for kilobytes
     of state (measured 16-22 s/query at sf0.01); pinning a small count
-    for the stream's lifetime cuts that ~3x. Results are partition-
-    independent. A production deployment sizes this to expected state,
-    not to the batch default.
+    for the stream's lifetime cuts that ~3x, and 8 measured another
+    ~0.4 s/query over 16 at sf0.1 (the HDFS-backed state store writes
+    one delta file per partition per micro-batch, so partition count is
+    a file-op multiplier). Results are partition-independent. The count
+    sizes to expected STATE VOLUME, not cluster width — the replay
+    fixtures carry KB-scale state; a production deployment sets
+    SPARK_GRAFT_STREAM_PARTITIONS to its state size / target
+    per-partition state.
     """
     name = f"nflspark_sink_{next(_counter)}"
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_partitions())
     try:
         q = (
             streaming_df.writeStream.format("memory")
