@@ -2839,28 +2839,43 @@ class AbsorbState:
                 )
             )
         )
-        # absorb this chunk's survivors as eagerly-checkpointed DELTA
-        # components — O(chunk survivors) each; eager truncates the
-        # lineage so the next generation's plan does not re-derive this
-        # one. Prefix rows rank under the FROZEN (df, s) index order.
+        # absorb this chunk's survivors as ONE eagerly-checkpointed DELTA
+        # component per generation: survivor digests (kind 'dg') and
+        # exploded shingle rows (kind 's') packed into a single frame —
+        # eager truncates the lineage so the next generation's plan does
+        # not re-derive this one, and packing halves the per-generation
+        # eager job count (the round-11 fixed-overhead cut: one job
+        # launch + checkpoint instead of two). Digest/shingle views are
+        # narrow filters over the checkpoint blocks. Prefix rows rank
+        # under the FROZEN (df, s) index order.
         surv = (
             rem.join(near.select("batch_id"), "batch_id", "left_anti")
             .select("batch_id", "text", F.md5("text").alias("dg"))
         )
         first = surv.groupBy("dg").agg(F.min("batch_id").alias("batch_id"))
-        sv = (
-            surv.join(first, ["dg", "batch_id"])
-            .select(F.col("batch_id").alias("doc_id"), "text", "dg")
+        sv = surv.join(first, ["dg", "batch_id"]).select(
+            F.col("batch_id").alias("doc_id"), "text", "dg"
+        )
+        delta = (
+            shingle_rows(sv.select("doc_id", "text"))
+            .select("doc_id", F.lit("s").alias("kind"), F.col("s").alias("val"))
+            .unionByName(
+                sv.select(
+                    "doc_id", F.lit("dg").alias("kind"), F.col("dg").alias("val")
+                )
+            )
             .coalesce(1)  # chunk-survivor-sized: one partition, one task
             .localCheckpoint(eager=True)
         )
-        kex = (
-            shingle_rows(sv.select("doc_id", "text"))
-            .coalesce(1)
-            .localCheckpoint(eager=True)
+        kex = delta.filter(F.col("kind") == "s").select(
+            "doc_id", F.col("val").alias("s")
         )
         ksz = kex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-        self.digs.append(sv.select("doc_id", "dg"))
+        self.digs.append(
+            delta.filter(F.col("kind") == "dg").select(
+                "doc_id", F.col("val").alias("dg")
+            )
+        )
         self.exs.append(kex)
         self.szs.append(ksz)
         self.pds.append(inc_prefix(kex, "doc_id", ksz, self.dfreq))

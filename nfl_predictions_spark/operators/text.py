@@ -1576,30 +1576,39 @@ def q308_ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+filter+join five times
     pairs = r.join(c, "ref_id").localCheckpoint(eager=False)
 
-    def grams(side: str, n: int) -> DataFrame:
+    def grams(side: str) -> DataFrame:
+        # BOTH gram orders in ONE pass over the pair relation: the
+        # 1-gram zip pads a null second slot so both struct arrays
+        # share a schema and concatenate into a single explode;
+        # concat_ws skips the null, so 1-gram strings are the raw
+        # tokens exactly as before. (Round 11: the per-order version
+        # read the checkpointed pair relation four times per side.)
         col = f"{side}ts"
-        if n == 1:
-            g = pairs.select("ref_id", F.explode(col).alias("g"))
-        else:
-            m = F.size(col) - 1
-            z = F.arrays_zip(
-                F.slice(col, 1, m).alias("a"), F.slice(col, 2, m).alias("b")
+        m2 = F.greatest(F.size(col) - 1, F.lit(0))
+        z1 = F.arrays_zip(
+            F.col(col).alias("a"),
+            F.array_repeat(F.lit(None).cast("string"), F.size(col)).alias("b"),
+        )
+        z2 = F.arrays_zip(
+            F.slice(col, 1, m2).alias("a"), F.slice(col, 2, m2).alias("b")
+        )
+        return (
+            pairs.select("ref_id", F.explode(F.concat(z1, z2)).alias("z"))
+            .select(
+                "ref_id",
+                F.when(F.col("z.b").isNull(), 1).otherwise(2).alias("n"),
+                F.concat_ws(" ", "z.a", "z.b").alias("g"),
             )
-            g = pairs.filter(m >= 1).select(
-                "ref_id", F.explode(z).alias("z")
-            ).select(
-                "ref_id", F.concat_ws(" ", "z.a", "z.b").alias("g")
-            )
-        return g.select("ref_id", F.lit(n).alias("n"), "g").groupBy(
-            "ref_id", "n", "g"
-        ).agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("ref_id", "n", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
 
     # both gram orders ride ONE (pair, n, gram)-keyed clip join and one
     # grouped precision aggregate (pivoted back to p1/p2 columns) —
     # half the join/agg passes of the per-order formulation, identical
     # counts and therefore identical precisions
-    cg = grams("c", 1).unionByName(grams("c", 2))
-    rg = grams("r", 1).unionByName(grams("r", 2))
+    cg = grams("c")
+    rg = grams("r")
     j = cg.join(
         rg.select("ref_id", "n", "g", F.col("c").alias("rc")),
         ["ref_id", "n", "g"],
@@ -1696,35 +1705,49 @@ def q328_blocklist_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd stage before the doc-keyed shuffle."""
     docs = spread(table(spark, sf_dir, "documents"))
 
-    def grams(n: int) -> DataFrame:
-        d = (
-            docs.select("doc_id", F.split("text", " ").alias("tk"))
-            .withColumn("m", F.size("tk") - (n - 1))
-            .filter(F.col("m") >= 1)
+    def all_grams() -> DataFrame:
+        # BOTH gram orders in ONE scan + ONE explode: the 2-gram zip is
+        # padded with a null third slot so the two struct arrays share a
+        # schema and concatenate; concat_ws skips the null, so the gram
+        # strings are identical to the per-order formulation. (Round 11:
+        # the per-order version paid four scan+explode passes per query
+        # — two for the blocklist, two for the hit stream.)
+        d = docs.select("doc_id", F.split("text", " ").alias("tk"))
+        m2 = F.greatest(F.size("tk") - 1, F.lit(0))
+        m3 = F.greatest(F.size("tk") - 2, F.lit(0))
+        z2 = F.arrays_zip(
+            F.slice("tk", 1, m2).alias("w0"),
+            F.slice("tk", 2, m2).alias("w1"),
+            F.array_repeat(F.lit(None).cast("string"), m2).alias("w2"),
         )
-        zipped = F.arrays_zip(
-            *[F.slice("tk", j + 1, F.col("m")).alias(f"w{j}") for j in range(n)]
+        z3 = F.arrays_zip(
+            F.slice("tk", 1, m3).alias("w0"),
+            F.slice("tk", 2, m3).alias("w1"),
+            F.slice("tk", 3, m3).alias("w2"),
         )
-        return d.select("doc_id", F.explode(zipped).alias("g")).select(
+        return d.select(
+            "doc_id", F.explode(F.concat(z2, z3)).alias("g")
+        ).select(
             "doc_id",
-            F.concat_ws(" ", *[F.col(f"g.w{j}") for j in range(n)]).alias("s"),
+            F.when(F.col("g.w2").isNull(), 2).otherwise(3).alias("n"),
+            F.concat_ws(" ", "g.w0", "g.w1", "g.w2").alias("s"),
         )
 
-    g = grams(2).unionByName(grams(3))
+    g = all_grams()
 
-    def top_phrases(n: int) -> DataFrame:
-        # top-k by document frequency as orderBy+limit -> Spark plans
-        # TakeOrderedAndProject (per-partition heaps, no global sort)
-        return (
-            grams(n)
-            .groupBy("s")
-            .agg(F.countDistinct("doc_id").alias("df"))
-            .orderBy(F.desc("df"), F.asc("s"))
-            .limit(_BL_K)
-            .select("s")
-        )
+    # blocklist: ONE aggregate over both orders, top-k per order by a
+    # (n)-partitioned rank — same (df desc, s asc) total order as the
+    # previous per-order TakeOrdered, one pass instead of two
+    from pyspark.sql import Window as _W
 
-    bl = top_phrases(2).unionByName(top_phrases(3))
+    wbl = _W.partitionBy("n").orderBy(F.desc("df"), F.asc("s"))
+    bl = (
+        g.groupBy("n", "s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn("rk", F.row_number().over(wbl))
+        .filter(F.col("rk") <= _BL_K)
+        .select("s")
+    )
     hits = (
         g.join(F.broadcast(bl), "s")
         .groupBy("doc_id", "s")
