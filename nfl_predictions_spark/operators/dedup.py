@@ -252,10 +252,16 @@ def q39_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     config a true 0.8-pair is missed with p ~= 2e-4 and the planted
     near-dups sit at >= 0.9 (miss p ~= 3e-8), so LSH+verify equals the
     exact answer; the verification step guarantees no false positives."""
-    # No persist: the four ex references are an identical subtree, so
-    # Spark's ReusedExchange computes the shingle shuffle once — cheaper
-    # than an eager cache (which costs an extra job + memory write).
-    ex = shingle_rows(table(spark, sf_dir, "documents"))
+    # The exploded shingle table feeds FOUR consumers (sizes, signature
+    # aggregation, both verify probes). Column-pruning differences keep
+    # the subtrees from canonicalizing equal, so exchange reuse does NOT
+    # cover them (verified: 12 parquet scans in the un-cut plan) — one
+    # lazy checkpoint computes the tokenize+distinct once (measured
+    # 3.07 -> 2.62 s at sf0.1, and the recompute it removes is
+    # O(corpus) at 100 TB).
+    ex = shingle_rows(table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sigs = minhash_signatures(ex)
     cands = lsh_candidate_pairs(sigs)
