@@ -95,6 +95,10 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
 #: from the parquet bytes at every execution; nothing is precomputed.
 _TABLE_HANDLES: dict = {}
 
+#: spread() decisions for memoized table handles: (id(df), min_factor)
+#: -> result DataFrame (again a lazy plan). See spread().
+_SPREAD_MEMO: dict = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one TESTDATA table. Plain ``spark.read.parquet`` — no schema
@@ -139,10 +143,27 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     real scale inputs have many files/row groups and this helper is a
     no-op (the guard keeps the plan shuffle-free exactly when scan
     parallelism already matches the cluster); on few-row-group inputs it
-    trades one small shuffle for full-width execution."""
+    trades one small shuffle for full-width execution.
+
+    The ``df.rdd.getNumPartitions()`` probe forces a physical-planning
+    pass the first time it runs on a DataFrame (~60-120 ms); ``df.rdd``
+    is then cached on the object, so on a memoized ``table()`` handle
+    repeat probes cost only ~4 ms of py4j chatter. 49 of the 58 call
+    sites pass such a handle, so the decision — a pure function of
+    that handle and ``min_factor`` — is memoized alongside it (keyed
+    on object identity; the handle itself is held by
+    ``_TABLE_HANDLES``, so ids cannot be recycled). Derived frames
+    still pay the probe: their partitioning genuinely varies."""
     from nfl_predictions_spark.session import default_parallelism
 
+    key = None
+    if any(df is v for v in _TABLE_HANDLES.values()):
+        key = (id(df), min_factor)
+        hit = _SPREAD_MEMO.get(key)
+        if hit is not None:
+            return hit
     target = default_parallelism()
-    if df.rdd.getNumPartitions() * min_factor >= target:
-        return df
-    return df.repartition(target)
+    out = df if df.rdd.getNumPartitions() * min_factor >= target else df.repartition(target)
+    if key is not None:
+        _SPREAD_MEMO[key] = out
+    return out
