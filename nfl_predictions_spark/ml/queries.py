@@ -83,13 +83,26 @@ def trained_models(spark: SparkSession):
     return pass_model, run_model
 
 
+#: lazy request-batch PLAN memo: (appId, n) -> DataFrame. The batch is
+#: a pure deterministic function of n (seeded synthetic source, no
+#: fixture dependence); rebuilding it cost ~0.5 s of py4j expression
+#: construction per q37/q37d call. Same class as the table()/model
+#: handle memos: a plan handle, re-executed from scratch at every sink.
+_REQUEST_BATCH: dict = {}
+
+
 def _request_batch(spark: SparkSession, n: int = 25) -> DataFrame:
     """Golden fixture + n deterministic synthetic requests."""
-    golden = tuple(GOLDEN_REQUEST[f.name] for f in SCORE_REQUEST_SCHEMA.fields)
-    plays = build_features(synthetic_plays(spark, 2, 60)).limit(n)
-    reqs = plays.select(*[f.name for f in SCORE_REQUEST_SCHEMA.fields])
-    one = spark.createDataFrame([golden], SCORE_REQUEST_SCHEMA)
-    return one.unionByName(reqs)
+    key = (spark.sparkContext.applicationId, n)
+    out = _REQUEST_BATCH.get(key)
+    if out is None:
+        golden = tuple(GOLDEN_REQUEST[f.name] for f in SCORE_REQUEST_SCHEMA.fields)
+        plays = build_features(synthetic_plays(spark, 2, 60)).limit(n)
+        reqs = plays.select(*[f.name for f in SCORE_REQUEST_SCHEMA.fields])
+        one = spark.createDataFrame([golden], SCORE_REQUEST_SCHEMA)
+        out = one.unionByName(reqs)
+        _REQUEST_BATCH[key] = out
+    return out
 
 
 def q37_ml_best_play(spark: SparkSession, sf_dir: str) -> DataFrame:

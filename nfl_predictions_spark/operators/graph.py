@@ -379,9 +379,12 @@ def q95_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The SAME loop shape scales the edge count by orders of magnitude
     per round on a cluster; rounds (8) stay constant, which is what
     makes iterative graph dataflow tractable on Spark."""
+    # Lazy-checkpoint the edges once per call: the 8 rounds + degree
+    # pass then read executor-local blocks instead of re-scanning the
+    # parquet store per round (q215's discipline; GraphX's edge cache).
     edges = copurchase_edges(spark, sf_dir).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
-    )
+    ).localCheckpoint(eager=False)
     # node state carries its (static) out-degree, materialized ONCE —
     # the node set IS the degree table's key set (every node in an
     # edge-derived graph has deg >= 1), so the former separate
@@ -724,7 +727,14 @@ def q215_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     round). localCheckpoint cuts lineage between rounds exactly like
     q95. Unlike q66 (connected components = min-label to fixpoint),
     mode-propagation finds DENSE regions, not mere reachability."""
-    edges = copurchase_edges(spark, sf_dir)
+    # One lazy localCheckpoint materializes the edge blocks on first
+    # use; the {_LPA_ROUNDS} rounds then read executor-local blocks
+    # instead of re-scanning + re-decoding the parquet store per round
+    # (measured 200 MB cumulative scan input -> 25 MB at sf0.1). The
+    # classic iterative-graph cache discipline (GraphX caches edges);
+    # LogicalRDD preserves the store's dst partitioning, so rounds stay
+    # exchange-free.
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "lab", F.col("id")
     )
