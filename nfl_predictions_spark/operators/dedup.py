@@ -828,7 +828,15 @@ def q174_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("da", "db").alias("d2"),
         )
     )
-    ex = shingle_rows(docs)
+    # The shingle explode feeds both verification legs AND the size
+    # table; column-pruning differences defeat exchange reuse (the q39
+    # pattern — 16 scans in the un-cut plan), so one lazy checkpoint
+    # computes tokenize+distinct once. The recompute it removes is
+    # O(corpus x shingles); measured exec 1.63 -> 1.38 s at sf0.1.
+    # (Checkpointing the rank frame r as well was A/B'd and rejected:
+    # its extra planning pass costs more locally than the duplicated
+    # rank pipeline, which is a cheap narrow sort.)
+    ex = shingle_rows(docs).localCheckpoint(eager=False)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         cand.join(ex.alias("a"), F.col("d1") == F.col("a.doc_id"))

@@ -30,7 +30,7 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nfl_predictions_spark.sources.tables import table
@@ -744,15 +744,17 @@ def q281_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_type", "s_suppkey", "s_name", "s_acctbal",
                 "n_name", "unit_cost")
     )
-    best = offers.groupBy(F.col("p_partkey").alias("bp")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    # per-part min as an unbounded window + filter instead of a
+    # groupBy + equality self-join of offers: the self-join re-derived
+    # the whole lineitem catalog aggregate for the build side (20
+    # parquet scans / 2 lineitem aggregates in the un-cut plan — the
+    # optimizer cannot reuse the subtree across the join's two arms).
+    # One pass, one exchange on p_partkey, identical DECIMAL-exact
+    # min-cost semantics (oracle-verified).
+    wmin = Window.partitionBy("p_partkey")
     return (
-        offers.join(
-            best,
-            (F.col("p_partkey") == F.col("bp"))
-            & (F.col("unit_cost") == F.col("min_cost")),
-        )
+        offers.withColumn("min_cost", F.min("unit_cost").over(wmin))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(10)
         .select(

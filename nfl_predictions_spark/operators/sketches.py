@@ -345,9 +345,14 @@ def q300_sharded_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _TOPK_SHARDS).alias("shard"),
         F.explode(F.split("text", " ")).alias("token"),
     )
+    # sc (the per-shard token counts) feeds the kept/threshold legs AND
+    # the true-count certifier; without a cut the corpus-scale
+    # tokenize+explode+aggregate subtree runs once per consumer (4
+    # scans / 10 Windows in the un-cut plan). One lazy checkpoint
+    # computes it once; everything downstream is shard-report-sized.
     sc = tok.groupBy("shard", "token").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     w = Window.partitionBy("shard").orderBy(F.desc("c"), F.asc("token"))

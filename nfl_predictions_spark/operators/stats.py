@@ -2864,6 +2864,12 @@ def q311_conformal_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofmonth("ts") % 3).alias("m"),
         F.col("value").cast("double").alias("v"),
     )
+    # tr (the bounded per-(type, hour) train aggregate) feeds BOTH the
+    # calibration and test joins, and the histogram-narrowed rank
+    # select makes two passes over cal — without cuts the events
+    # scan+filter+aggregate subtrees run once per consumer (6 scans in
+    # the un-cut plan). Two lazy checkpoints: one train-agg pass, one
+    # calibration-score pass.
     tr = (
         base.filter(F.col("m") == 0)
         .groupBy("event_type", "h")
@@ -2874,12 +2880,14 @@ def q311_conformal_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pred")
         )
+        .localCheckpoint(eager=False)
     )
     si = F.round(F.abs(F.col("v") - F.col("pred")) * 1e6, 0).cast("long")
     cal = (
         base.filter(F.col("m") == 1)
         .join(tr, ["event_type", "h"])
         .select("event_id", si.alias("si"))
+        .localCheckpoint(eager=False)
     )
     te = (
         base.filter(F.col("m") == 2)

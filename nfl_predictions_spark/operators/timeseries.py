@@ -2432,10 +2432,17 @@ def q302_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = ev.withColumn("prev", F.lag("event_type").over(w))
+    # t is the bounded |states|^2 transition frame, but its subtree is
+    # the event-scale lag window + aggregate — and rt, p, states, sp
+    # and every power-iteration step all re-derive it (12 scans / 12
+    # Windows in the un-cut plan: the ONE data-scale stage ran ~12x).
+    # A lazy checkpoint computes it once; everything downstream is
+    # bounded-matrix work on broadcast joins.
     t = (
         e.filter(F.col("prev").isNotNull())
         .groupBy(F.col("prev").alias("from_t"), F.col("event_type").alias("to_t"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     rt = t.groupBy("from_t").agg(F.sum("c").cast("long").alias("row_tot"))
     p = t.join(F.broadcast(rt), "from_t").select(
@@ -2806,6 +2813,14 @@ def q317_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") >= F.col("ct") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAY"))
     )
     wp = Window.partitionBy("cid")
+    # ONE lazy checkpoint of the joined+windowed touch frame: it feeds
+    # the per-model credits AND the direct-conversion anti-join, and the
+    # three models were three unioned projections of the same subtree —
+    # the events scan + join + windows ran ~9x (9 scans in the un-cut
+    # plan). The models now come out of a single explode over a
+    # 3-element struct array (row multiplication, not plan
+    # multiplication); union-of-projections == explode-of-array row for
+    # row, so the aggregate is unchanged (oracle-verified).
     per = joined.select(
         "cid",
         "channel",
@@ -2813,22 +2828,28 @@ def q317_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(wp.orderBy("ts", "event_id"))
         .alias("rn"),
-    )
+    ).localCheckpoint(eager=False)
     dec = "decimal(18,6)"
-    credits = None
-    for model, cr in [
+    models = [
         ("first_touch", F.when(F.col("rn") == 1, 1.0).otherwise(0.0)),
         ("last_touch", F.when(F.col("rn") == F.col("n"), 1.0).otherwise(0.0)),
         ("linear", F.round(1.0 / F.col("n"), 6)),
-    ]:
-        part = per.select(
-            F.lit(model).alias("model"),
-            "channel",
-            cr.cast(dec).alias("cr"),
-        )
-        credits = part if credits is None else credits.unionByName(part)
+    ]
+    credits = per.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(model).alias("model"), cr.cast(dec).alias("cr")
+                    )
+                    for model, cr in models
+                ]
+            )
+        ).alias("mc"),
+        "channel",
+    ).select(F.col("mc.model").alias("model"), "channel", F.col("mc.cr").alias("cr"))
     direct = (
-        conv.join(joined.select("cid").distinct(), "cid", "left_anti")
+        conv.join(per.select("cid").distinct(), "cid", "left_anti")
         .agg(F.count(F.lit(1)).alias("n_direct"))
         .select(
             F.explode(
