@@ -2241,7 +2241,8 @@ def q305_merkle_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     repair shape, and the log-depth upgrade of q270's flat fingerprint
     buckets: node fingerprints are COMMUTATIVE sums of per-row md5
     slices, so the whole {_MK_LEAVES}-leaf / fanout-{_MK_FANOUT} tree
-    falls out of ONE scan + three tiny shuffle-free rollups, and the
+    falls out of ONE scan + one leaf aggregate (the upper levels are
+    driver-side integer rollups of the bounded leaf frame), and the
     sync protocol compares root -> only children of dirty nodes ->
     dirty leaves. Emitted per level: node count, how many fingerprints
     the protocol actually ships (fanout x dirty parents — the log-depth
@@ -2272,39 +2273,61 @@ def q305_merkle_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fp"),
         (F.col("o_orderkey") % _MK_DROP_MOD == 13).alias("dropped"),
     )
-    leaves = rowfp.groupBy("leaf").agg(
-        F.sum("fp").cast("long").alias("base_fp"),
-        F.sum(F.when(F.col("dropped"), 0).otherwise(F.col("fp")))
-        .cast("long")
-        .alias("repl_fp"),
-        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).cast("long").alias("n_drop"),
-    ).localCheckpoint()
-    l1 = leaves.groupBy(F.floor(F.col("leaf") / _MK_FANOUT).alias("node")).agg(
-        F.sum("base_fp").cast("long").alias("b"),
-        F.sum("repl_fp").cast("long").alias("r"),
-    ).localCheckpoint()
-    l2 = l1.groupBy(F.floor(F.col("node") / _MK_FANOUT).alias("node")).agg(
-        F.sum("b").cast("long").alias("b"), F.sum("r").cast("long").alias("r")
-    ).localCheckpoint()
-    root_dirty = 1 if l2.agg(
-        (F.sum("b") != F.sum("r")).alias("d")
-    ).first().d else 0
-    l2d = l2.filter(F.col("b") != F.col("r"))
-    n_l2_dirty = l2d.count()
-    l1d = l1.join(
-        F.broadcast(l2d.select(F.floor(F.col("node")).alias("pn"))),
-        F.floor(F.col("node") / _MK_FANOUT) == F.col("pn"),
-    ).filter(F.col("b") != F.col("r"))
-    n_l1_dirty = l1d.count()
-    leafd = leaves.join(
-        F.broadcast(l1d.select(F.col("node").alias("pn"))),
-        F.floor(F.col("leaf") / _MK_FANOUT) == F.col("pn"),
-    ).filter(F.col("base_fp") != F.col("repl_fp"))
-    n_leaf_dirty = leafd.count()
-    n_ship = leafd.agg(F.coalesce(F.sum("n_drop"), F.lit(0))).first()[0]
-    n_l1 = l1.count()
-    n_l2 = l2.count()
-    n_leaves = leaves.count()
+    # One scan + one map-combinable aggregate is the only data-scale
+    # work; everything above the leaves is a <= _MK_LEAVES-row tree.
+    # Collect that bounded frame ONCE and run the drill-down protocol
+    # on the driver (the q275/q293 bounded-model-state discipline):
+    # the previous version paid ~10 separate driver jobs (3 eager
+    # checkpoints + 7 count/first probes) on tree-sized frames, ~1 s of
+    # pure plan+launch latency at any scale. Integer sums over longs —
+    # the same values the tiny-frame aggregates produced.
+    leaf_rows = (
+        rowfp.groupBy("leaf")
+        .agg(
+            F.sum("fp").cast("long").alias("base_fp"),
+            F.sum(F.when(F.col("dropped"), 0).otherwise(F.col("fp")))
+            .cast("long")
+            .alias("repl_fp"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_drop"),
+        )
+        .collect()
+    )
+    leaves = {r.leaf: (r.base_fp, r.repl_fp, r.n_drop) for r in leaf_rows}
+    l1: dict[int, list[int]] = {}
+    for leaf, (b, r, _nd) in leaves.items():
+        acc = l1.setdefault(leaf // _MK_FANOUT, [0, 0])
+        acc[0] += b
+        acc[1] += r
+    l2: dict[int, list[int]] = {}
+    for node, (b, r) in l1.items():
+        acc = l2.setdefault(node // _MK_FANOUT, [0, 0])
+        acc[0] += b
+        acc[1] += r
+    root_dirty = (
+        1
+        if sum(v[0] for v in l2.values()) != sum(v[1] for v in l2.values())
+        else 0
+    )
+    l2d = {node for node, (b, r) in l2.items() if b != r}
+    n_l2_dirty = len(l2d)
+    l1d = {
+        node
+        for node, (b, r) in l1.items()
+        if b != r and node // _MK_FANOUT in l2d
+    }
+    n_l1_dirty = len(l1d)
+    leafd = [
+        leaf
+        for leaf, (b, r, _nd) in leaves.items()
+        if b != r and leaf // _MK_FANOUT in l1d
+    ]
+    n_leaf_dirty = len(leafd)
+    n_ship = sum(leaves[leaf][2] for leaf in leafd)
+    n_l1 = len(l1)
+    n_l2 = len(l2)
+    n_leaves = len(leaves)
     data = [
         (0, 1, 1, root_dirty, 0),
         (1, n_l2, _MK_FANOUT * root_dirty, n_l2_dirty, 0),

@@ -88,15 +88,22 @@ def q41_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. The 5-row query side is broadcast; the big side streams —
     no shuffle of the embedding table."""
     emb = table(spark, sf_dir, "embeddings")
+    # ||qe|| / ||ce|| folded once per query / once per candidate row
+    # instead of once per PAIR — ~3x fewer flops; identical IEEE
+    # values, qn * cn keeps _norm(qe) * _norm(ce)'s order
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     # spread: the per-row dot-product folds are interpreted CPU, and a
     # single-row-group corpus file would run them all in ONE task
     cands = spread(emb).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
     )
-    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     scored = cands.crossJoin(F.broadcast(queries)).withColumn("cos_raw", cos)
     w = Window.partitionBy("qid").orderBy(
         F.desc(F.round("cos_raw", 6)), F.asc("cid")
@@ -286,15 +293,29 @@ def q41c_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select("vec_id", "embedding", F.explode(tables).alias("tb")).select(
         "vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
     )
+    # ||qe|| folded once per (query, table) row on the broadcast side
+    # instead of once per candidate pair (deterministic function of qe,
+    # so carrying it through the distinct changes nothing). Identical
+    # IEEE values; qn * _norm(ce) keeps the multiplication order.
     queries = banded.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "t", "b"
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+        "t",
+        "b",
     )
     cands = (
         banded.join(F.broadcast(queries), on=["t", "b"])
-        .select("qid", "qe", F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .select(
+            "qid",
+            "qe",
+            "qn",
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+        )
         .distinct()
     )
-    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * _norm(F.col("ce")))
     w = Window.partitionBy("qid").orderBy(
         F.desc(F.round("cos_raw", 6)), F.asc("cid")
     )
@@ -893,37 +914,37 @@ def q41f_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
             + _dot(F.col(c), F.col(c))
         )
 
-    assign = (
-        emb.crossJoin(F.broadcast(med))
-        .select(
-            "vec_id",
-            F.struct(F.round(d2("emb", "c"), 6).alias("d"), F.col("cell")).alias(
-                "dc"
-            ),
-        )
-        .groupBy("vec_id")
-        .agg(F.min("dc").alias("best"))
-        .select("vec_id", F.col("best.cell").alias("cell"))
-    )
+    # assignment via the shared helper (q337/q340's path), which folds
+    # ||x||^2 / ||c||^2 once per row instead of once per pair — same
+    # IEEE values, ~3x fewer flops in the corpus-scale stage
+    assign = _ivf_assign(emb, med)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
     )
     wp = Window.partitionBy("qid").orderBy(
         F.asc(F.round(d2("qe", "c"), 6)), F.asc("cell")
     )
+    # ||qe|| folded once per probe row, not once per candidate (the
+    # _ivf_probe_topk discipline; qn * _norm(ce) keeps the order)
     probe = (
         q.crossJoin(F.broadcast(med))
         .withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= _IVF_NPROBE)
-        .select("qid", "qe", "cell")
+        .select("qid", "qe", _norm(F.col("qe")).alias("qn"), "cell")
     )
     cands = (
         assign.join(F.broadcast(probe), "cell")
         .join(emb, "vec_id")
-        .select("qid", "qe", F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
+        .select(
+            "qid",
+            "qe",
+            "qn",
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("ce"),
+        )
     )
     cos = _dot(F.col("qe"), F.col("ce")) / (
-        _norm(F.col("qe")) * _norm(F.col("ce"))
+        F.col("qn") * _norm(F.col("ce"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc(F.round("cos_raw", 6)), F.asc("cid"))
     return (
@@ -1069,15 +1090,17 @@ def _ivf_assign(
     this job actually read, so a staged artifact can never claim a
     generation it wasn't computed against (VERDICT r09 #1)."""
 
-    def d2(x: str, c: str) -> Column:
-        return (
-            _dot(F.col(x), F.col(x))
-            - 2 * _dot(F.col(x), F.col(c))
-            + _dot(F.col(c), F.col(c))
-        )
+    # ||x||^2 and ||c||^2 are invariant across the (vector x centroid)
+    # pair grid: computing them once per row / once per centroid (instead
+    # of once per PAIR) cuts the assignment flops ~3x. Bit-identical:
+    # the same IEEE value is produced by the same fold, only earlier,
+    # and the (x2 - 2*dot) + c2 association is unchanged.
+    emb = emb.withColumn("_x2", _dot(F.col("emb"), F.col("emb")))
+    med = med.withColumn("_c2", _dot(F.col("c"), F.col("c")))
+    d2p = F.col("_x2") - 2 * _dot(F.col("emb"), F.col("c")) + F.col("_c2")
 
     cols = ["vec_id", F.struct(
-        F.round(d2("emb", "c"), 6).alias("d"), F.col("cell")
+        F.round(d2p, 6).alias("d"), F.col("cell")
     ).alias("dc")]
     aggs = [F.min("dc").alias("best")]
     outs = ["vec_id", F.col("best.cell").alias("cell")]
@@ -1117,21 +1140,29 @@ def _ivf_probe_topk(
     wp = Window.partitionBy("qid").orderBy(
         F.asc(F.round(d2("qe", "c"), 6)), F.asc("cell")
     )
+    # ||qe|| is invariant across a query's candidate rows: fold it once
+    # per probe row (queries x nprobe) instead of once per candidate.
+    # Bit-identical — same IEEE fold, and qn * ||ce|| keeps the same
+    # multiplication order as _norm(qe) * _norm(ce).
     probe = (
         q.crossJoin(F.broadcast(med.select("cell", "c")))
         .withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= _IVF_NPROBE)
-        .select("qid", "qe", "cell")
+        .select("qid", "qe", _norm(F.col("qe")).alias("qn"), "cell")
     )
     cands = (
         assign.join(F.broadcast(probe), "cell")
         .join(alle, "vec_id")
         .select(
-            "qid", "qe", F.col("vec_id").alias("cid"), F.col("emb").alias("ce")
+            "qid",
+            "qe",
+            "qn",
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("ce"),
         )
     )
     cos = _dot(F.col("qe"), F.col("ce")) / (
-        _norm(F.col("qe")) * _norm(F.col("ce"))
+        F.col("qn") * _norm(F.col("ce"))
     )
     w = Window.partitionBy("qid").orderBy(
         F.desc(F.round("cos_raw", 6)), F.asc("cid")
@@ -2556,13 +2587,18 @@ def q219_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("code"), "j", F.col("sub").alias("cvec")
     )
 
+    # ||sub||^2 / ||cvec||^2 folded once per row instead of once per
+    # (subvector x code) pair — ~3x fewer flops in the corpus-scale
+    # assignment; identical IEEE values and association (q224 pattern).
+    subsx = subs.withColumn("_s2", _dot(F.col("sub"), F.col("sub")))
+    codesx = codes.withColumn("_v2", _dot(F.col("cvec"), F.col("cvec")))
     d2 = (
-        _dot(F.col("sub"), F.col("sub"))
+        F.col("_s2")
         - 2 * _dot(F.col("sub"), F.col("cvec"))
-        + _dot(F.col("cvec"), F.col("cvec"))
+        + F.col("_v2")
     )
     assign = (
-        subs.join(F.broadcast(codes), "j")
+        subsx.join(F.broadcast(codesx), "j")
         .select(
             "vec_id",
             "j",
@@ -2573,8 +2609,8 @@ def q219_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "j", F.col("best.code").alias("code"))
     )
     dtab = (
-        subs.filter(F.col("vec_id") < _N_QUERIES)
-        .join(F.broadcast(codes), "j")
+        subsx.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(codesx), "j")
         .select(
             F.col("vec_id").alias("qid"),
             "j",
@@ -2730,13 +2766,19 @@ def q224_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = emb.filter(F.col("vec_id") < _IVF_NLIST).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("c")
     )
+    # ||x||^2 / ||c||^2 / ||sub||^2 / ||cvec||^2 are invariant across
+    # the pair grids below: fold each once per row instead of once per
+    # pair (~3x fewer flops in the two corpus-scale stages). Identical
+    # IEEE values, identical (x2 - 2*dot) + c2 association.
+    embx = emb.withColumn("_x2", _dot(F.col("emb"), F.col("emb")))
+    medx = med.withColumn("_c2", _dot(F.col("c"), F.col("c")))
     d2full = (
-        _dot(F.col("emb"), F.col("emb"))
+        F.col("_x2")
         - 2 * _dot(F.col("emb"), F.col("c"))
-        + _dot(F.col("c"), F.col("c"))
+        + F.col("_c2")
     )
     cella = (
-        emb.crossJoin(F.broadcast(med))
+        embx.crossJoin(F.broadcast(medx))
         .select(
             "vec_id",
             F.struct(F.round(d2full, 6).alias("d"), F.col("cell")).alias("dc"),
@@ -2754,13 +2796,15 @@ def q224_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = subs.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("code"), "j", F.col("sub").alias("cvec")
     )
+    subsx = subs.withColumn("_s2", _dot(F.col("sub"), F.col("sub")))
+    codesx = codes.withColumn("_v2", _dot(F.col("cvec"), F.col("cvec")))
     d2sub = (
-        _dot(F.col("sub"), F.col("sub"))
+        F.col("_s2")
         - 2 * _dot(F.col("sub"), F.col("cvec"))
-        + _dot(F.col("cvec"), F.col("cvec"))
+        + F.col("_v2")
     )
     pqa = (
-        subs.join(F.broadcast(codes), "j")
+        subsx.join(F.broadcast(codesx), "j")
         .select(
             "vec_id",
             "j",
@@ -2788,8 +2832,8 @@ def q224_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cell")
     )
     dtab = (
-        subs.filter(F.col("vec_id") < _N_QUERIES)
-        .join(F.broadcast(codes), "j")
+        subsx.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(codesx), "j")
         .select(
             F.col("vec_id").alias("qid"),
             "j",
@@ -2932,15 +2976,21 @@ def q229_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered-ANN trade measurable instead of anecdotal.
     """
     emb = table(spark, sf_dir, "embeddings")
+    # ||qe|| / ||ce|| folded once per query / once per candidate row
+    # instead of once per PAIR of the (candidates x queries) grid —
+    # ~3x fewer flops in the exact 'pre' scan. Identical IEEE values;
+    # qn * cn keeps _norm(qe) * _norm(ce)'s multiplication order.
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     cands = spread(emb).filter(F.col("vec_id") % _FILT_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
     )
-    cos = _dot(F.col("qe"), F.col("ce")) / (
-        _norm(F.col("qe")) * _norm(F.col("ce"))
-    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.desc(F.round("cos_raw", 6)), F.asc("cid"))
     pre = (
         cands.crossJoin(F.broadcast(queries))
@@ -3102,15 +3152,22 @@ def q245_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # ||ce|| / ||ee|| folded once per corpus row / once per eval row
+    # instead of once per PAIR of the (corpus x eval) grid — ~3x fewer
+    # flops in the decontamination scan. Identical IEEE values; cn * en
+    # keeps _norm(ce) * _norm(ee)'s multiplication order.
     ev = emb.filter(F.col("vec_id") < _SD_N_EVAL).select(
-        F.col("vec_id").alias("eid"), F.col("emb").alias("ee")
+        F.col("vec_id").alias("eid"),
+        F.col("emb").alias("ee"),
+        _norm(F.col("emb")).alias("en"),
     )
     corpus = emb.filter(F.col("vec_id") >= _SD_N_EVAL).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce")
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("ce"),
+        _norm(F.col("emb")).alias("cn"),
     )
     cos = F.round(
-        _dot(F.col("ce"), F.col("ee"))
-        / (_norm(F.col("ce")) * _norm(F.col("ee"))),
+        _dot(F.col("ce"), F.col("ee")) / (F.col("cn") * F.col("en")),
         6,
     )
     w = Window.partitionBy("cid").orderBy(F.desc("cos"), F.asc("eid"))
@@ -3366,17 +3423,22 @@ def q273_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # ||qe|| / ||emb|| folded once per query / once per corpus row
+    # instead of once per PAIR — ~3x fewer flops in the relevance scan.
+    # Identical IEEE values; qn * _en keeps the multiplication order.
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qe"),
+        _norm(F.col("emb")).alias("qn"),
     )
     rel = F.round(
-        _dot(F.col("qe"), F.col("emb"))
-        / (_norm(F.col("qe")) * _norm(F.col("emb"))),
+        _dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("_en")),
         6,
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
     cand = (
-        emb.crossJoin(F.broadcast(q))
+        emb.withColumn("_en", _norm(F.col("emb")))
+        .crossJoin(F.broadcast(q))
         .select("qid", F.col("vec_id").alias("cid"), "emb", rel.alias("rel"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _MMR_N)
@@ -3882,15 +3944,20 @@ def q295_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = q41_ann_topk(spark, sf_dir).select("qid", "cid")
     cands = None
     for d in _MRL_DIMS:
+        # ||qe|| / ||ce|| folded once per query / once per corpus row
+        # instead of once per PAIR (q41 pattern) — identical IEEE
+        # values, qn * cn keeps the multiplication order
         queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("qid"), F.slice("embedding", 1, d).alias("qe")
+            F.col("vec_id").alias("qid"),
+            F.slice("embedding", 1, d).alias("qe"),
+            _norm(F.slice("embedding", 1, d)).alias("qn"),
         )
         corpus = spread(emb).select(
-            F.col("vec_id").alias("cid"), F.slice("embedding", 1, d).alias("ce")
+            F.col("vec_id").alias("cid"),
+            F.slice("embedding", 1, d).alias("ce"),
+            _norm(F.slice("embedding", 1, d)).alias("cn"),
         )
-        cos = _dot(F.col("qe"), F.col("ce")) / (
-            _norm(F.col("qe")) * _norm(F.col("ce"))
-        )
+        cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
         w = Window.partitionBy("qid").orderBy(
             F.desc(F.round("cos_raw", 6)), F.asc("cid")
         )
@@ -4099,16 +4166,22 @@ def q309_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     med = emb.filter(F.col("vec_id") < _IVF_NLIST).select(
-        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+        F.col("vec_id").alias("cell"),
+        F.col("emb").alias("c"),
+        _dot(F.col("emb"), F.col("emb")).alias("_c2"),
     )
+    # ||x||^2 / ||c||^2 folded once per row / per anchor instead of once
+    # per (vector x anchor) pair (_ivf_assign pattern) — identical IEEE
+    # values and (x2 - 2*dot) + c2 association, ~3x fewer flops
     d2 = F.round(
-        _dot(F.col("emb"), F.col("emb"))
+        F.col("_x2")
         - 2 * _dot(F.col("emb"), F.col("c"))
-        + _dot(F.col("c"), F.col("c")),
+        + F.col("_c2"),
         6,
     )
     per = (
-        emb.crossJoin(F.broadcast(med))
+        emb.withColumn("_x2", _dot(F.col("emb"), F.col("emb")))
+        .crossJoin(F.broadcast(med))
         .select("vec_id", "cell", d2.alias("d2"))
         .groupBy("vec_id")
         .agg(

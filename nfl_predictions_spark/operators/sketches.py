@@ -248,10 +248,15 @@ def q299_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(user_id % {_BM_WORD_BITS} AS INT))"
         ).alias("one"),
     )
+    # the packed day-word table feeds BOTH the daily rollup and the
+    # window merge; column-pruning differences (merged drops cnt) keep
+    # the two subtrees from canonicalizing equal, so exchange reuse
+    # does NOT cover them — without the checkpoint the events-scale
+    # scan+pack aggregate runs twice (the q39/q228 pattern)
     words = base.groupBy("di", "word_idx").agg(
         F.bit_or("one").alias("word"),
         F.count(F.lit(1)).cast("long").alias("cnt"),
-    )
+    ).localCheckpoint(eager=False)
     daily = words.groupBy("di").agg(
         F.sum("cnt").cast("long").alias("n_events"),
         F.sum(F.bit_count("word")).cast("long").alias("daily_users"),

@@ -1855,21 +1855,34 @@ def q331_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("ntok")
     )
-    n = dl.count()
     wr = Window.orderBy("doc_id")
+    # rank probe: only the checkpoint doc_ids survive; the global
+    # row_number window runs on the 1-col doc_id projection and is
+    # replaced by a distributed rank at scale (see q300's bounds trick).
+    # The corpus count rides the same job as a full-frame window (one
+    # driver job, not a separate count() probe): a row survives iff its
+    # rank is some decile's ceil target ceil(n*k/steps).
+    rk = (
+        dl.select("doc_id")
+        .select(
+            "doc_id",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(
+            F.expr(
+                f"exists(sequence(1, {_VG_STEPS}), k -> "
+                f"CAST(rn AS BIGINT) = (n * CAST(k AS BIGINT) "
+                f"+ {_VG_STEPS - 1}) DIV {_VG_STEPS})"
+            )
+        )
+        .collect()
+    )
+    n = rk[0].n if rk else 0
     # (k, target) PAIRS, not a target-keyed dict: on tiny corpora
     # (n < _VG_STEPS) several deciles share a ceil target, and the
     # oracle's chunkmap CTE still emits one row per k — so must we
     pairs = [(k, int(-(-n * k // _VG_STEPS))) for k in range(1, _VG_STEPS + 1)]
-    # rank probe: only the checkpoint doc_ids survive; the global
-    # row_number window runs on the 2-col (doc_id) projection and is
-    # replaced by a distributed rank at scale (see q300's bounds trick)
-    rk = (
-        dl.select("doc_id")
-        .withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn").isin(sorted({t for _, t in pairs})))
-        .collect()
-    )
     by_target = {r.rn: r.doc_id for r in rk}
     cpd = spark.createDataFrame(
         [(k, by_target[t]) for k, t in pairs if t in by_target],
