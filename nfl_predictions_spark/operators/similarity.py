@@ -3942,33 +3942,42 @@ def q295_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and recall is integer-exact."""
     emb = table(spark, sf_dir, "embeddings")
     truth = q41_ann_topk(spark, sf_dir).select("qid", "cid")
-    cands = None
-    for d in _MRL_DIMS:
-        # ||qe|| / ||ce|| folded once per query / once per corpus row
-        # instead of once per PAIR (q41 pattern) — identical IEEE
-        # values, qn * cn keeps the multiplication order
-        queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("qid"),
-            F.slice("embedding", 1, d).alias("qe"),
-            _norm(F.slice("embedding", 1, d)).alias("qn"),
-        )
-        corpus = spread(emb).select(
-            F.col("vec_id").alias("cid"),
-            F.slice("embedding", 1, d).alias("ce"),
-            _norm(F.slice("embedding", 1, d)).alias("cn"),
-        )
-        cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-        w = Window.partitionBy("qid").orderBy(
-            F.desc(F.round("cos_raw", 6)), F.asc("cid")
-        )
-        topd = (
-            corpus.crossJoin(F.broadcast(queries))
-            .withColumn("cos_raw", cos)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _TOP_K)
-            .select(F.lit(d).alias("d"), "qid", "cid", F.lit(1).alias("hit"))
-        )
-        cands = topd if cands is None else cands.unionByName(topd)
+    # ALL truncation dims ride ONE corpus scan: each vector explodes to
+    # one (d, sliced vector) row per dim instead of the corpus being
+    # re-scanned and re-scored per dim (4 scans + 4 BNLJ pair grids ->
+    # 1 scan + 1 broadcast hash join on d). Per (d, qid, cid) the
+    # cosine expression is unchanged, the per-dim window becomes the
+    # same ranking partitioned by (d, qid) — identical top-k sets.
+    # ||qe|| / ||ce|| folded once per query-dim / corpus-dim row
+    # instead of once per pair (q41 pattern).
+    dexp = F.explode(F.array(*[F.lit(d) for d in _MRL_DIMS])).alias("d")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding", dexp
+    ).select(
+        "d",
+        F.col("qid"),
+        F.slice("embedding", 1, F.col("d")).alias("qe"),
+        _norm(F.slice("embedding", 1, F.col("d"))).alias("qn"),
+    )
+    corpus = spread(emb).select(
+        F.col("vec_id").alias("cid"), "embedding", dexp
+    ).select(
+        "d",
+        F.col("cid"),
+        F.slice("embedding", 1, F.col("d")).alias("ce"),
+        _norm(F.slice("embedding", 1, F.col("d"))).alias("cn"),
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("d", "qid").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("cid")
+    )
+    cands = (
+        corpus.join(F.broadcast(queries), "d")
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("d", "qid", "cid", F.lit(1).alias("hit"))
+    )
     dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "d int")
     return (
         truth.crossJoin(F.broadcast(dims))

@@ -139,14 +139,15 @@ def _cms_oracle() -> str:
 def q213_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over the token stream + heavy-hitter readout.
 
-    The sketch is a {_CMS_DEPTH} x {_CMS_WIDTH} counter grid — a plain
-    groupBy(j, bucket) count, so Spark's partial aggregation IS the
-    mergeable-sketch property: each partition combines map-side into at
-    most depth*width cells and the shuffle moves O(1024) rows per
-    partition regardless of corpus size (the whole point at 100 TB —
-    the raw token stream never shuffles to BUILD the sketch; the exact
-    top-20 side here is the certifier you run once at small scale, the
-    q167-recall pattern). Heavy-hitter estimates read
+    The sketch is a {_CMS_DEPTH} x {_CMS_WIDTH} counter grid summed
+    from the per-TYPE token counts: the corpus tokenizes ONCE into a
+    map-side-combined vocabulary aggregate (Zipf-bounded shuffle, the
+    q40 shape), the md5 bucket hashes run once per type instead of
+    once per token instance, and the grid is a groupBy(j, bucket) SUM
+    of type counts — the identical cell integers the per-instance
+    count produced, at a fraction of the hash work (the raw token
+    stream never shuffles; the exact top-20 side is the certifier you
+    run once at small scale, the q167-recall pattern). Heavy-hitter estimates read
     min over depth rows; CMS guarantees est >= exact, pinned in tests
     and visible as the non-negative `overcount` column. Deterministic
     md5 bucket hashes make the full grid cross-engine reproducible, so
@@ -161,17 +162,22 @@ def q213_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.md5(F.col("t"))
     buckets = F.array(*[_cms_bucket(h, j) for j in range(_CMS_DEPTH)])
-    cells = (
-        tok.select(F.posexplode(buckets).alias("j", "bucket"))
-        .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    exact = (
+    # ONE corpus tokenize pass: per-TYPE counts (map-side combinable,
+    # vocabulary-sized by Zipf) feed both the sketch and the exact
+    # certifier — previously the corpus was tokenized twice AND the md5
+    # bucket hashes ran once per token INSTANCE; now they run once per
+    # type. cell count = sum of its types' counts, the identical BIGINT.
+    tokc = (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), F.asc("t"))
-        .limit(20)
+        .localCheckpoint(eager=False)
     )
+    cells = (
+        tokc.select("exact_cnt", F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("exact_cnt").alias("c"))
+    )
+    exact = tokc.orderBy(F.desc("exact_cnt"), F.asc("t")).limit(20)
     probes = exact.select(
         "t", "exact_cnt", F.posexplode(buckets).alias("j", "bucket")
     )

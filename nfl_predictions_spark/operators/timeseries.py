@@ -1245,11 +1245,15 @@ def q198_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank pick keeps it reproducible across engines and reruns.
     """
     ev = table(spark, sf_dir, "events")
+    # v feeds the purchase join AND the gap join, and g feeds every
+    # rank-select pass; without the checkpoints the events-scale scan +
+    # per-user aggregates re-run once per consumer (12 scans in the
+    # un-cut plan — the q39/q228 pattern). Both frames are users-sized.
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t0"))
-    )
+    ).localCheckpoint(eager=False)
     p = (
         ev.where(F.col("event_type") == "purchase")
         .join(v, "user_id")
@@ -1263,7 +1267,7 @@ def q198_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("t1").cast("timestamp"))
             - F.unix_micros(F.col("t0").cast("timestamp"))
         ).alias("gap_us"),
-    )
+    ).localCheckpoint(eager=False)
     sel = _rank_select_values(
         g,
         "gap_us",
