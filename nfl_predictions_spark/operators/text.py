@@ -538,22 +538,13 @@ def q132_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    # ONE corpus scan: per doc, keep the length and ONLY the matching
-    # query-term tokens (duplicates preserved — filter-then-explode
-    # counts exactly what explode-then-filter counted). The checkpoint
-    # materializes this tiny (doc_id, dl, matched tokens) frame so the
-    # stats aggregate and the tf pipeline stop re-scanning the corpus
-    # (2 tokenize passes -> 1); at 100 TB this halves the scan I/O.
-    withf = docs.select(
-        "doc_id",
-        F.size("toks").alias("dl"),
-        F.filter(F.col("toks"), lambda t: t.isin(all_terms)).alias("ftoks"),
-    ).localCheckpoint(eager=False)
-    stats = withf.agg(
+    withdl = docs.select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = withdl.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        withf.select("doc_id", "dl", F.explode("ftoks").alias("t"))
+        withdl.select("doc_id", "dl", F.explode("toks").alias("t"))
+        .filter(F.col("t").isin(all_terms))
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
