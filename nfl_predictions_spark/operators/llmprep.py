@@ -685,12 +685,12 @@ def q111_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     final agg. At 100 TB nothing in this plan materializes an
     intermediate corpus copy - the anti-join and filters stream.
 
-    One deliberate tradeoff: the survivor subtree feeds two consumers
-    (its shingles and the final anti-join), so Spark recomputes it —
-    two corpus scans. Kept lazy here (the bench measures a real plan,
-    not a cached one); a production 100 TB run would checkpoint the
-    survivor set to storage between stages, which is what the
-    incremental q112 effectively does with its state files."""
+    The survivor subtree feeds two consumers (its shingles and the
+    final anti-join), and the pruning difference keeps the copies from
+    canonicalizing equal — so the survivor set is checkpointed between
+    stages (what a production 100 TB run does to storage, and what the
+    incremental q112 effectively does with its state files): the
+    quality gate + dedup window run once, not per consumer."""
     from nfl_predictions_spark.operators.dedup import _DECON_N, shingle_rows
     from nfl_predictions_spark.operators.text import _STOPWORDS
 
@@ -715,10 +715,16 @@ def q111_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text", "n")
     )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # the survivor subtree feeds two consumers (its shingles and the
+    # final anti-join); the lazy checkpoint computes the quality gate +
+    # dedup window once instead of per consumer — the "production run
+    # would checkpoint the survivor set between stages" note below,
+    # applied (optimization round 11)
     surv = (
         quality.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .localCheckpoint(eager=False)
     )
     evsh = (
         shingle_rows(docs.filter(is_eval), n=_DECON_N)

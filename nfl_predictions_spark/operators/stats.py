@@ -2614,6 +2614,11 @@ def q301_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("g1").cast("long").alias("c1"),
             F.sum("g2").cast("long").alias("c2"),
         )
+        # feeds the bucket subtotals, the within-bucket cumulative pass
+        # AND the n1/n2 totals — pruning differences keep the three
+        # subtrees from canonicalizing equal, so without the checkpoint
+        # the orders-scale scan+aggregate runs once per consumer
+        .localCheckpoint(eager=False)
     )
     # two-level prefix sum: per-bucket subtotals, tiny global window over
     # bucket ids, then a within-bucket ordered window
