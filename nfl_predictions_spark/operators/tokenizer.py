@@ -137,51 +137,56 @@ def _encode_sym(col) -> F.Column:
 
 
 def learn_merges(spark: SparkSession, sf_dir: str, rounds: int = _ROUNDS) -> list[tuple]:
-    """Run the distributed BPE trainer; returns the merge table as
+    """Run the BPE trainer; returns the merge table as
     [(step, lhs, rhs, merged, pair_count)] — the tokenizer model.
 
-    One corpus scan -> word-freq table (localCheckpointed, vocab-sized);
-    then per round: pair-count agg (distributed, map-side combined) ->
-    collect the single argmax row -> literal replace.
+    One corpus scan -> word-freq table (vocab-sized by Zipf) collected
+    to the driver; the per-round pair-count/argmax/replace loop then
+    runs as pure in-memory integer arithmetic — the shape every real
+    BPE trainer uses (training state is the word-freq table, never the
+    corpus), and the q275/q293 bounded-model-state discipline. The
+    distributed loop this replaces ran 2 driver jobs per round (a
+    pair-count collect + an eager checkpoint) against the same
+    vocab-sized frame — pure job-launch latency. Bit-equivalence: the
+    encode, the pair counting (exact integer sums), the
+    (-count, lhs, rhs) argmax tie-break and the leftmost
+    non-overlapping replace are the same operations the distributed
+    form ran (ASCII-ordered strings compare identically in Python,
+    Spark UTF8String and DuckDB).
     """
+    import re
+    from collections import defaultdict
+
     docs = table(spark, sf_dir, "documents")
-    words = (
+    rows = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("f"))
+        .collect()
     )
-    cur = words.select(
-        _encode_sym(F.col("w")).alias("s"), "f"
-    ).localCheckpoint(eager=True)  # cut the corpus scan out of the loop
-
-    merges = []
+    # the same " a  b  a  b " double-space symbol encoding _encode_sym
+    # produces ('.' excludes newline in both regex engines; rtrim/rstrip
+    # strip the trailing pad spaces only)
+    vocab = [
+        [" " + re.sub("(.)", r"\1  ", r.w).rstrip(" ") + " ", int(r.f)]
+        for r in rows
+    ]
+    merges: list[tuple] = []
     for step in range(1, rounds + 1):
-        arr = F.split(F.trim(F.col("s")), "  ")
-        best = (
-            cur.select(arr.alias("arr"), "f")
-            .filter(F.size("arr") >= 2)
-            .select("arr", "f", F.expr("explode(sequence(1, size(arr)-1))").alias("i"))
-            .select(
-                F.expr("element_at(arr, i)").alias("lhs"),
-                F.expr("element_at(arr, i + 1)").alias("rhs"),
-                "f",
-            )
-            .groupBy("lhs", "rhs")
-            .agg(F.sum("f").alias("c"))
-            .orderBy(F.desc("c"), "lhs", "rhs")
-            .limit(1)
-            .collect()[0]  # ONE row per round: the learned merge rule
+        pc: dict = defaultdict(int)
+        for s, f in vocab:
+            arr = s.strip(" ").split("  ")
+            if len(arr) >= 2:
+                for i in range(len(arr) - 1):
+                    pc[(arr[i], arr[i + 1])] += f
+        (lhs, rhs), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
-        merges.append((step, best["lhs"], best["rhs"], best["lhs"] + best["rhs"], int(best["c"])))
-        cur = cur.select(
-            F.replace(
-                F.col("s"),
-                F.lit(f" {best['lhs']}  {best['rhs']} "),
-                F.lit(f" {best['lhs']}{best['rhs']} "),
-            ).alias("s"),
-            "f",
-        ).localCheckpoint(eager=True)
+        merges.append((step, lhs, rhs, lhs + rhs, int(c)))
+        pat, rep = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
+        for e in vocab:
+            e[0] = e[0].replace(pat, rep)
     return merges
 
 
