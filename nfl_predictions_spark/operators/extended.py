@@ -1465,7 +1465,7 @@ def q204_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r_ord", F.datediff("last_order", F.lit("1970-01-01").cast("date")).cast("long"))
         .withColumn("f_ord", F.col("frequency").cast("long"))
         .withColumn("m_ord", (F.col("monetary") * 100).cast("long"))
-    )
+    ).localCheckpoint(eager=False)
     cut_ranks = {
         f"c{j}": (
             lambda n, j=j: F.floor(n / 5) * j + F.least(F.lit(j), n % 5)
@@ -1646,6 +1646,9 @@ def q211_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
         # rev DESC order == bucket DESC then rev DESC within bucket
         .withColumn("b", F.expr("CAST(rev * 100 AS BIGINT) div 1000000"))
+        # feeds the bucket aggregate AND the pass-2 rank join: one lazy
+        # checkpoint computes the orders-scale rollup once (q204 pattern)
+        .localCheckpoint(eager=False)
     )
     g = c.groupBy("b").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("rev").alias("brev")

@@ -1824,6 +1824,9 @@ def q250_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
             (F.col("pos").cast("double") / F.col("n")).alias("score"),
         )
+        # feeds the tie-rank group aggregate AND the calibration bins:
+        # one lazy checkpoint runs the events scan + hour join once
+        .localCheckpoint(eager=False)
     )
     # Per-score-group counts: the score is a per-hour ratio, so this
     # frame has at most 24 rows. The empty-partition window below runs

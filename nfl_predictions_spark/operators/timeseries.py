@@ -1880,10 +1880,12 @@ def q256_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # feeds the stats aggregate AND both rank-select passes: one lazy
+    # checkpoint computes the sessionization window pipeline once
     per = s.groupBy("user_id", "sid").agg(
         F.count(F.lit(1)).alias("depth"),
         F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("dur_us"),
-    )
+    ).localCheckpoint(eager=False)
     stats = per.agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
