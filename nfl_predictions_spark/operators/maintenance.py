@@ -690,10 +690,13 @@ def q304_grid_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity") / _GRID_QW).cast("long").alias("tx"),
         F.floor(F.col("l_extendedprice") / _GRID_PW).cast("long").alias("ty"),
     )
+    # the bounded tile frame feeds the classification, the counts and
+    # the full-tile partial rollups: one lazy checkpoint computes the
+    # lineitem-scale tile aggregate once instead of per consumer
     tiles = pts.groupBy("tx", "ty").agg(
         F.count(F.lit(1)).cast("long").alias("c"),
         F.sum(F.col("p").cast("decimal(18,2)")).alias("rev"),
-    )
+    ).localCheckpoint(eager=False)
     inter = (
         (F.col("tx") * _GRID_QW < F.col("qhi"))
         & ((F.col("tx") + 1) * _GRID_QW > F.col("qlo"))
