@@ -276,6 +276,27 @@ _METRIC_FIELDS = {
     "input": "inputBytes",
 }
 
+# Host-speed calibration probe (VERDICT r11 "Next round" #3): a fixed,
+# single-partition, deterministic CPU-bound job (~1 s on the reference
+# host). One partition => one core, so the number is a pure host-speed
+# measure independent of $SPARK_GRAFT_CPUS; recording it in the detail
+# lets a later reader normalize cross-day runs (round-11 documented
+# ±15-20 % uniform host drift with per-query swings to 2x on identical
+# code, which made every cross-round total ambiguous).
+_CALIBRATION_ROWS = 40_000_000
+
+
+def _calibration_sec(spark) -> float:
+    """Median-of-3 wall time of the fixed single-core probe."""
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, _CALIBRATION_ROWS, 1, 1).selectExpr(
+            "sum(xxhash64(id)) AS h"
+        ).collect()
+        times.append(time.time() - t0)
+    return round(statistics.median(times), 3)
+
 
 def _stage_totals(spark, settle: bool = False) -> dict[str, int] | None:
     """Cumulative completed-stage metrics from the status REST API.
@@ -321,6 +342,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     os.environ.setdefault("SPARK_GRAFT_UI", "true")
     import __spark_entry__ as entrymod
@@ -332,6 +354,7 @@ def main() -> None:
 
     # Warm the JVM/codegen path once with a trivial job.
     spark.range(1000).count()
+    calibration = _calibration_sec(spark)
 
     per_query: dict[str, float] = {}
     per_query_min: dict[str, float] = {}
@@ -403,11 +426,18 @@ def main() -> None:
         # (driver actions / staged stores before the timed write)
         "eager_construct_sec": construct_secs,
         "sf": sf,
+        "cpus": cpus,
+        # fixed single-core probe (see _calibration_sec): divide any two
+        # runs' calibration_sec to normalize away host-speed drift
+        "calibration_sec": calibration,
     }
+    # Core count in the filename (VERDICT r11 "What's wrong" #4): the
+    # driver's low-core scaling run used to OVERWRITE the main run's
+    # detail, which left PERF_r11 with no per-query table.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "artifacts",
-        f"bench_detail_sf{sf}.json",
+        f"bench_detail_sf{sf}_c{cpus}.json",
     )
     try:
         os.makedirs(os.path.dirname(detail_path), exist_ok=True)
@@ -425,6 +455,7 @@ def main() -> None:
         "runs_per_query": n_runs,
         "n_queries": len(per_query),
         "queries_detail": detail_path,
+        "calibration_sec": calibration,
     }
     line = json.dumps(summary)
     if len(line) >= 1000:
@@ -435,7 +466,7 @@ def main() -> None:
             "truncating optional keys",
             file=sys.stderr,
         )
-        for key in ("queries_detail", "n_queries", "runs_per_query"):
+        for key in ("calibration_sec", "queries_detail", "n_queries", "runs_per_query"):
             summary.pop(key, None)
             line = json.dumps(summary)
             if len(line) < 1000:

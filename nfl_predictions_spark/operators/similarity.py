@@ -570,6 +570,16 @@ GROUP BY label, pred ORDER BY label, pred
 _IVF_NLIST = 16
 _IVF_NPROBE = 4
 
+#: Declared coarse-quantizer training budget (VERDICT r11 #2): the
+#: KMeans fit runs on ONE sorted partition for determinism, so its
+#: input must be hard-bounded — above this many vectors the fit trains
+#: on a deterministic hash-ordered sample (see _fit_centroid_dir), the
+#: standard IVF practice (a 16-cell quantizer saturates far below this
+#: budget). Every bench fixture (<= ~4k vectors incl. absorbed batches)
+#: sits far under it, so fixture fits are bit-identical to the
+#: unsampled form.
+_IVF_FIT_SAMPLE = 65_536
+
 #: shared squared-L2 form: three sequential dot-product folds combined
 #: with the identical expression on both engines, so assignment
 #: distances agree bit-for-bit (same trick as the q41 cosine parity).
@@ -807,11 +817,28 @@ def _fit_centroid_dir(
     # function of the fixture bytes — no dependence on core count, active
     # shuffle conf, or which caller fits first (the round-10 protocol
     # tolerated divergent fits; the policy-branch pins q342 carries need
-    # the fit itself reproducible). The quantizer training set is always
-    # bounded (a production system samples it), so one partition is the
-    # scale-correct shape, not a local-mode shortcut.
+    # the fit itself reproducible).
+    #
+    # BOUNDED by construction (VERDICT r11 #2): above _IVF_FIT_SAMPLE
+    # rows the training set is a deterministic hash-ordered sample —
+    # ORDER BY (md5 of the vector's canonical string, the vector) LIMIT
+    # N, a per-partition top-K heap (TakeOrderedAndProject), never a
+    # full shuffle — so the single fit partition holds at most N rows
+    # at any corpus scale (the sampling every production IVF trainer
+    # applies). Below the budget the limit is the identity and the fit
+    # input is bit-identical to the unsampled form, which keeps every
+    # fixture-pinned fit (q342 policy branches, the IVF-family oracles)
+    # unchanged. The downstream sortWithinPartitions re-sorts, so only
+    # the sampled SET matters, and ties (duplicate vectors) are
+    # interchangeable.
+    fit_input = vecs
+    if n_vec > _IVF_FIT_SAMPLE:
+        skey = F.col("emb").cast("string")
+        fit_input = (
+            vecs.orderBy(F.md5(skey).asc(), skey.asc()).limit(_IVF_FIT_SAMPLE)
+        )
     feat = (
-        vecs.coalesce(1)
+        fit_input.coalesce(1)
         .sortWithinPartitions("emb")
         .withColumn("features", array_to_vector(F.col("emb")))
     )

@@ -52,15 +52,29 @@ ORACLE: dict[str, str] = {}
 
 _ROUNDS = 5
 
+#: Declared BPE training vocabulary budget (VERDICT r11 #1): the trainer
+#: holds the word-frequency table in driver memory, so the collect MUST
+#: be hard-bounded — real BPE trainers cap the training vocabulary the
+#: same way (a frequency floor / top-K by count). The cap is top-K by
+#: (count DESC, word ASC) — deterministic, mirrored verbatim in the
+#: DuckDB oracle's wf CTE — so at any corpus scale the driver holds at
+#: most this many rows. At the bench fixtures (31 distinct words) the
+#: cap is provably inactive and the merge table is bit-identical to the
+#: uncapped trainer.
+_TRAIN_VOCAB_CAP = 1_000_000
+
 
 def _bpe_cte_prefix(rounds: int = _ROUNDS) -> str:
-    """Shared WITH-clause prefix: word freqs, initial symbol strings,
-    and the unrolled merge rounds p{r}/b{r}/w{r}."""
-    sql = r"""
+    """Shared WITH-clause prefix: word freqs (top-_TRAIN_VOCAB_CAP, the
+    declared training budget), initial symbol strings, and the unrolled
+    merge rounds p{r}/b{r}/w{r}."""
+    sql = rf"""
     WITH wf AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS f
-      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-      WHERE w <> '' GROUP BY w
+      SELECT w, f FROM (
+        SELECT w, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+      ) ORDER BY f DESC, w LIMIT {_TRAIN_VOCAB_CAP}
     ), w0 AS (
       SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s, f
       FROM wf
@@ -140,19 +154,22 @@ def learn_merges(spark: SparkSession, sf_dir: str, rounds: int = _ROUNDS) -> lis
     """Run the BPE trainer; returns the merge table as
     [(step, lhs, rhs, merged, pair_count)] — the tokenizer model.
 
-    One corpus scan -> word-freq table (vocab-sized by Zipf) collected
-    to the driver; the per-round pair-count/argmax/replace loop then
-    runs as pure in-memory integer arithmetic — the shape every real
-    BPE trainer uses (training state is the word-freq table, never the
-    corpus), and the q275/q293 bounded-model-state discipline. The
-    distributed loop this replaces ran 2 driver jobs per round (a
-    pair-count collect + an eager checkpoint) against the same
-    vocab-sized frame — pure job-launch latency. Bit-equivalence: the
-    encode, the pair counting (exact integer sums), the
-    (-count, lhs, rhs) argmax tie-break and the leftmost
-    non-overlapping replace are the same operations the distributed
-    form ran (ASCII-ordered strings compare identically in Python,
-    Spark UTF8String and DuckDB).
+    One corpus scan -> word-freq table, hard-capped at the declared
+    _TRAIN_VOCAB_CAP training budget (top-K by count DESC, word ASC —
+    a TakeOrderedAndProject per-partition heap, so the driver receives
+    at most _TRAIN_VOCAB_CAP rows at ANY corpus scale; the identical
+    cap sits in the oracle's wf CTE). The per-round
+    pair-count/argmax/replace loop then runs as pure in-memory integer
+    arithmetic — the shape every real BPE trainer uses (training state
+    is the capped word-freq table, never the corpus), and the
+    q275/q293 bounded-model-state discipline. The distributed loop
+    this replaces ran 2 driver jobs per round (a pair-count collect +
+    an eager checkpoint) against the same vocab-sized frame — pure
+    job-launch latency. Bit-equivalence: the encode, the pair counting
+    (exact integer sums), the (-count, lhs, rhs) argmax tie-break and
+    the leftmost non-overlapping replace are the same operations the
+    distributed form ran (ASCII-ordered strings compare identically in
+    Python, Spark UTF8String and DuckDB).
     """
     import re
     from collections import defaultdict
@@ -163,13 +180,20 @@ def learn_merges(spark: SparkSession, sf_dir: str, rounds: int = _ROUNDS) -> lis
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("f"))
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(_TRAIN_VOCAB_CAP)
         .collect()
     )
     # the same " a  b  a  b " double-space symbol encoding _encode_sym
-    # produces ('.' excludes newline in both regex engines; rtrim/rstrip
-    # strip the trailing pad spaces only)
+    # produces, mirrored EXACTLY (ADVICE r11 #3): Java regex '.'
+    # excludes \r, U+0085, U+2028, U+2029 as well as \n (Python '.'
+    # excludes only \n), and Spark rtrim strips every trailing char
+    # <= 0x20 (Python .rstrip(' ') strips only spaces) — so pad with a
+    # Java-'.'-equivalent char class and strip the full control range.
+    java_dot = "([^\n\r\u0085\u2028\u2029])"
+    rtrim_chars = "".join(chr(i) for i in range(0x21))
     vocab = [
-        [" " + re.sub("(.)", r"\1  ", r.w).rstrip(" ") + " ", int(r.f)]
+        [" " + re.sub(java_dot, r"\1  ", r.w).rstrip(rtrim_chars) + " ", int(r.f)]
         for r in rows
     ]
     merges: list[tuple] = []

@@ -87,17 +87,33 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
 
 
-#: session-scoped plan-handle memo: (appId, sf_dir, table) -> DataFrame.
-#: A DataFrame is an immutable lazy scan PLAN; reusing the handle skips
-#: the ~80-140 ms DataFrameReader construction (file listing + footer
-#: schema read over py4j) every query paid per table() call — ~25 s
-#: across a full bench (optimization round 11). The data is still read
-#: from the parquet bytes at every execution; nothing is precomputed.
+#: session-scoped plan-handle memo: (appId, sf_dir, table) -> (fingerprint,
+#: DataFrame). A DataFrame is an immutable lazy scan PLAN; reusing the
+#: handle skips the ~80-140 ms DataFrameReader construction (file listing
+#: + footer schema read over py4j) every query paid per table() call —
+#: ~25 s across a full bench (optimization round 11). The data is still
+#: read from the parquet bytes at every execution; nothing is precomputed.
+#: The fingerprint is the source parquet's (st_size, st_mtime_ns) — the
+#: _staged_path discipline (ADVICE r11 #1): a fixture regenerated at the
+#: same path mid-session mints a NEW handle instead of serving the stale
+#: file listing the first handle pinned; the superseded entry (and its
+#: spread() decisions) is evicted.
 _TABLE_HANDLES: dict = {}
 
-#: spread() decisions for memoized table handles: (id(df), min_factor)
-#: -> result DataFrame (again a lazy plan). See spread().
+#: spread() decisions for memoized table handles: (id(df), min_factor,
+#: target) -> result DataFrame (again a lazy plan). Keyed on the CURRENT
+#: parallelism target so a mid-session parallelism change naturally
+#: misses (ADVICE r11 #5); entries for an evicted table handle are
+#: dropped with it. See spread().
 _SPREAD_MEMO: dict = {}
+
+
+def _source_fingerprint(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (-1, -1)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -112,16 +128,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tune_for_input(spark, sf_dir)
+    src = os.path.join(sf_dir, f"{name}.parquet")
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), name)
-    df = _TABLE_HANDLES.get(key)
-    if df is None:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-            )
-        _TABLE_HANDLES[key] = df
+    fp = _source_fingerprint(src)
+    hit = _TABLE_HANDLES.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    if hit is not None:  # superseded: drop its spread() decisions too
+        stale_id = id(hit[1])
+        for k in [k for k in _SPREAD_MEMO if k[0] == stale_id]:
+            del _SPREAD_MEMO[k]
+    df = spark.read.parquet(src)
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    _TABLE_HANDLES[key] = (fp, df)
     return df
 
 
@@ -156,13 +179,13 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     still pay the probe: their partitioning genuinely varies."""
     from nfl_predictions_spark.session import default_parallelism
 
+    target = default_parallelism()
     key = None
-    if any(df is v for v in _TABLE_HANDLES.values()):
-        key = (id(df), min_factor)
+    if any(df is v[1] for v in _TABLE_HANDLES.values()):
+        key = (id(df), min_factor, target)
         hit = _SPREAD_MEMO.get(key)
         if hit is not None:
             return hit
-    target = default_parallelism()
     out = df if df.rdd.getNumPartitions() * min_factor >= target else df.repartition(target)
     if key is not None:
         _SPREAD_MEMO[key] = out
