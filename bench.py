@@ -283,18 +283,20 @@ _METRIC_FIELDS = {
 # lets a later reader normalize cross-day runs (round-11 documented
 # ±15-20 % uniform host drift with per-query swings to 2x on identical
 # code, which made every cross-round total ambiguous).
-_CALIBRATION_ROWS = 40_000_000
+_CALIBRATION_ROWS = 150_000_000
 
 
 def _calibration_sec(spark) -> float:
-    """Median-of-3 wall time of the fixed single-core probe."""
+    """Median-of-3 wall time of the fixed single-core probe (one
+    unrecorded warm run first so codegen JIT is excluded)."""
     times = []
-    for _ in range(3):
+    for i in range(4):
         t0 = time.time()
         spark.range(0, _CALIBRATION_ROWS, 1, 1).selectExpr(
-            "sum(xxhash64(id)) AS h"
+            "bit_xor(xxhash64(id)) AS h"  # xor: no ANSI sum overflow
         ).collect()
-        times.append(time.time() - t0)
+        if i > 0:
+            times.append(time.time() - t0)
     return round(statistics.median(times), 3)
 
 
