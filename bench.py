@@ -358,6 +358,15 @@ def main() -> None:
     spark.range(1000).count()
     calibration = _calibration_sec(spark)
 
+    # Optional subset filter for scaling studies (round 12, VERDICT r11
+    # #6): SPARK_GRAFT_BENCH_ONLY="q108_hash_split,q41_ann_topk" runs
+    # just those HEADLINE entries (e.g. the data-bound set at sf1.0 at
+    # two core counts). Unset (the driver's path), the full HEADLINE
+    # list runs exactly as before — the filter never removes entries
+    # from the default run.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {n.strip() for n in only_env.split(",") if n.strip()} if only_env else None
+
     per_query: dict[str, float] = {}
     per_query_min: dict[str, float] = {}
     per_query_exec: dict[str, float] = {}
@@ -366,7 +375,7 @@ def main() -> None:
     total_exec = 0.0
     construct_secs: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in queries:
+        if name not in queries or (only is not None and name not in only):
             continue
         # The builder call runs INSIDE the timed region (ADVICE r05 #1):
         # several queries do real work eagerly at construction (staged
@@ -436,10 +445,11 @@ def main() -> None:
     # Core count in the filename (VERDICT r11 "What's wrong" #4): the
     # driver's low-core scaling run used to OVERWRITE the main run's
     # detail, which left PERF_r11 with no per-query table.
+    subset_tag = "_subset" if only is not None else ""
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "artifacts",
-        f"bench_detail_sf{sf}_c{cpus}.json",
+        f"bench_detail_sf{sf}_c{cpus}{subset_tag}.json",
     )
     try:
         os.makedirs(os.path.dirname(detail_path), exist_ok=True)

@@ -263,9 +263,25 @@ def q12_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent) and is returned as double."""
     from nfl_predictions_spark.sources.tables import spread
 
+    # Project to the 6 aggregate inputs BEFORE the spread() round-robin
+    # exchange (guide §2.3 "project before the exchange"): the explicit
+    # repartition sits UNDER the partial aggregate, so it carries full
+    # data rows — column pruning already narrowed them to the 7 columns
+    # the query touches, and this projection drops the filter-only
+    # l_shipdate from the exchange (measured round 12: shuffle write
+    # 11.5 -> 10.6 MB at sf0.1; same rows, same aggregate — projection
+    # commutes with a row-wise repartition). The structural 10 MB is
+    # the spread() tradeoff itself, a no-op at real scale by its guard.
     li = spread(
-        table(spark, sf_dir, "lineitem").filter(
-            F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
         )
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -1576,7 +1576,7 @@ def q308_ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+filter+join five times
     pairs = r.join(c, "ref_id").localCheckpoint(eager=False)
 
-    def grams(side: str) -> DataFrame:
+    def gram_rows(side: str) -> DataFrame:
         # BOTH gram orders in ONE pass over the pair relation: the
         # 1-gram zip pads a null second slot so both struct arrays
         # share a schema and concatenate into a single explode;
@@ -1592,30 +1592,38 @@ def q308_ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         z2 = F.arrays_zip(
             F.slice(col, 1, m2).alias("a"), F.slice(col, 2, m2).alias("b")
         )
-        return (
-            pairs.select("ref_id", F.explode(F.concat(z1, z2)).alias("z"))
-            .select(
-                "ref_id",
-                F.when(F.col("z.b").isNull(), 1).otherwise(2).alias("n"),
-                F.concat_ws(" ", "z.a", "z.b").alias("g"),
-            )
-            .groupBy("ref_id", "n", "g")
-            .agg(F.count(F.lit(1)).alias("c"))
+        return pairs.select(
+            "ref_id", F.explode(F.concat(z1, z2)).alias("z")
+        ).select(
+            "ref_id",
+            F.when(F.col("z.b").isNull(), 1).otherwise(2).alias("n"),
+            F.concat_ws(" ", "z.a", "z.b").alias("g"),
+            F.lit(side).alias("sd"),
         )
 
-    # both gram orders ride ONE (pair, n, gram)-keyed clip join and one
-    # grouped precision aggregate (pivoted back to p1/p2 columns) —
-    # half the join/agg passes of the per-order formulation, identical
-    # counts and therefore identical precisions
-    cg = grams("c")
-    rg = grams("r")
-    j = cg.join(
-        rg.select("ref_id", "n", "g", F.col("c").alias("rc")),
-        ["ref_id", "n", "g"],
-        "left",
+    # Round 12 (guide §2.4 remove shuffles outright): candidate and
+    # reference gram streams UNION into ONE (pair, order, gram)-keyed
+    # aggregate with side-conditional counters, replacing the round-11
+    # shape of two per-side aggregates + a sort-merge LEFT join on the
+    # same key — one exchange and one hash aggregate instead of two
+    # exchanges + two sorts + a join. Row-for-row identical clip
+    # inputs: a (ref_id, n, g) with candidate count c>0 gets rc = its
+    # reference count (0 when absent == the old coalesce(rc, 0));
+    # ref-only grams (c=0) are filtered exactly as the old LEFT join's
+    # preserved-side-only semantics implied, contributing to neither
+    # clip nor the denominator.
+    counts = (
+        gram_rows("c")
+        .unionByName(gram_rows("r"))
+        .groupBy("ref_id", "n", "g")
+        .agg(
+            F.sum(F.when(F.col("sd") == "c", 1).otherwise(0)).alias("c"),
+            F.sum(F.when(F.col("sd") == "r", 1).otherwise(0)).alias("rc"),
+        )
+        .filter(F.col("c") > 0)
     )
-    clip = F.sum(F.least(F.col("c"), F.coalesce(F.col("rc"), F.lit(0))))
-    pn = j.groupBy("ref_id", "n").agg(
+    clip = F.sum(F.least(F.col("c"), F.col("rc")))
+    pn = counts.groupBy("ref_id", "n").agg(
         (clip.cast("double") / F.sum("c")).alias("p")
     )
     prec = pn.groupBy("ref_id").agg(
