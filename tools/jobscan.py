@@ -33,7 +33,7 @@ def main() -> None:
                 os.path.join(
                     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "artifacts",
-                    "bench_detail_sf0.1.json",
+                    "bench_detail_sf0.1_c32.json",
                 )
             )
         )
